@@ -1,0 +1,129 @@
+"""SeSoap many-body descriptor, batched over all atoms.
+
+Computes the species-pair-blocked SOAP power spectrum of the reference's
+``SeSoap``/``SubSeSoap`` (theforce/descriptor/sesoap.py:161-260, 319-391)
+as one vectorized function over a padded neighbor table:
+
+    p[i; a, b, n, n', l] = nnl[n,n',l] * sum_m w_m *
+        ( cR[i,a,n,l,m] cR[i,b,n',l,m] + cI[i,a,n,l,m] cI[i,b,n',l,m] )
+
+with per-species expansion coefficients
+
+    c[i, s, n, l, m] = sum_{j in nbrs(i), species(j)=s} f_n(d_ij) * Ylm(r_ij)
+
+    f_n(d) = cut(|r|) * exp(-d^2/2) * d^(2n),   d = |r| / radius(species_j)
+
+The species axis is a fixed model species table; species absent from an
+environment produce zero blocks, which makes the fixed-table layout produce
+*identical* kernel values to the reference's dynamic sparse 120x120 layout
+(absent blocks contribute nothing to norms or dot products).
+
+Descriptors are normalized to unit L2 norm over the full vector
+(sesoap.py:229-231); gradients flow through normalization via autodiff.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from .harmonics import m_weights, solid_harmonics
+
+
+@dataclass(frozen=True)
+class SoapParams:
+    """Static (hashable) descriptor configuration."""
+
+    lmax: int = 3
+    nmax: int = 3
+    rc: float = 6.0
+    cut_n: int = 2  # PolyCut exponent
+    normalize: bool = True
+
+    @property
+    def nnl_dim(self):
+        return (self.nmax + 1) ** 2 * (self.lmax + 1)
+
+    def dim(self, nspecies):
+        return nspecies * nspecies * self.nnl_dim
+
+
+@lru_cache(maxsize=None)
+def _nnl_table(nmax, lmax):
+    """nnl[n,n',l] = sqrt(a_n,l * a_n',l), a_n,l = 1/((2l+1) 2^(2n+l) n! (n+l)!)
+
+    (reference sesoap.py:119-128)
+    """
+    a = np.array(
+        [
+            [
+                1.0
+                / ((2 * l + 1) * 2 ** (2 * n + l) * math.factorial(n) * math.factorial(n + l))
+                for l in range(lmax + 1)
+            ]
+            for n in range(nmax + 1)
+        ]
+    )
+    return np.sqrt(a[None, :, :] * a[:, None, :])  # (nmax+1, nmax+1, lmax+1)
+
+
+def sesoap_coefficients(rvec, nbr_sidx, nbr_mask, radii, params: SoapParams):
+    """Per-species radial-harmonic expansion coefficients.
+
+    Args:
+        rvec: (..., K, 3) neighbor displacement vectors (physical units).
+        nbr_sidx: (..., K) int index of neighbor species in the model table.
+        nbr_mask: (..., K) bool.
+        radii: (S,) per-species length scales.
+        params: static config.
+    Returns:
+        (cR, cI): (..., S, nmax+1, L, L) with L = lmax+1.
+    """
+    S = radii.shape[0]
+    dtype = rvec.dtype
+    mask = nbr_mask
+    # masked entries -> far outside the cutoff (numerically inert)
+    dummy = jnp.asarray([2.0 * params.rc, 0.0, 0.0], dtype=dtype)
+    safe = jnp.where(mask[..., None], rvec, dummy)
+    sidx = jnp.clip(nbr_sidx, 0, S - 1)
+    unit = radii.astype(dtype)[sidx]  # (..., K)
+    xyz = safe / unit[..., None]
+    d2 = (xyz * xyz).sum(-1)
+    d = jnp.sqrt(d2)
+    dphys = d * unit
+    t = 1.0 - dphys / params.rc
+    cut = jnp.where(dphys < params.rc, t**params.cut_n, 0.0)
+    g = cut * jnp.exp(-0.5 * d2) * mask.astype(dtype)  # (..., K)
+    n_expo = 2.0 * jnp.arange(params.nmax + 1, dtype=dtype)
+    f = g[..., None] * d[..., None] ** n_expo  # (..., K, nmax+1)
+    Yr, Yi = solid_harmonics(xyz, params.lmax)  # (..., K, L, L)
+    onehot = (sidx[..., None] == jnp.arange(S)) & mask[..., None]
+    onehot = onehot.astype(dtype)  # (..., K, S)
+    cR = jnp.einsum("...ks,...kn,...klm->...snlm", onehot, f, Yr)
+    cI = jnp.einsum("...ks,...kn,...klm->...snlm", onehot, f, Yi)
+    return cR, cI
+
+
+def sesoap_descriptors(rvec, nbr_sidx, nbr_mask, radii, params: SoapParams):
+    """Full SOAP power-spectrum descriptors, flattened and normalized.
+
+    Returns p: (..., D) with D = S^2 (nmax+1)^2 (lmax+1).
+    """
+    cR, cI = sesoap_coefficients(rvec, nbr_sidx, nbr_mask, radii, params)
+    dtype = cR.dtype
+    w = m_weights(params.lmax, dtype=dtype)
+    p = jnp.einsum("...aulm,...bvlm,lm->...abuvl", cR, cR, w) + jnp.einsum(
+        "...aulm,...bvlm,lm->...abuvl", cI, cI, w
+    )
+    nnl = jnp.asarray(_nnl_table(params.nmax, params.lmax), dtype=dtype)
+    p = p * nnl  # broadcasts over (u, v, l)
+    batch = p.shape[: p.ndim - 5]
+    p = p.reshape(*batch, -1)
+    if params.normalize:
+        norm = jnp.linalg.norm(p, axis=-1, keepdims=True)
+        p = p / (norm + jnp.finfo(dtype).eps)
+    return p
