@@ -1,0 +1,360 @@
+"""Device engine: jitted predict / kernel-block functions + compile cache.
+
+This is the TPU side of the framework.  The host state machine
+(:mod:`autoforce_tpu.calculator.active`, :mod:`autoforce_tpu.regression.sgpr`)
+calls a small set of fused, statically-shaped jitted functions:
+
+  * ``predict``       — descriptors → cov → energy, forces, virial, beta
+                        (the per-MD-step hot path; one fwd + one bwd pass)
+  * ``descriptors``   — per-LCE descriptors of a configuration
+  * ``kernel_col``    — (k, -dk/dpos, dk/deps) of one inducing env vs a
+                        configuration (one VJP; used by add_inducing)
+  * ``kernel_block``  — the same against the whole inducing set (chunked
+                        map; used by add_data)
+  * ``gram_self``     — LCE x LCE kernel of one configuration (model seeding)
+
+Shapes are padded to buckets (atoms N, neighbors K, inducing M) so the jit
+cache stays small; reference semantics per SURVEY.md §2.4-2.6.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .descriptor.radial import as_radii
+from .descriptor.soap import SoapParams, sesoap_descriptors
+from .kernels import covloss_beta, gram
+from .neighbors import neighbor_table, round_up
+
+
+class ConfigArrays(NamedTuple):
+    """Padded device-ready representation of one configuration."""
+
+    positions: jax.Array  # (N, 3)
+    cell: jax.Array  # (3, 3)
+    numbers: jax.Array  # (N,) int32 atomic numbers (0 for padding)
+    atom_mask: jax.Array  # (N,) bool
+    nbr_idx: jax.Array  # (N, K) int32
+    nbr_off: jax.Array  # (N, K, 3) int32
+    nbr_sidx: jax.Array  # (N, K) int32 species-table index of neighbor
+    nbr_mask: jax.Array  # (N, K) bool
+
+    @property
+    def npad(self):
+        return self.positions.shape[0]
+
+
+class ModelArrays(NamedTuple):
+    """Padded device-side SGPR model state (replicated across the mesh)."""
+
+    X_desc: jax.Array  # (M, D)
+    X_num: jax.Array  # (M,) int32
+    X_lone: jax.Array  # (M,) bool
+    m_mask: jax.Array  # (M,) bool
+    mu: jax.Array  # (M,)
+    choli: jax.Array  # (M, M), zero-padded
+
+
+class EnvArrays(NamedTuple):
+    """One raw local environment (for descriptor recomputation)."""
+
+    rvec: jax.Array  # (K, 3)
+    sidx: jax.Array  # (K,) int32
+    mask: jax.Array  # (K,) bool
+
+
+# --------------------------------------------------------------------------
+# jitted kernels (shape-specialized via jax's jit cache)
+# --------------------------------------------------------------------------
+
+
+def _env_rvec(positions, cell, cfg: ConfigArrays):
+    dtype = positions.dtype
+    rvec = (
+        positions[cfg.nbr_idx]
+        - positions[:, None, :]
+        + cfg.nbr_off.astype(dtype) @ cell
+    )
+    return rvec
+
+
+def _config_descriptors(positions, cell, cfg, radii, params):
+    rvec = _env_rvec(positions, cell, cfg)
+    mask = cfg.nbr_mask & cfg.atom_mask[:, None]
+    p = sesoap_descriptors(rvec, cfg.nbr_sidx, mask, radii, params)
+    lone = cfg.atom_mask & ~mask.any(axis=1)
+    return p, lone
+
+
+@partial(jax.jit, static_argnames=("params", "exponent"))
+def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params, exponent):
+    """Fused energy/forces/virial/uncertainty (reference hot path §3.1)."""
+
+    def energy(pos, eps):
+        one = jnp.eye(3, dtype=pos.dtype) + eps
+        posd = pos @ one
+        celld = cfg.cell @ one
+        p, lone = _config_descriptors(posd, celld, cfg, radii, params)
+        cov = gram(p, cfg.numbers, lone, model.X_desc, model.X_num, model.X_lone, exponent)
+        cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
+        e = (cov @ model.mu).sum()
+        return e, cov
+
+    eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
+    (e, cov), (dpos, deps) = jax.value_and_grad(energy, argnums=(0, 1), has_aux=True)(
+        cfg.positions, eps0
+    )
+    forces = -dpos * cfg.atom_mask[:, None]
+    virial = 0.5 * (deps + deps.T)
+    beta = covloss_beta(model.choli, cov, vscale_atom, model.m_mask)
+    beta = jnp.where(cfg.atom_mask, beta, -jnp.inf)
+    return e, forces, virial, cov, beta
+
+
+@partial(jax.jit, static_argnames=("params",))
+def descriptors_fn(cfg: ConfigArrays, radii, params):
+    p, lone = _config_descriptors(cfg.positions, cfg.cell, cfg, radii, params)
+    return p, lone
+
+
+@partial(jax.jit, static_argnames=("params", "exponent"))
+def gram_self_fn(cfg: ConfigArrays, radii, params, exponent):
+    p, lone = _config_descriptors(cfg.positions, cfg.cell, cfg, radii, params)
+    k = gram(p, cfg.numbers, lone, p, cfg.numbers, lone, exponent)
+    return k
+
+
+def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent):
+    one = jnp.eye(3, dtype=pos.dtype) + eps
+    posd = pos @ one
+    celld = cfg.cell @ one
+    p, lone = _config_descriptors(posd, celld, cfg, radii, params)
+    col = gram(p, cfg.numbers, lone, x_desc[None], x_num[None], x_lone[None], exponent)
+    col = col[:, 0] * cfg.atom_mask
+    return col.sum()
+
+
+@partial(jax.jit, static_argnames=("params", "exponent"))
+def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params, exponent):
+    """(Ke, Kf, Kv) entries of one inducing env against a configuration.
+
+    Ke = sum_i k(p_i, x);  Kf = -dKe/dpos (forces_energy, gppotential.py:67);
+    Kv = dKe/deps (virial_energy).  One VJP through the descriptor.
+    """
+    eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
+    ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
+        cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params, exponent
+    )
+    kf = -dpos * cfg.atom_mask[:, None]
+    kv = 0.5 * (deps + deps.T)
+    return ke, kf, kv
+
+
+@partial(jax.jit, static_argnames=("params", "exponent", "batch_size"))
+def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params, exponent, batch_size=16):
+    """(Ke row, Kf block, Kv block) of a configuration vs the inducing set.
+
+    Chunked map over the inducing axis: each chunk is a vmapped VJP, so
+    memory stays bounded while the MXU stays busy.
+    """
+    eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
+
+    def one(x):
+        x_desc, x_num, x_lone = x
+        ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
+            cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params, exponent
+        )
+        return ke, -dpos * cfg.atom_mask[:, None], 0.5 * (deps + deps.T)
+
+    ke, kf, kv = jax.lax.map(
+        one, (model.X_desc, model.X_num, model.X_lone), batch_size=batch_size
+    )
+    # ke: (M,), kf: (M, N, 3), kv: (M, 3, 3)
+    return ke, jnp.moveaxis(kf, 0, -1), jnp.moveaxis(kv, 0, -1)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def env_descriptors_fn(envs: EnvArrays, radii, params):
+    """Descriptors for a batch of raw environments (inducing set staging)."""
+    p = sesoap_descriptors(envs.rvec, envs.sidx, envs.mask, radii, params)
+    lone = ~envs.mask.any(axis=-1)
+    return p, lone
+
+
+# --------------------------------------------------------------------------
+# host-side engine
+# --------------------------------------------------------------------------
+
+VOIGT = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
+
+
+def voigt6(t):
+    """3x3 symmetric tensor -> Voigt [xx, yy, zz, yz, xz, xy]."""
+    t = np.asarray(t)
+    return np.array([t[i, j] for i, j in VOIGT])
+
+
+class Engine:
+    """Host wrapper: species table, buckets, device state, compile cache."""
+
+    def __init__(self, params: SoapParams = None, exponent=4, radii=None,
+                 species=None, dtype=None):
+        self.params = params or SoapParams()
+        self.exponent = int(exponent)
+        self.radii = as_radii(radii if radii is not None else 1.0)
+        self.species = sorted(int(z) for z in (species or []))
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+
+    # -------------------------------------------------------------- species
+    @property
+    def nspecies(self):
+        return len(self.species)
+
+    @property
+    def dim(self):
+        return self.params.dim(max(self.nspecies, 1))
+
+    def species_index(self, numbers):
+        """Map atomic numbers to table indices; -1 if absent."""
+        numbers = np.asarray(numbers)
+        out = np.full(numbers.shape, -1, dtype=np.int32)
+        for i, z in enumerate(self.species):
+            out[numbers == z] = i
+        return out
+
+    def ensure_species(self, numbers):
+        """Grow the species table; returns True if it changed."""
+        new = sorted(set(int(z) for z in np.asarray(numbers).reshape(-1)) - set(self.species))
+        if new:
+            self.species = sorted(self.species + new)
+            return True
+        return False
+
+    def radii_table(self):
+        table = self.species if self.species else [0]
+        return jnp.asarray(self.radii.table(table), dtype=self.dtype)
+
+    # -------------------------------------------------------------- configs
+    def make_config(self, system, npad=None, kpad=None) -> ConfigArrays:
+        """Build padded device arrays for a System."""
+        n = len(system)
+        npad = npad or round_up(n, 16)
+        table = neighbor_table(system.positions, system.cell, system.pbc, self.params.rc)
+        if kpad is not None:
+            table = table.pad_to(kpad)
+        k = table.kmax
+        sidx = self.species_index(system.numbers)  # (n,)
+        nbr_sidx = sidx[table.idx]
+        nbr_mask = table.mask & (nbr_sidx >= 0)
+
+        def pad(a, fill=0):
+            out = np.full((npad,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:n] = a
+            return out
+
+        positions = pad(system.positions.astype(np.float64))
+        numbers = pad(system.numbers.astype(np.int32))
+        atom_mask = np.zeros(npad, bool)
+        atom_mask[:n] = True
+        nbr_idx = pad(table.idx)
+        nbr_off = pad(table.off)
+        nbr_sidx = pad(np.maximum(nbr_sidx, 0).astype(np.int32))
+        nbr_mask = pad(nbr_mask)
+        return ConfigArrays(
+            positions=jnp.asarray(positions, dtype=self.dtype),
+            cell=jnp.asarray(system.cell, dtype=self.dtype),
+            numbers=jnp.asarray(numbers),
+            atom_mask=jnp.asarray(atom_mask),
+            nbr_idx=jnp.asarray(nbr_idx),
+            nbr_off=jnp.asarray(nbr_off),
+            nbr_sidx=jnp.asarray(nbr_sidx),
+            nbr_mask=jnp.asarray(nbr_mask),
+        )
+
+    def make_envs(self, env_list, kpad=None) -> EnvArrays:
+        """Pad a list of raw (rvec, numbers) environments."""
+        kmax = max([len(e[1]) for e in env_list] + [1])
+        kpad = kpad or round_up(kmax, 8)
+        m = len(env_list)
+        rvec = np.zeros((m, kpad, 3))
+        sidx = np.zeros((m, kpad), dtype=np.int32)
+        mask = np.zeros((m, kpad), bool)
+        for i, (rv, nums) in enumerate(env_list):
+            c = len(nums)
+            rvec[i, :c] = rv
+            si = self.species_index(nums)
+            sidx[i, :c] = np.maximum(si, 0)
+            mask[i, :c] = si >= 0
+        return EnvArrays(
+            rvec=jnp.asarray(rvec, dtype=self.dtype),
+            sidx=jnp.asarray(sidx),
+            mask=jnp.asarray(mask),
+        )
+
+    # ---------------------------------------------------------- computations
+    def descriptors(self, cfg: ConfigArrays):
+        p, lone = descriptors_fn(cfg, self.radii_table(), self.params)
+        return p, lone
+
+    def env_descriptors(self, envs: EnvArrays):
+        p, lone = env_descriptors_fn(envs, self.radii_table(), self.params)
+        return p, lone
+
+    def gram_self(self, cfg: ConfigArrays):
+        return gram_self_fn(cfg, self.radii_table(), self.params, self.exponent)
+
+    def predict(self, cfg: ConfigArrays, model: ModelArrays, vscale_atom):
+        return predict_fn(
+            cfg, model, self.radii_table(),
+            jnp.asarray(vscale_atom, dtype=self.dtype),
+            self.params, self.exponent,
+        )
+
+    def kernel_col(self, cfg: ConfigArrays, x_desc, x_num, x_lone):
+        return kernel_col_fn(
+            cfg,
+            jnp.asarray(x_desc, dtype=self.dtype),
+            jnp.asarray(np.int32(x_num)),
+            jnp.asarray(bool(x_lone)),
+            self.radii_table(), self.params, self.exponent,
+        )
+
+    def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16):
+        return kernel_block_fn(
+            cfg, model, self.radii_table(), self.params, self.exponent, batch_size
+        )
+
+    # ------------------------------------------------------------ model sync
+    def model_arrays(self, X_desc, X_num, X_lone, mu, choli, mcap=None) -> ModelArrays:
+        """Pad host model state to the inducing-capacity bucket."""
+        m = len(X_num)
+        mcap = mcap or max(32, round_up(max(m, 1), 32))
+        D = X_desc.shape[1] if m else self.dim
+        Xd = np.zeros((mcap, D))
+        Xn = np.zeros(mcap, dtype=np.int32)
+        Xl = np.zeros(mcap, bool)
+        mm = np.zeros(mcap, bool)
+        muv = np.zeros(mcap)
+        ch = np.zeros((mcap, mcap))
+        if m:
+            Xd[:m] = X_desc
+            Xn[:m] = X_num
+            Xl[:m] = X_lone
+            mm[:m] = True
+            muv[:m] = mu
+            ch[:m, :m] = choli
+        return ModelArrays(
+            X_desc=jnp.asarray(Xd, dtype=self.dtype),
+            X_num=jnp.asarray(Xn),
+            X_lone=jnp.asarray(Xl),
+            m_mask=jnp.asarray(mm),
+            mu=jnp.asarray(muv, dtype=self.dtype),
+            choli=jnp.asarray(ch, dtype=self.dtype),
+        )

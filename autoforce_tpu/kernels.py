@@ -1,0 +1,48 @@
+"""Kernel (covariance) Gram blocks between local chemical environments.
+
+The default AutoForce kernel between two LCEs with descriptors p, q and
+central atomic numbers z_p, z_q is
+
+    k(p, q) = delta(z_p, z_q) * (p . q)^zeta          (universal.py:109-122)
+
+plus the lone-atom correction: two neighborless LCEs of the same species
+have k = 1 (similarity.py:94-103).  On normalized descriptors the diagonal
+k(x,x) is exactly 1 (including lone atoms).
+
+Everything here is dense-matmul-shaped (MXU-friendly); species selection is
+a mask, not control flow.
+"""
+
+import jax.numpy as jnp
+
+
+def gram(p1, z1, lone1, p2, z2, lone2, exponent):
+    """Kernel block between two sets of LCEs.
+
+    Args:
+        p1: (n, D) descriptors;  z1: (n,) central atomic numbers;
+        lone1: (n,) bool, True for environments with zero neighbors.
+        p2/z2/lone2: (m, ...) likewise.
+        exponent: static int zeta.
+    Returns:
+        (n, m) kernel matrix.
+    """
+    dtype = p1.dtype
+    dot = p1 @ p2.T
+    same = (z1[:, None] == z2[None, :]).astype(dtype)
+    k = dot**exponent * same
+    k = k + (lone1[:, None] & lone2[None, :]).astype(dtype) * same
+    return k
+
+
+def covloss_beta(choli, cov, vscale_atom, m_mask):
+    """Per-atom uncertainty beta (reference active.py:781-804).
+
+    beta_i = sqrt(max(0, 1 - ||choli @ k_i||^2)) * sqrt(vscale(z_i))
+
+    Assumes normalized kernel diagonal (k(x,x) = 1).
+    """
+    b = (choli * m_mask[None, :]) @ (cov * m_mask[None, :]).T  # (M, n)
+    c = (b * b).sum(axis=0)
+    beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None))
+    return beta * jnp.sqrt(vscale_atom)

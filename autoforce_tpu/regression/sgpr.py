@@ -1,0 +1,436 @@
+"""Sparse Gaussian process potential: host model state + incremental updates.
+
+The TPU-native counterpart of the reference's ``PosteriorPotential``
+(theforce/regression/gppotential.py:453-1175).  All covariance *blocks*
+(Ke, Kf, Kv, M) live here as float64 numpy; the entries are produced by
+the device engine (descriptors / kernel VJPs on TPU).  The solve runs in
+:mod:`autoforce_tpu.regression.solver`; the result (mu, choli) is pushed
+back to the device as padded ``ModelArrays``.
+
+Structures ("data") and inducing environments are kept with enough raw
+information (positions/neighbors; displacement vectors) to restage
+descriptors when the species table grows — kernel *values* are invariant
+under table growth (zero blocks), so K matrices stay valid.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..engine import Engine, voigt6
+from ..system import System
+from . import solver
+
+
+@dataclass
+class InducingEnv:
+    """A detached local environment (reference Local.detach, atoms.py:149-159)."""
+
+    number: int  # central atomic number
+    rvec: np.ndarray  # (k, 3) neighbor displacements
+    numbers: np.ndarray  # (k,) neighbor atomic numbers
+    desc: np.ndarray = None  # (D,) staged descriptor (current species table)
+    lone: bool = False
+
+    @classmethod
+    def from_arrays(cls, number, rvec, numbers):
+        rvec = np.asarray(rvec, dtype=np.float64).reshape(-1, 3)
+        numbers = np.asarray(numbers, dtype=np.int32).reshape(-1)
+        return cls(number=int(number), rvec=rvec, numbers=numbers,
+                   lone=len(numbers) == 0)
+
+
+@dataclass
+class DataRecord:
+    """A training structure with targets and device-ready arrays."""
+
+    system: System
+    e: float
+    f: np.ndarray  # (n, 3)
+    s: np.ndarray  # (6,) Voigt stress
+    cfg: object = None  # ConfigArrays
+    natoms: int = 0
+
+    @classmethod
+    def from_system(cls, system, energy=None, forces=None, stress=None):
+        e = float(energy if energy is not None else system.get_potential_energy())
+        f = np.asarray(forces if forces is not None else system.get_forces())
+        if stress is None:
+            try:
+                s = np.asarray(system.get_stress())
+            except Exception:
+                s = np.zeros(6)
+        else:
+            s = np.asarray(stress)
+        return cls(system=system.copy(), e=e, f=f.copy(), s=s.copy(),
+                   natoms=len(system))
+
+
+class SgprModel:
+    def __init__(self, engine: Engine, max_data=np.inf, max_inducing=np.inf):
+        self.engine = engine
+        self.data: list[DataRecord] = []
+        self.X: list[InducingEnv] = []
+        self.Ke = np.zeros((0, 0))
+        self.Kf = np.zeros((0, 0))
+        self.Kv = np.zeros((0, 0))
+        self.M = np.zeros((0, 0))
+        self.mu = np.zeros(0)
+        self.choli = np.zeros((0, 0))
+        self.ridge = 0.0
+        self.noise_state = {"all": solver.logit(0.01)}
+        self.scaled_noise = {"all": 0.0}
+        self.mean_weights = {}
+        self.vscale = {}
+        self.stats = None
+        self._model_arrays = None
+        self._mcap = 0
+
+    # ------------------------------------------------------------ properties
+    @property
+    def ndata(self):
+        return len(self.data)
+
+    @property
+    def m(self):
+        return len(self.X)
+
+    @property
+    def size(self):
+        return (self.ndata, self.m)
+
+    @property
+    def species(self):
+        return self.engine.species
+
+    def mean_energy(self, numbers):
+        """Parametric per-species mean (AutoMean, gppotential.py:200-231)."""
+        e = 0.0
+        z, c = np.unique(np.asarray(numbers), return_counts=True)
+        for zi, ci in zip(z, c):
+            e += ci * self.mean_weights.get(int(zi), 0.0)
+        return float(e)
+
+    # --------------------------------------------------------------- staging
+    def restage(self):
+        """Recompute inducing descriptors + data configs for the current
+        species table (called when the table grows)."""
+        if self.X:
+            envs = self.engine.make_envs([(x.rvec, x.numbers) for x in self.X])
+            p, lone = self.engine.env_descriptors(envs)
+            p = np.asarray(p)
+            for i, x in enumerate(self.X):
+                x.desc = p[i]
+                x.lone = bool(np.asarray(lone)[i])
+        for rec in self.data:
+            rec.cfg = self.engine.make_config(rec.system)
+
+    def stage_env(self, env: InducingEnv):
+        envs = self.engine.make_envs([(env.rvec, env.numbers)])
+        p, lone = self.engine.env_descriptors(envs)
+        env.desc = np.asarray(p)[0]
+        env.lone = bool(np.asarray(lone)[0])
+        return env
+
+    def kern_env_env(self, a: InducingEnv, b: InducingEnv):
+        """Host kernel between two staged environments."""
+        if a.number != b.number:
+            return 0.0
+        k = float(np.dot(a.desc, b.desc)) ** self.engine.exponent
+        if a.lone and b.lone:
+            k += 1.0
+        return k
+
+    def kern_X_env(self, env: InducingEnv):
+        """(m,) kernel column of env against the inducing set."""
+        if self.m == 0:
+            return np.zeros(0)
+        Xd = np.stack([x.desc for x in self.X])
+        zs = np.array([x.number for x in self.X])
+        lo = np.array([x.lone for x in self.X])
+        col = (Xd @ env.desc) ** self.engine.exponent * (zs == env.number)
+        col = col + ((lo & env.lone) & (zs == env.number)) * 1.0
+        return col
+
+    # --------------------------------------------------- incremental updates
+    def add_inducing(self, env: InducingEnv, col=None, remake=True):
+        """Append one inducing column (gppotential.py:745-771)."""
+        if env.desc is None:
+            self.stage_env(env)
+        ke_col = []
+        kf_col = []
+        kv_col = []
+        for rec in self.data:
+            ke, kf, kv = self.engine.kernel_col(rec.cfg, env.desc, env.number, env.lone)
+            ke_col.append(float(ke))
+            kf_col.append(np.asarray(kf)[: rec.natoms].reshape(-1))
+            kv_col.append(voigt6(kv))
+        a = self.kern_X_env(env) if col is None else np.asarray(col).reshape(-1)
+        b = self.kern_env_env(env, env)
+        m = self.m
+        newM = np.zeros((m + 1, m + 1))
+        newM[:m, :m] = self.M
+        newM[:m, m] = a
+        newM[m, :m] = a
+        newM[m, m] = b
+        self.M = newM
+        if self.ndata:
+            ke_col = np.asarray(ke_col).reshape(-1, 1)
+            kf_col = np.concatenate(kf_col).reshape(-1, 1)
+            kv_col = np.concatenate(kv_col).reshape(-1, 1)
+            self.Ke = np.concatenate([self.Ke.reshape(self.ndata, m), ke_col], axis=1)
+            self.Kf = np.concatenate([self.Kf.reshape(kf_col.shape[0], m), kf_col], axis=1)
+            self.Kv = np.concatenate([self.Kv.reshape(kv_col.shape[0], m), kv_col], axis=1)
+        else:
+            self.Ke = np.zeros((0, m + 1))
+            self.Kf = np.zeros((0, m + 1))
+            self.Kv = np.zeros((0, m + 1))
+        self.X.append(env)
+        self._model_arrays = None
+        if remake:
+            self.make_munu()
+
+    def add_data(self, rec: DataRecord, remake=True):
+        """Append one structure's covariance rows (gppotential.py:728-743)."""
+        if rec.cfg is None:
+            rec.cfg = self.engine.make_config(rec.system)
+        m = self.m
+        if m:
+            ke, kf, kv = self.engine.kernel_block(rec.cfg, self.full_model_arrays())
+            mcap = np.asarray(ke).shape[0]
+            ke = np.asarray(ke)[: m].reshape(1, m)
+            kf = np.asarray(kf)[: rec.natoms, :, :m].reshape(-1, m)
+            kv_t = np.asarray(kv)[..., :m]  # (3, 3, m)
+            kv = np.stack([kv_t[i, j] for (i, j) in
+                           [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]])
+        else:
+            ke = np.zeros((1, 0))
+            kf = np.zeros((3 * rec.natoms, 0))
+            kv = np.zeros((6, 0))
+        ne = self.Ke.shape[0] if self.Ke.size or self.Ke.shape[1] == m else 0
+        self.Ke = np.concatenate([self.Ke.reshape(ne, m), ke], axis=0)
+        nf = self.Kf.shape[0] if self.Kf.size or self.Kf.shape[1] == m else 0
+        self.Kf = np.concatenate([self.Kf.reshape(nf, m), kf], axis=0)
+        nv = self.Kv.shape[0] if self.Kv.size or self.Kv.shape[1] == m else 0
+        self.Kv = np.concatenate([self.Kv.reshape(nv, m), kv], axis=0)
+        self.data.append(rec)
+        self._model_arrays = None
+        if remake:
+            self.make_munu()
+
+    def pop_1data(self, remake=True, first=False):
+        if not self.data:
+            return
+        if first:
+            n0 = self.data[0].natoms
+            self.Ke = self.Ke[1:]
+            self.Kf = self.Kf[3 * n0:]
+            self.Kv = self.Kv[6:]
+            self.data.pop(0)
+        else:
+            n0 = self.data[-1].natoms
+            self.Ke = self.Ke[:-1]
+            self.Kf = self.Kf[: self.Kf.shape[0] - 3 * n0]
+            self.Kv = self.Kv[:-6]
+            self.data.pop()
+        if remake:
+            self.make_munu()
+
+    def pop_1inducing(self, remake=True, first=False):
+        if not self.X:
+            return
+        sl = slice(1, None) if first else slice(None, -1)
+        self.Ke = self.Ke[:, sl]
+        self.Kf = self.Kf[:, sl]
+        self.Kv = self.Kv[:, sl]
+        self.M = self.M[sl, sl]
+        self.X.pop(0 if first else -1)
+        self._model_arrays = None
+        if remake:
+            self.make_munu()
+
+    def select_inducing(self, indices, remake=True):
+        i = np.asarray(indices, dtype=int)
+        self.Ke = self.Ke[:, i]
+        self.Kf = self.Kf[:, i]
+        self.Kv = self.Kv[:, i]
+        self.M = self.M[np.ix_(i, i)]
+        self.X = [self.X[j] for j in i]
+        self._model_arrays = None
+        if remake:
+            self.make_munu()
+
+    def downsize(self, max_data, max_inducing, lii=True, remake=True):
+        """Evict oldest data / least-important inducing (gppotential.py:815-842)."""
+        ch1 = 0
+        while self.ndata > max_data:
+            self.pop_1data(remake=False, first=True)
+            ch1 += 1
+        ch2 = 0
+        if lii and max_inducing < self.m:
+            order = np.argsort(self.M.sum(axis=1)).tolist()
+            keep = order[: int(max_inducing)]
+            self.select_inducing(keep, remake=False)
+            ch2 = keep
+        else:
+            while self.m > max_inducing:
+                self.pop_1inducing(remake=False, first=True)
+                ch2 += 1
+        if remake and (ch1 or ch2):
+            self.make_munu()
+        return ch1, ch2
+
+    # ------------------------------------------------------------- the solve
+    def targets(self):
+        energies = np.array([rec.e for rec in self.data])
+        forces = (
+            np.concatenate([rec.f.reshape(-1) for rec in self.data])
+            if self.data
+            else np.zeros(0)
+        )
+        virials = (
+            np.concatenate([rec.s * rec.system.volume for rec in self.data])
+            if self.data
+            else np.zeros(0)
+        )
+        return energies, forces, virials
+
+    def species_count_matrix(self):
+        zlist = sorted(self.mean_weights.keys())
+        C = np.zeros((self.ndata, len(zlist)))
+        for i, rec in enumerate(self.data):
+            cnt = rec.system.counts()
+            for j, z in enumerate(zlist):
+                C[i, j] = cnt.get(z, 0)
+        return zlist, C
+
+    def make_munu(self, optimize=False, noise_f=0.0):
+        if self.m == 0 or self.ndata == 0:
+            return
+        # AutoMean.set_data: ensure a weight entry per species present
+        for rec in self.data:
+            for z in rec.system.numbers_set():
+                self.mean_weights.setdefault(int(z), 0.0)
+        energies, forces, virials = self.targets()
+        zlist, C = self.species_count_matrix()
+        natoms = np.array([rec.natoms for rec in self.data])
+        res = solver.solve_sgpr(
+            self.M, self.Ke, self.Kf, self.Kv,
+            energies, forces, virials, natoms, C,
+            self.noise_state, self.mean_weights,
+            optimize=optimize, noise_f=noise_f,
+        )
+        self.mu = res.mu
+        self.choli = res.choli
+        self.ridge = res.ridge
+        self.noise_state = res.noise_state
+        self.scaled_noise = res.scaled_noise
+        self.mean_weights = {**self.mean_weights, **res.weights}
+        self.make_stats()
+        self._model_arrays = None
+
+    def optimize_model_parameters(self, noise_f=0.0):
+        self.make_munu(optimize=True, noise_f=noise_f)
+
+    def make_stats(self):
+        """Fit errors + per-species predictive-variance scale
+        (gppotential.py:610-649)."""
+        energies, forces, virials = self.targets()
+        zlist, C = self.species_count_matrix()
+        wvec = np.array([self.mean_weights[z] for z in zlist]) if zlist else np.zeros(0)
+        mean_e = C @ wvec if len(zlist) else np.zeros(len(energies))
+        y = np.concatenate([energies - mean_e, forces, virials])
+        K = np.concatenate([self.Ke, self.Kf, self.Kv], axis=0)
+        yy = K @ self.mu
+        n = self.ndata
+        natoms = np.array([rec.natoms for rec in self.data], dtype=np.float64)
+        diff = yy - y
+        ediff = diff[:n] / natoms
+        fdiff = diff[n:]
+        yv = y[n:]
+        ss_res = ((yv - yy[n:]) ** 2).sum()
+        ss_tot = ((yv - yv.mean()) ** 2).sum()
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        self.stats = dict(
+            e_mean=float(ediff.mean()),
+            e_mae=float(np.abs(ediff).mean()),
+            f_mean=float(fdiff.mean()) if len(fdiff) else 0.0,
+            f_mae=float(np.abs(fdiff).mean()) if len(fdiff) else 0.0,
+            r2=float(r2),
+        )
+        # predictive-variance scale per species: mean of mu*(M@mu)
+        q = self.mu * (self.M @ self.mu)
+        numbers = np.array([x.number for x in self.X])
+        self.vscale = {}
+        self.indu_counts = {}
+        for z in np.unique(numbers):
+            sel = numbers == z
+            self.vscale[int(z)] = float(q[sel].sum() / sel.sum())
+            self.indu_counts[int(z)] = int(sel.sum())
+
+    # ------------------------------------------------------------ predictive
+    def leakage(self, env: InducingEnv):
+        """Inducing-span residual of an env (gppotential.py:706-715)."""
+        if env.desc is None:
+            self.stage_env(env)
+        a = self.kern_X_env(env)
+        b = self.choli @ a
+        c = float(b @ b)
+        d = self.kern_env_env(env, env) + self.ridge
+        return 1.0 - c / d
+
+    def env_energy(self, env: InducingEnv):
+        """GP energy of a single env (kernel part only; means cancel in
+        the add_1inducing delta test, gppotential.py:959-962)."""
+        return float(self.kern_X_env(env) @ self.mu)
+
+    def add_1inducing(self, env, ediff, remake=True):
+        """Accept env into the inducing set if it changes its own prediction
+        by >= ediff (gppotential.py:942-969)."""
+        if env.desc is None:
+            self.stage_env(env)
+        if self.m == 0:
+            self.add_inducing(env, remake=remake)
+            return 1, float("inf")
+        e1 = self.env_energy(env)
+        self.add_inducing(env, remake=True)
+        e2 = self.env_energy(env)
+        de = abs(e1 - e2)
+        blind = abs(e1) < 1e-8 and abs(e2) < 1e-8
+        if (de < ediff and not blind) or self.ridge > 0.0:
+            self.pop_1inducing(remake=remake)
+            return 0, de
+        return 1, de
+
+    def vscale_for(self, numbers):
+        return np.array(
+            [self.vscale.get(int(z), np.inf) for z in np.asarray(numbers)]
+        )
+
+    # --------------------------------------------------------------- device
+    def full_model_arrays(self):
+        """Padded device model state (cached until the model changes)."""
+        if self._model_arrays is None:
+            m = self.m
+            D = self.engine.dim
+            Xd = (
+                np.stack([x.desc for x in self.X])
+                if m
+                else np.zeros((0, D))
+            )
+            Xn = np.array([x.number for x in self.X], dtype=np.int32)
+            Xl = np.array([x.lone for x in self.X], dtype=bool)
+            mu = self.mu if len(self.mu) == m else np.zeros(m)
+            ch = (
+                self.choli
+                if self.choli.shape == (m, m)
+                else np.zeros((m, m))
+            )
+            mcap = max(self._mcap, 32)
+            while mcap < m:
+                mcap *= 2
+            self._mcap = mcap
+            self._model_arrays = self.engine.model_arrays(Xd, Xn, Xl, mu, ch, mcap=mcap)
+        return self._model_arrays

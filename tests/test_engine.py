@@ -1,0 +1,202 @@
+"""Device engine: kernel columns/blocks vs finite differences + consistency."""
+
+import numpy as np
+import pytest
+
+from autoforce_tpu.engine import Engine, voigt6
+from autoforce_tpu.regression.sgpr import InducingEnv, SgprModel
+from autoforce_tpu.system import System, bulk_fcc
+
+
+def make_engine():
+    from autoforce_tpu.descriptor.soap import SoapParams
+
+    return Engine(params=SoapParams(lmax=2, nmax=2, rc=3.2), exponent=4, species=[29])
+
+
+def make_system(seed=0):
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.08, seed=seed)
+    return s
+
+
+def env_from_system(engine, system, i):
+    """Extract a detached LCE (reference Local.detach)."""
+    from autoforce_tpu.neighbors import displacements, neighbor_table
+
+    t = neighbor_table(system.positions, system.cell, system.pbc, engine.params.rc)
+    r = displacements(system.positions, system.cell, t)
+    mask = t.mask[i]
+    return InducingEnv.from_arrays(
+        system.numbers[i], r[i][mask], system.numbers[t.idx[i][mask]]
+    )
+
+
+def test_descriptor_matches_env_descriptor():
+    """Descriptors from a config equal descriptors of extracted raw envs."""
+    eng = make_engine()
+    s = make_system()
+    cfg = eng.make_config(s)
+    p, lone = eng.descriptors(cfg)
+    for i in [0, 2]:
+        env = env_from_system(eng, s, i)
+        envs = eng.make_envs([(env.rvec, env.numbers)])
+        pe, _ = eng.env_descriptors(envs)
+        np.testing.assert_allclose(np.asarray(p[i]), np.asarray(pe[0]), atol=1e-10)
+
+
+def test_kernel_col_finite_difference():
+    eng = make_engine()
+    s = make_system()
+    env = env_from_system(eng, make_system(seed=5), 1)
+    model = SgprModel(eng)
+    model.stage_env(env)
+
+    cfg = eng.make_config(s)
+    ke, kf, kv = eng.kernel_col(cfg, env.desc, env.number, env.lone)
+    ke, kf, kv = float(ke), np.asarray(kf), np.asarray(kv)
+
+    def ke_of(positions):
+        s2 = s.copy()
+        s2.positions = positions
+        c = eng.make_config(s2)
+        k, _, _ = eng.kernel_col(c, env.desc, env.number, env.lone)
+        return float(k)
+
+    eps = 1e-6
+    for (a, b) in [(0, 0), (1, 2), (3, 1)]:
+        pp = s.positions.copy()
+        pp[a, b] += eps
+        pm = s.positions.copy()
+        pm[a, b] -= eps
+        fd = (ke_of(pp) - ke_of(pm)) / (2 * eps)
+        # Kf is forces_energy = -d(ke)/dpos
+        np.testing.assert_allclose(-kf[a, b], fd, rtol=1e-5, atol=1e-9)
+
+    # strain derivative (virial rows)
+    def ke_strained(emat):
+        s2 = s.copy()
+        one = np.eye(3) + emat
+        s2.positions = s.positions @ one
+        s2.cell = s.cell @ one
+        c = eng.make_config(s2)
+        k, _, _ = eng.kernel_col(c, env.desc, env.number, env.lone)
+        return float(k)
+
+    for (i, j) in [(0, 0), (1, 2)]:
+        e1 = np.zeros((3, 3))
+        e1[i, j] += eps
+        e1[j, i] += eps
+        fd = (ke_strained(e1 / 1) - ke_strained(-e1)) / (2 * eps)
+        sym = kv[i, j] + kv[j, i]
+        np.testing.assert_allclose(sym, fd, rtol=1e-5, atol=1e-8)
+
+
+def test_kernel_block_matches_cols():
+    eng = make_engine()
+    s = make_system()
+    cfg = eng.make_config(s)
+    model = SgprModel(eng)
+    for seed in range(3):
+        model.add_inducing(env_from_system(eng, make_system(seed=seed + 3), seed),
+                           remake=False)
+    ma = model.full_model_arrays()
+    ke, kf, kv = eng.kernel_block(cfg, ma, batch_size=4)
+    ke, kf, kv = np.asarray(ke), np.asarray(kf), np.asarray(kv)
+    for j in range(3):
+        x = model.X[j]
+        k1, f1, v1 = eng.kernel_col(cfg, x.desc, x.number, x.lone)
+        np.testing.assert_allclose(ke[j], float(k1), rtol=1e-10)
+        np.testing.assert_allclose(kf[..., j], np.asarray(f1), atol=1e-10)
+        np.testing.assert_allclose(kv[..., j], np.asarray(v1), atol=1e-10)
+
+
+def test_predict_consistency():
+    """predict == Ke-row contraction; forces/virial match FD of energy."""
+    eng = make_engine()
+    s = make_system(seed=2)
+    model = SgprModel(eng)
+    for seed in range(4):
+        model.add_inducing(env_from_system(eng, make_system(seed=seed), seed % 4),
+                           remake=False)
+    m = model.m
+    rng = np.random.default_rng(0)
+    model.mu = rng.normal(size=m)
+    model.choli = np.linalg.inv(np.linalg.cholesky(model.M + 1e-8 * np.eye(m)))
+    model._model_arrays = None
+    ma = model.full_model_arrays()
+
+    cfg = eng.make_config(s)
+    vs = np.ones(cfg.npad)
+    e, f, w, cov, beta = eng.predict(cfg, ma, vs)
+    e, f, w = float(e), np.asarray(f), np.asarray(w)
+
+    # energy equals the explicit contraction
+    ke, _, _ = eng.kernel_block(cfg, ma, batch_size=4)
+    np.testing.assert_allclose(e, float(np.asarray(ke)[:m] @ model.mu), rtol=1e-9)
+
+    def e_of(positions, emat=None):
+        s2 = s.copy()
+        if emat is not None:
+            one = np.eye(3) + emat
+            s2.positions = positions @ one
+            s2.cell = s.cell @ one
+        else:
+            s2.positions = positions
+        c = eng.make_config(s2)
+        ee, *_ = eng.predict(c, ma, vs)
+        return float(ee)
+
+    eps = 1e-6
+    for (a, b) in [(0, 1), (2, 0)]:
+        pp = s.positions.copy()
+        pp[a, b] += eps
+        pm = s.positions.copy()
+        pm[a, b] -= eps
+        fd = (e_of(pp) - e_of(pm)) / (2 * eps)
+        np.testing.assert_allclose(-f[a, b], fd, rtol=1e-5, atol=1e-8)
+
+    for (i, j) in [(0, 0), (0, 2)]:
+        emat = np.zeros((3, 3))
+        emat[i, j] += eps
+        emat[j, i] += eps
+        fd = (e_of(s.positions, emat) - e_of(s.positions, -emat)) / (2 * eps)
+        np.testing.assert_allclose(w[i, j] + w[j, i], fd, rtol=1e-5, atol=1e-8)
+
+    # covloss sanity: beta in [0, 1] for vscale=1, and ~0 for an env equal
+    # to an inducing point
+    beta = np.asarray(beta)[np.asarray(cfg.atom_mask)]
+    assert (beta >= 0).all() and (beta <= 1 + 1e-9).all()
+
+
+def test_add_inducing_column_consistency():
+    """Incrementally built Ke/Kf/Kv match a fresh kernel_block."""
+    eng = make_engine()
+    model = SgprModel(eng)
+    s1, s2 = make_system(seed=7), make_system(seed=8)
+    from autoforce_tpu.calculator.oracles import LennardJones
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    for s in (s1, s2):
+        s.calc = lj
+    from autoforce_tpu.regression.sgpr import DataRecord
+
+    model.add_data(DataRecord.from_system(s1), remake=False)
+    for seed in range(3):
+        model.add_inducing(env_from_system(eng, make_system(seed=seed), seed),
+                           remake=False)
+    model.add_data(DataRecord.from_system(s2), remake=False)
+
+    # rebuild from scratch and compare
+    ma = model.full_model_arrays()
+    Ke, Kf, Kv = [], [], []
+    for rec in model.data:
+        ke, kf, kv = eng.kernel_block(rec.cfg, ma, batch_size=4)
+        Ke.append(np.asarray(ke)[: model.m])
+        Kf.append(np.asarray(kf)[: rec.natoms, :, : model.m].reshape(-1, model.m))
+        kvt = np.asarray(kv)[..., : model.m]
+        Kv.append(np.stack([kvt[i, j] for i, j in
+                            [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]]))
+    np.testing.assert_allclose(model.Ke, np.stack(Ke), atol=1e-10)
+    np.testing.assert_allclose(model.Kf, np.concatenate(Kf), atol=1e-10)
+    np.testing.assert_allclose(model.Kv, np.concatenate(Kv), atol=1e-10)

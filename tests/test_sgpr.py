@@ -1,0 +1,119 @@
+"""SGPR regression: solver units + learning an LJ potential."""
+
+import numpy as np
+
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.descriptor.soap import SoapParams
+from autoforce_tpu.engine import Engine
+from autoforce_tpu.regression import solver
+from autoforce_tpu.regression.sgpr import DataRecord, InducingEnv, SgprModel
+from autoforce_tpu.system import bulk_fcc
+
+from test_engine import env_from_system
+
+
+def test_jitter_cholesky():
+    # PD matrix: no ridge
+    A = np.array([[2.0, 0.5], [0.5, 1.0]])
+    L, ridge = solver.jitter_cholesky(A)
+    assert ridge == 0.0
+    np.testing.assert_allclose(L @ L.T, A, atol=1e-12)
+    # singular matrix: needs a ridge
+    B = np.ones((4, 4))
+    L, ridge = solver.jitter_cholesky(B)
+    assert ridge > 0
+    np.testing.assert_allclose(L @ L.T, B + ridge * np.eye(4), atol=1e-10)
+
+
+def test_qr_solve_matches_lstsq():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(30, 7))
+    Y = rng.normal(size=30)
+    x1 = solver.qr_solve(A, Y)
+    x2, *_ = np.linalg.lstsq(A, Y, rcond=None)
+    np.testing.assert_allclose(x1, x2, atol=1e-10)
+
+
+def lj_setup(nstruct=6, seed=0):
+    eng = Engine(params=SoapParams(lmax=3, nmax=3, rc=3.2), exponent=4, species=[29])
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    model = SgprModel(eng)
+    rng = np.random.default_rng(seed)
+    systems = []
+    for k in range(nstruct):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.1, seed=100 + k)
+        s.calc = lj
+        systems.append(s)
+    return eng, lj, model, systems
+
+
+def test_learns_lj():
+    eng, lj, model, systems = lj_setup()
+    # inducing: all LCEs of the first structures
+    for k in range(5):
+        for i in range(4):
+            model.add_inducing(env_from_system(eng, systems[k], i), remake=False)
+    for s in systems[:5]:
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu(optimize=True, noise_f=0.002)
+
+    # fit quality on training data (force scale here is ~1.5 eV/A)
+    assert model.stats["f_mae"] < 0.05, model.stats
+    assert model.stats["r2"] > 0.999
+
+    # generalization: held-out structure
+    s = systems[5]
+    cfg = eng.make_config(s)
+    ma = model.full_model_arrays()
+    vs = model.vscale_for(np.asarray(cfg.numbers))
+    e, f, w, cov, beta = eng.predict(cfg, ma, vs)
+    e = float(e) + model.mean_energy(s.numbers)
+    f = np.asarray(f)[: len(s)]
+    e_ref = s.get_potential_energy()
+    f_ref = s.get_forces()
+    assert abs(e - e_ref) / len(s) < 0.02, (e, e_ref)
+    assert np.abs(f - f_ref).max() < 0.2
+
+    # stress prediction vs LJ
+    st = np.asarray(w)
+    stress = np.array([st[i, j] for i, j in
+                       [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]]) / s.volume
+    s_ref = s.get_stress()
+    assert np.abs(stress - s_ref).max() < 0.05  # eV/A^3
+
+
+def test_leakage_and_vscale():
+    eng, lj, model, systems = lj_setup(nstruct=3)
+    for k in range(2):
+        model.add_inducing(env_from_system(eng, systems[k], k), remake=False)
+    model.add_data(DataRecord.from_system(systems[0]), remake=False)
+    model.make_munu()
+    # leakage of an env already in the inducing set ~ 0
+    x0 = model.X[0]
+    leak = model.leakage(InducingEnv.from_arrays(x0.number, x0.rvec, x0.numbers))
+    assert leak < 1e-8
+    # leakage of a fresh env in (0, 1]
+    env = env_from_system(eng, systems[2], 3)
+    leak2 = model.leakage(env)
+    assert 0.0 <= leak2 <= 1.0
+    assert 29 in model.vscale
+
+
+def test_add_pop_roundtrip():
+    eng, lj, model, systems = lj_setup(nstruct=3)
+    for k in range(2):
+        model.add_inducing(env_from_system(eng, systems[k], k), remake=False)
+    model.add_data(DataRecord.from_system(systems[0]), remake=False)
+    model.make_munu()
+    Ke0, M0, mu0 = model.Ke.copy(), model.M.copy(), model.mu.copy()
+    # add + pop a structure
+    model.add_data(DataRecord.from_system(systems[1]))
+    model.pop_1data()
+    np.testing.assert_allclose(model.Ke, Ke0, atol=1e-12)
+    np.testing.assert_allclose(model.mu, mu0, atol=1e-9)
+    # add + pop an inducing env
+    model.add_inducing(env_from_system(eng, systems[2], 2))
+    model.pop_1inducing()
+    np.testing.assert_allclose(model.M, M0, atol=1e-12)
+    np.testing.assert_allclose(model.mu, mu0, atol=1e-9)
