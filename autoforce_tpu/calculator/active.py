@@ -1,0 +1,816 @@
+"""On-the-fly active-learning calculator.
+
+TPU-native counterpart of the reference's ``ActiveCalculator``
+(theforce/calculator/active.py:104-1149): an ASE-protocol calculator that
+serves SGPR predictions from the device engine and, when an ab-initio
+("oracle") calculator is attached, samples new inducing environments and
+training structures on the fly.
+
+Device/host split (SURVEY.md §7.5): the per-step hot path is ONE fused
+jitted call (descriptors → covariance → energy/forces/virial/β); all
+sampling decisions, threshold logic, tape/pickle IO and the m×m solve run
+on host.  β updates inside the inducing-sampling loop are computed on host
+from the already-fetched descriptor/covariance matrices, so the loop adds
+no extra device round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import Counter
+
+import numpy as np
+
+from .. import units
+from ..descriptor.radial import DefaultRadii
+from ..descriptor.soap import SoapParams
+from ..engine import Engine, voigt6
+from ..io.tape import SgprTape
+from ..neighbors import neighbor_table, round_up
+from ..regression.sgpr import DataRecord, InducingEnv, SgprModel
+from ..system import SinglePointCalculator, System
+
+inf = float("inf")
+kcal_mol = 0.043
+
+
+class Switch:
+    """Piecewise-constant thresholds keyed on max force (active.py:83-101)."""
+
+    def __init__(self, value):
+        self._value = value
+        value = value if isinstance(value, (list, tuple)) else [value]
+        self.switches = (-inf, *value[1::2], inf)
+        self.values = value[0::2]
+        for k in range(len(self.switches) - 1):
+            if self.switches[k] > self.switches[k + 1]:
+                raise RuntimeError("Switch is not ordered!")
+
+    def __repr__(self):
+        return f"{self._value}"
+
+    def __call__(self, x):
+        k = 0
+        for k in range(len(self.switches) - 1):
+            if self.switches[k] < x < self.switches[k + 1]:
+                break
+        return self.values[k]
+
+
+def default_kernel_engine(lmax=3, nmax=3, exponent=4, cutoff=6.0, species=None,
+                          radii=None):
+    """Default SOAP kernel config (reference active.py:28-38)."""
+    return Engine(
+        params=SoapParams(lmax=lmax, nmax=nmax, rc=cutoff),
+        exponent=exponent,
+        radii=radii if radii is not None else DefaultRadii(),
+        species=species,
+    )
+
+
+class ActiveCalculator:
+    """On-the-fly SGPR learner with the reference's sampling policy."""
+
+    def __init__(
+        self,
+        covariance="pckl",
+        calculator=None,
+        logfile="active.log",
+        pckl="model.pckl",
+        tape="model.sgpr",
+        test=None,
+        stdout=False,
+        ediff=2 * kcal_mol,
+        ediff_lb=None,
+        ediff_ub=None,
+        ediff_tot=4 * kcal_mol,
+        fdiff=3 * kcal_mol,
+        noise_f=kcal_mol,
+        ioptim=1,
+        max_data=inf,
+        max_inducing=inf,
+        kernel_kw=None,
+        veto=None,
+        eps_dr=0.1,
+        ignore=None,
+        report_timings=False,
+        step0_forced_fp=False,
+        mesh=None,
+    ):
+        self._calc = calculator
+        self.pckl = pckl
+        self.mesh = mesh
+        self._get_model(covariance, kernel_kw or {})
+        self.ediff = ediff
+        self.ediff_lb = ediff_lb if ediff_lb is not None else ediff
+        self.ediff_ub = ediff_ub if ediff_ub is not None else ediff
+        self.ediff_tot = ediff_tot
+        self.fdiff = fdiff
+        self.noise_f = noise_f
+        self.ioptim = ioptim
+        self._ioptim = 0
+        self.max_data = max_data
+        self.max_inducing = max_inducing
+        self.logfile = logfile
+        self.stdout = stdout
+        self.step = 0
+        self.maximum_force = inf
+        self.tape = SgprTape(tape) if tape else None
+        self.test = test
+        self._last_test = 0
+        self._ktest = 0
+        self.meta = None
+        self.deltas = None
+        self.updated = False
+        self._update_args = {}
+        self._veto = veto or {}
+        self.eps_dr = eps_dr
+        self.ignore = set(ignore or [])
+        self.report_timings = report_timings
+        self.step0_forced_fp = step0_forced_fp
+        self.tune_for_md = True
+        self._saved_for_tape = None
+        self._npad = 0
+        self._kpad = 0
+        self.results = {}
+        self.log("active calculator says Hello!", mode="w")
+        self.log(f"kernel: params={self.engine.params} zeta={self.engine.exponent}")
+        self.log(
+            f"settings: ediff: {self._ediff}  ediff_tot: {self.ediff_tot}"
+            f"  fdiff: {self._fdiff} "
+        )
+        self.log("model size: {} {}".format(*self.size))
+
+    # ----------------------------------------------------------- properties
+    @property
+    def active(self):
+        return self._calc is not None
+
+    @property
+    def engine(self) -> Engine:
+        return self.model.engine
+
+    @property
+    def size(self):
+        return self.model.size
+
+    # Switch-able thresholds (reference active.py:378-421)
+    @property
+    def fdiff(self):
+        return self._fdiff(self.maximum_force)
+
+    @fdiff.setter
+    def fdiff(self, value):
+        self._fdiff = value if isinstance(value, Switch) else Switch(value)
+
+    @property
+    def ediff(self):
+        return self._ediff(self.maximum_force)
+
+    @ediff.setter
+    def ediff(self, value):
+        self._ediff = value if isinstance(value, Switch) else Switch(value)
+
+    @property
+    def ediff_lb(self):
+        return self._ediff_lb(self.maximum_force)
+
+    @ediff_lb.setter
+    def ediff_lb(self, value):
+        self._ediff_lb = value if isinstance(value, Switch) else Switch(value)
+
+    @property
+    def ediff_ub(self):
+        return self._ediff_ub(self.maximum_force)
+
+    @ediff_ub.setter
+    def ediff_ub(self, value):
+        self._ediff_ub = value if isinstance(value, Switch) else Switch(value)
+
+    # -------------------------------------------------------- model loading
+    def _get_model(self, covariance, kernel_kw):
+        from ..io.model_io import load_model
+
+        if covariance == "pckl":
+            covariance = self.pckl if self.pckl and os.path.isdir(self.pckl) else None
+        if covariance is None:
+            self.model = SgprModel(default_kernel_engine(**kernel_kw))
+        elif isinstance(covariance, str):
+            self.model = load_model(covariance)
+        elif isinstance(covariance, SgprModel):
+            self.model = covariance
+        elif isinstance(covariance, Engine):
+            self.model = SgprModel(covariance)
+        else:
+            raise TypeError(f"covariance: {covariance!r}")
+
+    # ------------------------------------------------------------- calculate
+    def calculate(self, system) -> dict:
+        timings = [time.time()]
+        if self.size[1] == 0 and not self.active:
+            raise RuntimeError("you forgot to assign an oracle calculator!")
+        if self.engine.ensure_species(system.numbers):
+            self.model.restage()
+
+        self.system = system
+        self._make_cfg(system)
+        timings.append(time.time())  # nl + staging
+
+        self.maximum_force = inf
+        dat1 = self.size[0]
+        if self.step == 0 and self.active and self.model.ndata == 0:
+            self.initiate_model()
+            self._update_args = dict(data=False)
+
+        self._predict()
+        timings.append(time.time())  # kernel + results
+
+        self.deltas = None
+        self.covlog = ""
+        if self.active and not self.veto():
+            pre = dict(self.results)
+            m, n = self.update(**self._update_args)
+            if m > 0 or n > 0:
+                self._predict()
+                if self.step > 0:
+                    self.deltas = {
+                        q: self.results[q] - pre[q]
+                        for q in ("energy", "forces", "stress")
+                    }
+        else:
+            if self.size[1] > 0:
+                covloss_max = float(self._host_beta().max())
+                self.covlog = f"{covloss_max}"
+                if covloss_max > self.ediff:
+                    self._save_uncertain()
+        timings.append(time.time())  # active
+
+        self.post_calculate(timings)
+        return self.results
+
+    def post_calculate(self, timings):
+        if self.active and self.test and self.step - self._last_test > self.test:
+            self._test()
+        meta = ""
+        if self.meta is not None:
+            me = self.meta(self)
+            if me is not None:
+                self.results["energy"] += me
+                meta = f"meta: {me}"
+        self.log(
+            "{} {} {} {}".format(
+                self.results["energy"],
+                self.system.get_temperature(),
+                self.covlog,
+                meta,
+            )
+        )
+        self.step += 1
+        self.results["free_energy"] = self.results["energy"]
+        timings.append(time.time())
+        if self.report_timings:
+            d = np.diff(timings)
+            self.log(
+                ("timings:" + len(d) * " {:0.2g}").format(*d)
+                + f" total: {sum(d):0.2g}"
+            )
+
+    # ----------------------------------------------------------- prediction
+    def _make_cfg(self, system):
+        self._nl = neighbor_table(
+            system.positions, system.cell, system.pbc, self.engine.params.rc
+        )
+        self._npad = max(self._npad, round_up(len(system), 16))
+        self._kpad = max(self._kpad, round_up(max(self._nl.kmax, 1), 8))
+        self.cfg = self.engine.make_config(
+            system, npad=self._npad, kpad=self._kpad, table=self._nl.pad_to(self._kpad)
+        )
+
+    def _predict(self):
+        n = len(self.system)
+        ma = self.model.full_model_arrays()
+        vs = self.model.vscale_for(np.asarray(self.cfg.numbers))
+        e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
+        energy = float(e) + self.model.mean_energy(self.system.numbers)
+        forces = np.asarray(f)[:n]
+        try:
+            stress = voigt6(np.asarray(w)) / self.system.volume
+        except ValueError:
+            stress = np.zeros(6)
+        self.results = {
+            "energy": energy,
+            "forces": forces,
+            "stress": stress,
+        }
+        self.maximum_force = float(np.abs(forces).max()) if n else inf
+        self._cov = np.asarray(cov)[:n, : self.model.m]
+        self._desc = None  # fetched lazily in the sampling loop
+        return self.results
+
+    def _get_desc(self):
+        if self._desc is None:
+            p, lone = self.engine.descriptors(self.cfg)
+            n = len(self.system)
+            self._desc = np.asarray(p)[:n]
+            self._lone = np.asarray(lone)[:n]
+        return self._desc
+
+    def _host_beta(self):
+        """β from host-side cov/choli (active.py:781-804), updatable inside
+        the sampling loop without device round-trips."""
+        m = self.model.m
+        if m == 0 or len(self.model.mu) != m:
+            return np.full(len(self.system), inf)
+        b = self.model.choli @ self._cov.T
+        c = (b * b).sum(axis=0)
+        beta = np.sqrt(np.clip(1.0 - c, 0.0, None))
+        vs = self.model.vscale_for(self.system.numbers)
+        return beta * np.sqrt(vs)
+
+    def _extend_cov(self, env):
+        """Append the kernel column of a new inducing env to host cov."""
+        p = self._get_desc()
+        col = (p @ env.desc) ** self.engine.exponent
+        col = col * (self.system.numbers == env.number)
+        col = col + ((self._lone & env.lone) & (self.system.numbers == env.number))
+        self._cov = np.concatenate([self._cov, col[:, None]], axis=1)
+
+    # --------------------------------------------------------------- the LCEs
+    def extract_env(self, i, system=None, nl=None) -> InducingEnv:
+        """Detach the LCE of atom i (reference atoms.py local()+detach)."""
+        system = system or self.system
+        if nl is None:
+            nl = self._nl
+        mask = nl.mask[i]
+        j = nl.idx[i][mask]
+        r = (
+            system.positions[j]
+            - system.positions[i]
+            + nl.off[i][mask] @ system.cell
+        )
+        return InducingEnv.from_arrays(system.numbers[i], r, system.numbers[j])
+
+    # ------------------------------------------------------- model seeding
+    def initiate_model(self):
+        rec = self.snapshot(fake=False)
+        unique = self.get_unique_lces()
+        for i in unique:
+            env = self.extract_env(i)
+            self.model.add_inducing(env, remake=False)
+        self.model.add_data(rec, remake=False)
+        self.model.make_munu()
+        if self.tape:
+            if self._saved_for_tape is not None:
+                self.tape.write(self._saved_for_tape)
+                self._saved_for_tape = None
+            for x in self.model.X:
+                self.tape.write(x)
+        details = [(int(j), int(self.system.numbers[j])) for j in unique]
+        self.log("seed size: {} {} details: {}".format(*self.size, details))
+        if self.tune_for_md:
+            self.sample_rand_lces(indices=unique, repeat=1)
+        self.optimize()
+
+    def get_unique_lces(self, thresh=0.95):
+        """Greedy kernel-similarity filter (active.py:632-653)."""
+        k = np.asarray(self.engine.gram_self(self.cfg))
+        n = len(self.system)
+        unique = []
+        for i in range(n):
+            if all(k[i, j] < thresh for j in unique):
+                unique.append(i)
+        return unique
+
+    def sample_rand_lces(self, indices=None, repeat=1):
+        """Rattled-copy LCE sampling for MD robustness (active.py:655-682)."""
+        added = 0
+        rng = np.random.default_rng()
+        for _ in range(repeat):
+            tmp = self.system.copy()
+            tmp.positions = tmp.positions + rng.uniform(
+                -0.05, 0.05, tmp.positions.shape
+            )
+            nl = neighbor_table(tmp.positions, tmp.cell, tmp.pbc, self.engine.params.rc)
+            idx = (
+                indices
+                if indices is not None
+                else rng.permutation(len(tmp)).tolist()
+            )
+            for k in idx:
+                env = self.extract_env(k, system=tmp, nl=nl)
+                added += abs(self.update_lce(env))
+        self.log(f"added {added} randomly displaced LCEs")
+
+    # ------------------------------------------------------------- sampling
+    def update_lce(self, env: InducingEnv, beta=None):
+        """Threshold-banded inducing addition (active.py:806-840)."""
+        model = self.model
+        if env.desc is None:
+            model.stage_env(env)
+        col = None
+        if beta is None:
+            col = model.kern_X_env(env)
+            b = model.choli @ col if model.m else np.zeros(0)
+            c = float(b @ b)
+            vscale = model.vscale.get(env.number, inf)
+            beta = np.sqrt(max((1.0 - c) * vscale, 0.0))
+        added = 0
+        counts = getattr(model, "indu_counts", {})
+        m = counts.get(env.number, 0)
+        if beta >= self.ediff_ub:
+            model.add_inducing(env, col=col)
+            added = -1 if m < 2 else 1
+        elif beta < self.ediff_lb:
+            if m < 2 and beta > np.finfo(np.float64).eps:
+                model.add_inducing(env, col=col)
+                added = -1
+        else:
+            ediff = self.ediff if m > 1 else np.finfo(np.float64).eps
+            added, _delta = model.add_1inducing(env, ediff)
+        if added != 0:
+            if model.ridge > 0.0:
+                model.pop_1inducing()
+                added = 0
+            else:
+                if self.tape:
+                    self.tape.write(env)
+                if self.ioptim == 0:
+                    self.optimize()
+        return added
+
+    def update_inducing(self):
+        """Greedy argmax-β loop (active.py:842-885)."""
+        added_beta = 0
+        added_diff = 0
+        added_indices = []
+        added_covloss = None
+        self.blind = False
+        n = len(self.system)
+        beta = self._host_beta()
+        while len(added_indices) < n:
+            beta = self._host_beta()
+            order = np.argsort(beta)[::-1]
+            k = None
+            for kk in order.tolist():
+                if kk not in added_indices and kk not in self.ignore:
+                    k = kk
+                    break
+            if k is None:
+                break
+            if np.isclose(beta[k], 1.0):
+                self.blind = True
+            env = self.extract_env(k)
+            added = self.update_lce(env, beta=beta[k])
+            if added == 0:
+                break
+            if added == -1:
+                self.blind = True
+                added_beta += 1
+            else:
+                added_diff += 1
+            self._extend_cov(self.model.X[-1])
+            added_indices.append(k)
+            added_covloss = beta[k]
+        added = added_beta + added_diff
+        if added > 0:
+            self.log(
+                "added indu: {} ({},{}) -> size: {} {} details: {:.2g}".format(
+                    added, added_beta, added_diff, *self.size, added_covloss
+                )
+            )
+            if self.blind:
+                self.log("model may be blind -> go robust")
+        self.covlog = f"{float(beta[order[0]]) if len(beta) else 0.0}"
+        return added
+
+    # ----------------------------------------------------------- structures
+    def _exact(self, system):
+        """One oracle single-point (reference _exact, active.py:710-738)."""
+        tmp = system.copy()
+        tmp.calc = self._calc
+        energy = tmp.get_potential_energy()
+        forces = tmp.get_forces()
+        try:
+            stress = tmp.get_stress()
+        except Exception:
+            stress = np.zeros(6)
+        if self.tape:
+            tmp.calc = SinglePointCalculator(
+                tmp, energy=energy, forces=forces, stress=stress
+            )
+            self._saved_for_tape = tmp
+        self.log(f"exact energy: {energy}")
+        if self.model.ndata > 0 and "energy" in self.results:
+            dE = self.results["energy"] - energy
+            df = np.abs(self.results["forces"] - forces)
+            self.log(
+                "errors (pre):  del-E: {:.2g}  max|del-F|: {:.2g}  mean|del-F|: {:.2g}".format(
+                    dE, df.max(), df.mean()
+                )
+            )
+        self._last_test = self.step
+        return energy, forces, stress
+
+    def snapshot(self, fake=False) -> DataRecord:
+        copy = self.system.copy()
+        if fake:
+            energy = self.results["energy"]
+            forces = self.results["forces"]
+            stress = self.results["stress"]
+        else:
+            energy, forces, stress = self._exact(copy)
+        return DataRecord(
+            system=copy,
+            e=float(energy),
+            f=np.asarray(forces).copy(),
+            s=np.asarray(stress).copy(),
+            natoms=len(copy),
+        )
+
+    def head(self):
+        """Replace the last (fake) data targets with exact ones
+        (active.py:753-761)."""
+        rec = self.model.data[-1]
+        energy, forces, stress = self._exact(rec.system)
+        rec.e = float(energy)
+        rec.f = np.asarray(forces).copy()
+        rec.s = np.asarray(stress).copy()
+        self.model.make_munu()
+
+    def _fast_ef(self):
+        """Energy/forces under the current mu (one device pass)."""
+        ma = self.model.full_model_arrays()
+        vs = self.model.vscale_for(np.asarray(self.cfg.numbers))
+        e, f, *_ = self.engine.predict(self.cfg, ma, vs)
+        return float(e), np.asarray(f)[: len(self.system)]
+
+    def add_1atoms_fast(self, rec):
+        """Accept/reject a structure by Δprediction (gppotential.py:888-940)."""
+        model = self.model
+        if model.ndata == 0:
+            model.add_data(rec)
+            return 1, inf, inf
+        fdiff = self.fdiff
+        use_forces = fdiff < inf
+        e1, f1 = self._fast_ef()
+        model.add_data(rec)
+        e2, f2 = self._fast_ef()
+        de = abs(e1 - e2)
+        df = 0.0
+        if not use_forces:
+            reject = de < self.ediff_tot
+        else:
+            d = (f2 - f1).reshape(-1)
+            df = np.abs(d).mean()
+            df_max = np.abs(d).max()
+            # Normal-logprob test: mean log N(d;0,fdiff) > log N(fdiff;0,fdiff)
+            # ⇔ mean(d²) < fdiff²  (gppotential.py:930-932)
+            reject = (d * d).mean() < fdiff**2 and df_max < 3 * fdiff
+        blind = abs(e1) < 1e-8 and abs(e2) < 1e-8
+        if reject and not blind:
+            model.pop_1data()
+            return 0, de, df
+        return 1, de, df
+
+    def update_data(self, try_fake=True):
+        """Sample a training structure (active.py:887-929)."""
+        model = self.model
+        # bypass if barely moved since the last sample
+        if self.tune_for_md and model.ndata > 2:
+            last = model.data[-1]
+            if last.natoms == len(self.system) and (
+                last.system.numbers == self.system.numbers
+            ).all():
+                if (
+                    np.abs(last.system.positions - self.system.positions)
+                    < self.eps_dr
+                ).all():
+                    return 0
+        n0 = model.ndata
+        rec = self.snapshot(fake=try_fake)
+        a, de, df = self.add_1atoms_fast(rec)
+        added = model.ndata - n0
+        self.log(f"DF: {df}  accept: {added}")
+        if added > 0:
+            if try_fake:
+                self.head()
+            if self._saved_for_tape is not None and self.tape:
+                self.tape.write(self._saved_for_tape)
+                self._saved_for_tape = None
+            self.log("added data: {} -> size: {} {}".format(added, *self.size))
+            if self.ioptim in (0, 2):
+                self.optimize()
+            elif self.ioptim > 2:
+                self._ioptim += 1
+                if self._ioptim % (self.ioptim - 1) == 0:
+                    self.optimize()
+                    self._ioptim = 0
+        return added
+
+    # ------------------------------------------------------------ update
+    def veto(self):
+        if self.size[0] < 2:
+            return False
+        if "forces" in self._veto and "forces" in self.results:
+            if np.abs(self.results["forces"]).max() >= self._veto["forces"]:
+                self.log("an update is vetoed!")
+                return True
+        return False
+
+    def optimize(self):
+        self.model.optimize_model_parameters(noise_f=self.noise_f)
+
+    def update(self, inducing=True, data=True):
+        """Orchestrate sampling + downsize + HPO (active.py:940-983)."""
+        self.updated = False
+        self.blind = False
+        m = self.update_inducing() if inducing else 0
+        try_real = self.blind or isinstance(self._calc, SinglePointCalculator)
+        update_data = (m > 0 and data) or not inducing
+        if update_data and not inducing:
+            update_data = self._host_beta().max() > self.ediff
+        n = self.update_data(try_fake=not try_real) if update_data else 0
+
+        if self.step == 0 and self.step0_forced_fp and data and n == 0:
+            self.log("forced data addition")
+            self.model.add_data(self.snapshot(fake=False))
+            self.log("added data: {} -> size: {} {}".format(1, *self.size))
+            n = 1
+
+        if m > 0 or n > 0:
+            ch1, ch2 = self.model.downsize(self.max_data, self.max_inducing)
+            if ch1 or ch2:
+                self.log("downsized -> size: {} {}".format(*self.size))
+            if isinstance(ch2, list):
+                self._cov = self._cov[:, ch2]
+            if self.ioptim == 1:
+                self.optimize()
+            st = self.model.stats
+            self.log(
+                "fit error (mean,mae): E: {:.2g} {:.2g}   F: {:.2g} {:.2g}   R2: {:.4g}".format(
+                    st["e_mean"], st["e_mae"], st["f_mean"], st["f_mae"], st["r2"]
+                )
+            )
+            self.log(f"noise: {self.model.scaled_noise}")
+            self.log(f"mean: {self.model.mean_weights}")
+            self.save_model()
+            self.updated = True
+        self._update_args = {}
+        return m, n
+
+    # -------------------------------------------------------------- testing
+    def _test(self):
+        from ..io.xyz import write_xyz
+
+        tmp = self.system.copy()
+        tmp.calc = self._calc
+        energy = tmp.get_potential_energy()
+        forces = tmp.get_forces()
+        try:
+            stress = tmp.get_stress()
+        except Exception:
+            stress = np.zeros(6)
+        self._ktest += 1
+        mode = "a" if self._ktest > 1 else "w"
+        tmp.calc = SinglePointCalculator(
+            tmp, energy=energy, forces=forces, stress=stress
+        )
+        write_xyz("active_FP.extxyz", tmp, mode=mode)
+        ml = self.system.copy()
+        ml.calc = SinglePointCalculator(ml, **self.results)
+        write_xyz("active_ML.extxyz", ml, mode=mode)
+        dE = self.results["energy"] - energy
+        df = np.abs(self.results["forces"] - forces)
+        self.log(
+            "errors (test):  del-E: {:.2g}  max|del-F|: {:.2g}  mean|del-F|: {:.2g}".format(
+                dE, df.max(), df.mean()
+            )
+        )
+        self._last_test = self.step
+        return energy, forces
+
+    def _save_uncertain(self):
+        from ..io.xyz import write_xyz
+
+        tmp = self.system.copy()
+        tmp.calc = None
+        write_xyz("active_uncertain.extxyz", tmp, mode="a")
+
+    # ------------------------------------------------------------- offline
+    def include_data(self, data):
+        """Train on precomputed structures (active.py:989-1004)."""
+        from ..io.xyz import read_xyz
+
+        if isinstance(data, str):
+            data = read_xyz(data)
+        _calc = self._calc
+        for s in data:
+            self._calc = s.calc
+            self.calculate(s)
+        self._calc = _calc
+
+    def include_tape(self, tape, ndata=None):
+        """Train from a .sgpr tape (active.py:1007-1063)."""
+        if isinstance(tape, str):
+            if self.tape and os.path.abspath(tape) == self.tape.path:
+                raise RuntimeError("cannot include own tape!")
+            tape = SgprTape(tape)
+        _calc = self._calc
+        tune = self.tune_for_md
+        self.tune_for_md = False
+        added_lce = [0, 0]
+        cdata = 0
+        for cls, obj in tape.read(exclude=self.tape):
+            if cls == "atoms":
+                self._update_args = dict(inducing=False)
+                self._calc = obj.calc
+                self.calculate(obj)
+                cdata += 1
+                if ndata and cdata >= ndata:
+                    break
+            elif cls == "local":
+                self.engine.ensure_species(
+                    np.concatenate([[obj.number], obj.numbers])
+                ) and self.model.restage()
+                added = self.update_lce(obj)
+                added_lce[0] += abs(added)
+                added_lce[1] += 1
+        if added_lce[0] > 0:
+            if self.ioptim == 1:
+                self.optimize()
+            self.save_model()
+        self._calc = _calc
+        self.tune_for_md = tune
+        self._update_args = {}
+
+    def build(self):
+        """Rebuild a model from the tape in one shot (active.py:1065-1113)."""
+        if self.pckl and os.path.isdir(self.pckl):
+            raise RuntimeError(f"{self.pckl} exists; remove it to rebuild")
+        data, lce = [], []
+        for cls, obj in self.tape.read():
+            if cls == "atoms":
+                data.append(obj)
+            elif cls == "local":
+                lce.append(obj)
+        for s in data:
+            self.engine.ensure_species(s.numbers)
+        for x in lce:
+            self.engine.ensure_species(np.concatenate([[x.number], x.numbers]))
+        for x in lce:
+            self.model.add_inducing(x, remake=False)
+        for s in data:
+            self.model.add_data(DataRecord.from_system(s), remake=False)
+        self.model.make_munu()
+        self.optimize()
+        self.log(
+            "built from tape {} {} -> size: {} {}".format(
+                len(data), len(lce), *self.size
+            )
+        )
+        self.save_model()
+
+    # -------------------------------------------------------------- output
+    def save_model(self):
+        if self.pckl:
+            from ..io.model_io import save_model
+
+            save_model(self.model, self.pckl)
+
+    def log(self, msg, mode="a"):
+        if self.logfile:
+            stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+            line = f"{stamp} {self.step} {msg}"
+            with open(self.logfile, mode) as f:
+                f.write(line + "\n")
+            if self.stdout:
+                print(line)
+
+
+class FilterDeltas:
+    """Force/stress smoothing across model updates (active.py:47-76).
+
+    Wraps an ActiveCalculator; when the model updates mid-trajectory the
+    prediction jump ("deltas") is subtracted and exponentially shrunk so
+    the dynamics see a continuous force field.
+    """
+
+    def __init__(self, calc: ActiveCalculator, shrink=0.95):
+        self.calc = calc
+        self.shrink = shrink
+        self.f = 0.0
+        self.s = 0.0
+
+    def calculate(self, system):
+        res = dict(self.calc.calculate(system))
+        deltas = self.calc.deltas
+        if deltas:
+            self.f = self.f + deltas["forces"]
+            self.s = self.s + deltas["stress"]
+        self.f = self.f * self.shrink
+        self.s = self.s * self.shrink
+        g = np.clip(self.f, -1.0, 1.0)
+        res["forces"] = res["forces"] - g
+        res["stress"] = res["stress"] - self.s
+        return res

@@ -242,11 +242,14 @@ class Engine:
         return jnp.asarray(self.radii.table(table), dtype=self.dtype)
 
     # -------------------------------------------------------------- configs
-    def make_config(self, system, npad=None, kpad=None) -> ConfigArrays:
+    def make_config(self, system, npad=None, kpad=None, table=None) -> ConfigArrays:
         """Build padded device arrays for a System."""
         n = len(system)
         npad = npad or round_up(n, 16)
-        table = neighbor_table(system.positions, system.cell, system.pbc, self.params.rc)
+        if table is None:
+            table = neighbor_table(
+                system.positions, system.cell, system.pbc, self.params.rc
+            )
         if kpad is not None:
             table = table.pad_to(kpad)
         k = table.kmax

@@ -1,0 +1,135 @@
+"""End-to-end on-the-fly learning: LJ-oracle MD (the round-1 minimum slice).
+
+Mirrors the reference's EMT-driven examples (examples/active/) with the
+in-repo LJ oracle: an ActiveCalculator learns the PES during Langevin MD
+and its predictions converge to the oracle.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from autoforce_tpu import units
+from autoforce_tpu.calculator.active import ActiveCalculator
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.md import Langevin
+from autoforce_tpu.system import bulk_fcc, maxwell_boltzmann_velocities
+
+
+def make_calc(tmp, **kw):
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
+    kw.setdefault("kernel_kw", dict(cutoff=4.5, lmax=3, nmax=3))
+    kw.setdefault("ediff", 0.02)
+    kw.setdefault("ediff_tot", 0.05)
+    kw.setdefault("fdiff", 0.06)
+    kw.setdefault("noise_f", 0.01)
+    calc = ActiveCalculator(
+        covariance=None,
+        calculator=lj,
+        logfile=os.path.join(tmp, "active.log"),
+        pckl=os.path.join(tmp, "model.pckl"),
+        tape=os.path.join(tmp, "model.sgpr"),
+        **kw,
+    )
+    return calc, lj
+
+
+@pytest.fixture(scope="module")
+def otf_run(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("otf"))
+    calc, lj = make_calc(tmp)
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))  # 32 atoms
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 300.0, seed=1)
+    dyn = Langevin(s, dt=2 * units.fs, temperature_K=300, friction=0.01, seed=2)
+    dyn.run(50)
+    return tmp, calc, lj, s
+
+
+def test_model_grows(otf_run):
+    tmp, calc, lj, s = otf_run
+    ndata, m = calc.size
+    assert ndata >= 1
+    assert m >= 2
+    assert os.path.isfile(os.path.join(tmp, "active.log"))
+    assert os.path.isfile(os.path.join(tmp, "model.sgpr"))
+    assert os.path.isdir(os.path.join(tmp, "model.pckl"))
+
+
+def test_prediction_accuracy(otf_run):
+    tmp, calc, lj, s = otf_run
+    res = calc.calculate(s)
+    tmp_s = s.copy()
+    tmp_s.calc = lj
+    e_ref = tmp_s.get_potential_energy()
+    f_ref = tmp_s.get_forces()
+    f_mae = np.abs(res["forces"] - f_ref).mean()
+    e_err = abs(res["energy"] - e_ref) / len(s)
+    assert f_mae < 0.15, f_mae
+    assert e_err < 0.02, e_err
+
+
+def test_energy_conservation_scale(otf_run):
+    """Forces must be the exact gradient of the predicted energy: short NVE
+    drift should be tiny."""
+    from autoforce_tpu.md import VelocityVerlet
+
+    tmp, calc, lj, s = otf_run
+    s2 = s.copy()
+    # inference only (no more learning)
+    calc2 = ActiveCalculator(
+        covariance=os.path.join(tmp, "model.pckl"),
+        calculator=None,
+        logfile=None,
+        pckl=None,
+        tape=None,
+    )
+    s2.calc = calc2
+    maxwell_boltzmann_velocities(s2, 150.0, seed=3)
+    e0 = s2.get_potential_energy() + s2.get_kinetic_energy()
+    dyn = VelocityVerlet(s2, dt=2 * units.fs)
+    dyn.run(20)
+    e1 = s2.get_potential_energy() + s2.get_kinetic_energy()
+    assert abs(e1 - e0) / len(s2) < 5e-3, (e0, e1)
+
+
+def test_persistence_roundtrip(otf_run):
+    tmp, calc, lj, s = otf_run
+    from autoforce_tpu.io.model_io import load_model, save_model
+
+    folder = os.path.join(tmp, "model2.pckl")
+    save_model(calc.model, folder)
+    model2 = load_model(folder)
+    assert model2.size == calc.model.size
+    np.testing.assert_allclose(model2.M, calc.model.M, atol=1e-8)
+    np.testing.assert_allclose(model2.mu, calc.model.mu, atol=1e-8)
+    calc2 = ActiveCalculator(
+        covariance=model2, calculator=None, logfile=None, pckl=None, tape=None
+    )
+    res2 = calc2.calculate(s.copy())
+    res1 = calc.calculate(s.copy())
+    np.testing.assert_allclose(res2["energy"], res1["energy"], rtol=1e-6)
+    np.testing.assert_allclose(res2["forces"], res1["forces"], atol=1e-6)
+
+
+def test_tape_rebuild(otf_run):
+    """cl.build analog: reconstruct a model from the .sgpr tape."""
+    tmp, calc, lj, s = otf_run
+    calc2 = ActiveCalculator(
+        covariance=None,
+        calculator=None,
+        logfile=None,
+        pckl=None,
+        tape=os.path.join(tmp, "model.sgpr"),
+        kernel_kw=dict(cutoff=4.5, lmax=3, nmax=3),
+    )
+    calc2.build()
+    assert calc2.size[1] > 0
+    assert calc2.size[0] >= 1
+    res2 = calc2.calculate(s.copy())
+    tmp_s = s.copy()
+    tmp_s.calc = lj
+    f_ref = tmp_s.get_forces()
+    assert np.abs(res2["forces"] - f_ref).mean() < 0.3
