@@ -1,0 +1,135 @@
+"""Benchmark: MD predict steps/sec at ~1k atoms (SGPR SOAP potential).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+The baseline is the measured throughput of an independent torch/double
+reimplementation of the reference's per-step computational pattern (the
+reference itself cannot run here — it requires ASE; see
+baselines/torch_baseline.py).  The measured baseline is cached in
+bench_baseline.json so TPU runs don't re-pay the slow torch measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+NATOMS_REPS = (6, 6, 7)  # 4 * 252 = 1008 atoms
+M_INDUCING = 256
+RC = 6.0
+LMAX = NMAX = 3
+STEPS = 20
+
+
+def build_workload():
+    from autoforce_tpu.descriptor.soap import SoapParams
+    from autoforce_tpu.engine import Engine
+    from autoforce_tpu.neighbors import displacements, neighbor_table
+    from autoforce_tpu.regression.sgpr import InducingEnv, SgprModel
+    from autoforce_tpu.system import bulk_fcc
+
+    eng = Engine(params=SoapParams(lmax=LMAX, nmax=NMAX, rc=RC), exponent=4,
+                 species=[29])
+    model = SgprModel(eng)
+    # synthetic inducing set: LCEs from rattled unit cells (batched staging)
+    envs = []
+    small = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    rng = np.random.default_rng(0)
+    for seed in range(M_INDUCING):
+        s = small.copy()
+        s.positions = s.positions + rng.normal(0, 0.08, s.positions.shape)
+        t = neighbor_table(s.positions, s.cell, s.pbc, RC)
+        r = displacements(s.positions, s.cell, t)
+        i = seed % len(s)
+        m = t.mask[i]
+        envs.append(InducingEnv.from_arrays(29, r[i][m], s.numbers[t.idx[i][m]]))
+    ev = eng.make_envs([(e.rvec, e.numbers) for e in envs])
+    p, lone = eng.env_descriptors(ev)
+    p = np.asarray(p, dtype=np.float64)
+    for i, e in enumerate(envs):
+        e.desc = p[i]
+        e.lone = bool(np.asarray(lone)[i])
+        model.X.append(e)
+    model.M = (p @ p.T) ** eng.exponent
+    model.mu = rng.normal(size=model.m) * 0.05
+    model.choli = np.linalg.inv(np.linalg.cholesky(model.M + 1e-6 * np.eye(model.m)))
+    model._model_arrays = None
+
+    big = bulk_fcc("Cu", 3.6).repeat(NATOMS_REPS)
+    big.rattle(0.05, seed=1)
+    return eng, model, big
+
+
+def measure_ours(eng, model, system):
+    from autoforce_tpu.neighbors import neighbor_table
+
+    ma = model.full_model_arrays()
+    t0 = neighbor_table(system.positions, system.cell, system.pbc, RC)
+    kpad = t0.kmax
+    cfg = eng.make_config(system, table=t0.pad_to(kpad))
+    vs = np.ones(cfg.npad)
+
+    # warmup/compile
+    e, f, w, cov, beta = eng.predict(cfg, ma, vs)
+    np.asarray(f)
+
+    t_start = time.time()
+    for _ in range(STEPS):
+        # honest MD step: host neighbor rebuild + fused device predict
+        t = neighbor_table(system.positions, system.cell, system.pbc, RC)
+        cfg = eng.make_config(system, npad=cfg.npad, kpad=kpad, table=t.pad_to(kpad))
+        e, f, w, cov, beta = eng.predict(cfg, ma, vs)
+        np.asarray(f)  # block
+    dt = (time.time() - t_start) / STEPS
+    return 1.0 / dt
+
+
+def measure_baseline(eng, model, system, cache="bench_baseline.json"):
+    path = os.path.join(HERE, cache)
+    key = f"{len(system)}x{model.m}_l{LMAX}n{NMAX}rc{RC}"
+    if os.path.isfile(path):
+        with open(path) as f:
+            data = json.load(f)
+        if key in data:
+            return data[key], False
+    from baselines.torch_baseline import measure_baseline as mb
+    from autoforce_tpu.neighbors import neighbor_table
+
+    t = neighbor_table(system.positions, system.cell, system.pbc, RC)
+    Xd = np.stack([x.desc for x in model.X])
+    val = mb(system, t, Xd, model.mu, steps=2, lmax=LMAX, nmax=NMAX, rc=RC)
+    data = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[key] = val
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return val, True
+
+
+def main():
+    eng, model, system = build_workload()
+    ours = measure_ours(eng, model, system)
+    try:
+        base, fresh = measure_baseline(eng, model, system)
+        vs = ours / base
+    except Exception:
+        base, vs = None, None
+    out = {
+        "metric": f"MD predict steps/sec, {len(system)} atoms, m={model.m} (SGPR SOAP)",
+        "value": round(ours, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Sharded predict == single-device predict, for several mesh shapes."""
+
+import jax
+import numpy as np
+import pytest
+
+from autoforce_tpu.engine import Engine
+from autoforce_tpu.parallel.mesh import make_mesh, sharded_inputs_from, sharded_predict
+from autoforce_tpu.regression.sgpr import SgprModel
+from autoforce_tpu.system import bulk_fcc
+
+from test_engine import env_from_system, make_engine, make_system
+
+
+def build_state():
+    eng = make_engine()
+    model = SgprModel(eng)
+    for seed in range(5):
+        model.add_inducing(env_from_system(eng, make_system(seed=seed), seed % 4),
+                           remake=False)
+    m = model.m
+    rng = np.random.default_rng(1)
+    model.mu = rng.normal(size=m)
+    model.choli = np.linalg.inv(np.linalg.cholesky(model.M + 1e-8 * np.eye(m)))
+    model._model_arrays = None
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 1))
+    s.rattle(0.05, seed=9)
+    return eng, model, s
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_matches_single_device(shape):
+    assert len(jax.devices()) >= 8
+    eng, model, s = build_state()
+    cfg = eng.make_config(s)
+    ma = model.full_model_arrays()
+    vs = np.ones(cfg.npad)
+    e0, f0, w0, cov0, b0 = eng.predict(cfg, ma, vs)
+
+    mesh = make_mesh(n_data=shape[0], n_model=shape[1])
+    args = sharded_inputs_from(cfg, ma, eng.radii_table(), vs, mesh)
+    e, f, w, beta = sharded_predict(*args, mesh=mesh, params=eng.params,
+                                    exponent=eng.exponent)
+    np.testing.assert_allclose(float(e), float(e0), rtol=1e-10)
+    n = len(s)
+    np.testing.assert_allclose(np.asarray(f)[:n], np.asarray(f0)[:n], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w0), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(beta)[:n], np.asarray(b0)[:n], atol=1e-10
+    )
