@@ -27,7 +27,7 @@ from ..descriptor.radial import DefaultRadii
 from ..descriptor.soap import SoapParams
 from ..engine import Engine, voigt6
 from ..io.tape import SgprTape
-from ..neighbors import neighbor_table, round_up
+from ..neighbors import VerletNeighborCache, neighbor_table, round_up
 from ..regression.sgpr import DataRecord, InducingEnv, SgprModel
 from ..system import SinglePointCalculator, System
 
@@ -133,6 +133,9 @@ class ActiveCalculator:
         self._saved_for_tape = None
         self._npad = 0
         self._kpad = 0
+        self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=0.3)
+        self.cfg = None
+        self._cfg_key = None
         self.results = {}
         self.log("active calculator says Hello!", mode="w")
         self.log(f"kernel: params={self.engine.params} zeta={self.engine.exponent}")
@@ -278,14 +281,23 @@ class ActiveCalculator:
 
     # ----------------------------------------------------------- prediction
     def _make_cfg(self, system):
-        self._nl = neighbor_table(
-            system.positions, system.cell, system.pbc, self.engine.params.rc
+        table, rebuilt = self._nlcache.update(
+            system.positions, system.cell, system.pbc
         )
-        self._npad = max(self._npad, round_up(len(system), 16))
-        self._kpad = max(self._kpad, round_up(max(self._nl.kmax, 1), 8))
-        self.cfg = self.engine.make_config(
-            system, npad=self._npad, kpad=self._kpad, table=self._nl.pad_to(self._kpad)
-        )
+        self._nl = table
+        key = (len(system), tuple(self.engine.species))
+        if rebuilt or self.cfg is None or key != self._cfg_key:
+            self._npad = max(self._npad, round_up(len(system), 16))
+            self._kpad = max(self._kpad, table.kmax)
+            self.cfg = self.engine.make_config(
+                system,
+                npad=self._npad,
+                kpad=self._kpad,
+                table=table.pad_to(self._kpad),
+            )
+            self._cfg_key = key
+        else:
+            self.cfg = self.engine.update_positions(self.cfg, system)
 
     def _predict(self):
         n = len(self.system)
@@ -349,7 +361,12 @@ class ActiveCalculator:
             - system.positions[i]
             + nl.off[i][mask] @ system.cell
         )
-        return InducingEnv.from_arrays(system.numbers[i], r, system.numbers[j])
+        # skin-buffered tables may include inert pairs beyond rc; drop them
+        rc = self.engine.params.rc
+        within = (r * r).sum(axis=1) <= rc * rc
+        return InducingEnv.from_arrays(
+            system.numbers[i], r[within], system.numbers[j][within]
+        )
 
     # ------------------------------------------------------- model seeding
     def initiate_model(self):

@@ -87,7 +87,11 @@ def _config_descriptors(positions, cell, cfg, radii, params):
     rvec = _env_rvec(positions, cell, cfg)
     mask = cfg.nbr_mask & cfg.atom_mask[:, None]
     p = sesoap_descriptors(rvec, cfg.nbr_sidx, mask, radii, params)
-    lone = cfg.atom_mask & ~mask.any(axis=1)
+    # neighbor tables may carry skin-buffered pairs beyond rc (inert in the
+    # descriptor); lone-atom detection must only count pairs within rc
+    d2 = (rvec * rvec).sum(-1)
+    within = mask & (d2 < params.rc**2)
+    lone = cfg.atom_mask & ~within.any(axis=1)
     return p, lone
 
 
@@ -279,6 +283,18 @@ class Engine:
             nbr_off=jnp.asarray(nbr_off),
             nbr_sidx=jnp.asarray(nbr_sidx),
             nbr_mask=jnp.asarray(nbr_mask),
+        )
+
+    def update_positions(self, cfg: ConfigArrays, system) -> ConfigArrays:
+        """Refresh only positions/cell of a cached config (neighbor table
+        unchanged thanks to the Verlet skin) — per-MD-step upload is then
+        just N*3 floats instead of the full padded tables."""
+        npad = cfg.positions.shape[0]
+        pos = np.zeros((npad, 3))
+        pos[: len(system)] = system.positions
+        return cfg._replace(
+            positions=jnp.asarray(pos, dtype=self.dtype),
+            cell=jnp.asarray(system.cell, dtype=self.dtype),
         )
 
     def make_envs(self, env_list, kpad=None) -> EnvArrays:

@@ -70,11 +70,12 @@ def round_up(x, m):
     return int(-(-x // m) * m)
 
 
-def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8):
+def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8, k_guess=64):
     """Build the full (bothways) neighbor table within ``cutoff``.
 
     Matches the reference's bothways NeighborList with skin=0
     (theforce/descriptor/atoms.py:348-363), pairs at d <= cutoff.
+    Vectorized: one batched k-NN query against the periodic image cloud.
     """
     positions = np.asarray(positions, dtype=np.float64)
     cell = np.asarray(cell, dtype=np.float64)
@@ -102,37 +103,89 @@ def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8):
         ],
         dtype=np.int32,
     )
+    zero_img = int(np.flatnonzero((offsets == 0).all(axis=1))[0])
     n_img = len(offsets)
     shifts = offsets.astype(np.float64) @ cell  # (n_img, 3)
     # image cloud: images[m*n + a] = positions[a] + shifts[m]
     images = (positions[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
     tree = cKDTree(images)
-    # query pairs: for each base atom i, all image points within cutoff
-    lists = tree.query_ball_point(positions, cutoff + 1e-12)
 
-    counts = np.zeros(n, dtype=np.int64)
-    for i, lst in enumerate(lists):
-        counts[i] = len(lst)
-    kmax = int(counts.max()) if n else 0  # includes self once
-    kpad = max(kpad_multiple, round_up(max(kmax - 1, 1), kpad_multiple))
+    # batched k-NN with distance bound; grow k until no row saturates
+    k = min(k_guess, n * n_img)
+    while True:
+        dist, ii = tree.query(
+            positions, k=k, distance_upper_bound=cutoff + 1e-12, workers=-1
+        )
+        dist = np.atleast_2d(dist.reshape(n, -1))
+        ii = np.atleast_2d(ii.reshape(n, -1))
+        saturated = np.isfinite(dist[:, -1]).any()
+        if not saturated or k >= n * n_img:
+            break
+        k = min(k * 2, n * n_img)
+    found = np.isfinite(dist)
+    jj = np.where(found, ii % n, 0)
+    img = np.where(found, ii // n, zero_img)
+    # drop self at zero offset (appears at distance 0)
+    self_pair = found & (jj == np.arange(n)[:, None]) & (img == zero_img)
+    valid = found & ~self_pair
 
-    idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, kpad))
-    off = np.zeros((n, kpad, 3), dtype=np.int32)
-    mask = np.zeros((n, kpad), dtype=bool)
-    for i, lst in enumerate(lists):
-        arr = np.asarray(lst, dtype=np.int64)
-        img = arr // n
-        j = arr % n
-        keep = ~((j == i) & (img == n_img // 2))  # drop self at zero offset
-        j = j[keep]
-        img = img[keep]
-        c = len(j)
-        if c > kpad:
-            raise RuntimeError("neighbor overflow (should not happen)")
-        idx[i, :c] = j.astype(np.int32)
-        off[i, :c] = offsets[img]
-        mask[i, :c] = True
-    return NeighborTable(idx, off, mask, cutoff)
+    counts = valid.sum(axis=1)
+    kmax = int(counts.max()) if n else 0
+    kpad = max(kpad_multiple, round_up(max(kmax, 1), kpad_multiple))
+
+    # compact each row to the left (stable order by distance, as returned)
+    order = np.argsort(~valid, axis=1, kind="stable")  # valid first
+    rows = np.arange(n)[:, None]
+    jj = np.take_along_axis(jj, order, axis=1)[:, :kpad]
+    img = np.take_along_axis(img, order, axis=1)[:, :kpad]
+    valid = np.take_along_axis(valid, order, axis=1)[:, :kpad]
+    if jj.shape[1] < kpad:
+        pad = kpad - jj.shape[1]
+        jj = np.pad(jj, ((0, 0), (0, pad)))
+        img = np.pad(img, ((0, 0), (0, pad)), constant_values=zero_img)
+        valid = np.pad(valid, ((0, 0), (0, pad)))
+    idx = np.where(valid, jj, np.arange(n)[:, None]).astype(np.int32)
+    off = np.where(valid[..., None], offsets[img], 0).astype(np.int32)
+    return NeighborTable(idx, off, valid, cutoff)
+
+
+class VerletNeighborCache:
+    """Skin-buffered neighbor list: rebuild only after atoms move.
+
+    The table is built at ``cutoff + skin``; it remains valid (a superset
+    of the true neighbor list) until some atom has moved more than skin/2
+    since the last build.  The descriptor's smooth cutoff at ``cutoff``
+    makes the extra pairs numerically inert, so results are identical to a
+    fresh per-step list while the (host) rebuild and the (device) table
+    re-upload happen only every ~5-20 steps.
+    """
+
+    def __init__(self, cutoff, skin=0.3):
+        self.cutoff = float(cutoff)
+        self.skin = float(skin)
+        self.table = None
+        self._pos = None
+        self._cell = None
+
+    def update(self, positions, cell, pbc):
+        positions = np.asarray(positions, dtype=np.float64)
+        cell = np.asarray(cell, dtype=np.float64)
+        rebuild = self.table is None
+        if not rebuild:
+            if positions.shape != self._pos.shape or not np.allclose(
+                cell, self._cell
+            ):
+                rebuild = True
+            else:
+                dmax2 = ((positions - self._pos) ** 2).sum(axis=1).max()
+                rebuild = dmax2 > (0.5 * self.skin) ** 2
+        if rebuild:
+            self.table = neighbor_table(
+                positions, cell, pbc, self.cutoff + self.skin
+            )
+            self._pos = positions.copy()
+            self._cell = cell.copy()
+        return self.table, rebuild
 
 
 def displacements(positions, cell, table):

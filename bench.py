@@ -67,13 +67,20 @@ def build_workload():
 
 
 def measure_ours(eng, model, system):
-    from autoforce_tpu.neighbors import neighbor_table
+    """Honest MD predict loop: atoms drift ~0.02 A/step, the Verlet-skin
+    neighbor cache rebuilds when needed, forces fetched every step."""
+    import jax.numpy as jnp
+
+    from autoforce_tpu.neighbors import VerletNeighborCache
 
     ma = model.full_model_arrays()
-    t0 = neighbor_table(system.positions, system.cell, system.pbc, RC)
-    kpad = t0.kmax
-    cfg = eng.make_config(system, table=t0.pad_to(kpad))
-    vs = np.ones(cfg.npad)
+    cache = VerletNeighborCache(RC, skin=0.3)
+    rng = np.random.default_rng(2)
+
+    table, _ = cache.update(system.positions, system.cell, system.pbc)
+    kpad = table.kmax
+    cfg = eng.make_config(system, table=table)
+    vs = jnp.asarray(np.ones(cfg.npad), dtype=cfg.positions.dtype)
 
     # warmup/compile
     e, f, w, cov, beta = eng.predict(cfg, ma, vs)
@@ -81,11 +88,17 @@ def measure_ours(eng, model, system):
 
     t_start = time.time()
     for _ in range(STEPS):
-        # honest MD step: host neighbor rebuild + fused device predict
-        t = neighbor_table(system.positions, system.cell, system.pbc, RC)
-        cfg = eng.make_config(system, npad=cfg.npad, kpad=kpad, table=t.pad_to(kpad))
+        system.positions = system.positions + rng.normal(0, 0.02, (len(system), 3))
+        table, rebuilt = cache.update(system.positions, system.cell, system.pbc)
+        if rebuilt:
+            kpad = max(kpad, table.kmax)
+            cfg = eng.make_config(
+                system, npad=cfg.npad, kpad=kpad, table=table.pad_to(kpad)
+            )
+        else:
+            cfg = eng.update_positions(cfg, system)
         e, f, w, cov, beta = eng.predict(cfg, ma, vs)
-        np.asarray(f)  # block
+        np.asarray(f)  # block: forces are needed to move atoms
     dt = (time.time() - t_start) / STEPS
     return 1.0 / dt
 
