@@ -388,6 +388,7 @@ class ActiveCalculator:
         if self.tune_for_md:
             self.sample_rand_lces(indices=unique, repeat=1)
         self.optimize()
+        self.save_model()
 
     def get_unique_lces(self, thresh=0.95):
         """Greedy kernel-similarity filter (active.py:632-653)."""

@@ -1,0 +1,151 @@
+"""CLI layer: ARGS file, md/relax/train drivers, socket calculator."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from autoforce_tpu.io.poscar import read_poscar, write_poscar
+from autoforce_tpu.io.xyz import read_xyz, write_xyz
+from autoforce_tpu.system import SinglePointCalculator, bulk_fcc
+
+
+def write_ARGS(tmp, **kw):
+    with open(os.path.join(tmp, "ARGS"), "w") as f:
+        for k, v in kw.items():
+            f.write(f"{k} = {v!r}\n")
+
+
+@pytest.fixture
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return str(tmp_path)
+
+
+def test_poscar_roundtrip(in_tmp):
+    s = bulk_fcc("Cu", 3.6).repeat((2, 1, 1))
+    s.rattle(0.02, seed=0)
+    write_poscar("POSCAR", s)
+    s2 = read_poscar("POSCAR")
+    assert (s2.numbers == np.sort(s.numbers)).all()
+    np.testing.assert_allclose(s2.cell, s.cell, atol=1e-10)
+
+
+def test_args_and_md(in_tmp):
+    import autoforce_tpu.cl as cline
+
+    write_ARGS(
+        in_tmp,
+        calculator="LJ",
+        ediff=0.05,
+        fdiff=0.1,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl="model.pckl",
+        tape="model.sgpr",
+        logfile="active.log",
+    )
+    cline.refresh()
+    assert cline.ARGS["ediff"] == 0.05
+    from autoforce_tpu.cl.md import md
+
+    atoms = bulk_fcc("Cu", 3.6)
+    atoms.rattle(0.03, seed=1)
+    md(atoms, dynamics="LANGEVIN", tem=200.0, dt=2.0, picos=-10,
+       trajectory="md.extxyz", ml_filter=0.0)
+    assert os.path.isfile("md.extxyz")
+    frames = read_xyz("md.extxyz")
+    assert len(frames) >= 10
+    assert os.path.isdir("model.pckl")
+
+
+def test_relax_cli(in_tmp):
+    import autoforce_tpu.cl as cline
+
+    write_ARGS(
+        in_tmp,
+        calculator="LJ",
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl=None,
+        tape=None,
+        logfile=None,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.relax import relax
+
+    atoms = bulk_fcc("Cu", 3.6)
+    atoms.rattle(0.05, seed=2)
+    relax(atoms, fmax=0.5, confirm=False, trajectory="relax.extxyz")
+    assert os.path.isfile("relax.extxyz")
+
+
+def test_train_and_scores(in_tmp):
+    import autoforce_tpu.cl as cline
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.regression.scores import compare_trajectories
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    frames = []
+    for k in range(4):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=k)
+        s.calc = lj
+        res = {
+            "energy": s.get_potential_energy(),
+            "forces": s.get_forces(),
+            "stress": s.get_stress(),
+        }
+        s.calc = SinglePointCalculator(s, **res)
+        frames.append(s)
+    write_xyz("data.extxyz", frames)
+
+    write_ARGS(
+        in_tmp,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl="model.pckl",
+        tape=None,
+        logfile=None,
+        ediff=0.01,
+        fdiff=0.05,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.train import train
+
+    calc = train(["data.extxyz"])
+    assert calc.size[0] >= 1 and calc.size[1] >= 1
+
+    # score the trained model against the data
+    from autoforce_tpu.cl.test import test as cl_test
+
+    cl_test("data.extxyz")
+    sc = compare_trajectories("test_ML.extxyz", "test_FP.extxyz")
+    assert sc["forces"]["r2"] > 0.8, sc
+
+
+def test_socket_calculator(in_tmp):
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.calculator.socket import Server, SocketCalculator, serve_request
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    port = 16789
+    server = Server("localhost", port, callback=serve_request, args=(lj,))
+    t = threading.Thread(target=server.listen, daemon=True)
+    t.start()
+
+    sc = SocketCalculator(port=port)
+    import time
+
+    for _ in range(50):  # wait for the server thread to start listening
+        try:
+            sc.ping()
+            break
+        except (ConnectionRefusedError, OSError):
+            time.sleep(0.1)
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=3)
+    res = sc.calculate(s)
+    s.calc = lj
+    np.testing.assert_allclose(res["energy"], s.get_potential_energy(), rtol=1e-8)
+    np.testing.assert_allclose(res["forces"], s.get_forces(), atol=1e-6)
+    sc.close()
+    t.join(timeout=5)
