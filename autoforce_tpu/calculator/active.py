@@ -259,8 +259,10 @@ class ActiveCalculator:
         if self.meta is not None:
             me = self.meta(self)
             if me is not None:
-                self.results["energy"] += me
-                meta = f"meta: {me}"
+                self.results["energy"] = self.results["energy"] + me["energy"]
+                if "forces" in me:
+                    self.results["forces"] = self.results["forces"] + me["forces"]
+                meta = f"meta: {me['energy']}"
         self.log(
             "{} {} {} {}".format(
                 self.results["energy"],

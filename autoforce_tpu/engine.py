@@ -182,6 +182,26 @@ def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params, expone
     return ke, jnp.moveaxis(kf, 0, -1), jnp.moveaxis(kv, 0, -1)
 
 
+@partial(jax.jit, static_argnames=("params", "exponent", "scale"))
+def meta_covloss_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
+                    params, exponent, scale):
+    """Uncertainty-seeking bias energy E = -scale * sum beta_i sqrt(vscale)
+    and its position gradient (reference ActiveMeta, active.py:1170-1186)."""
+
+    def energy(pos):
+        p, lone = _config_descriptors(pos, cfg.cell, cfg, radii, params)
+        cov = gram(p, cfg.numbers, lone, model.X_desc, model.X_num, model.X_lone,
+                   exponent)
+        cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
+        b = model.choli @ cov.T
+        c = (b * b).sum(axis=0)
+        beta = jnp.sqrt(jnp.clip(1.0 - c, 1e-12, None))
+        vs = jnp.where(jnp.isfinite(vscale_atom), vscale_atom, 0.0)
+        return -scale * (beta * jnp.sqrt(vs) * cfg.atom_mask).sum()
+
+    return jax.value_and_grad(energy)(cfg.positions)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def env_descriptors_fn(envs: EnvArrays, radii, params):
     """Descriptors for a batch of raw environments (inducing set staging)."""
