@@ -1,0 +1,169 @@
+"""Bayesian committee machine (BCM) of SGPR experts.
+
+Counterpart of the reference's BCMActiveCalculator
+(theforce/calculator/active_bcm.py): when a single sparse model saturates
+(max_data / max_inducing), it is frozen as an expert and a fresh model
+keeps learning.  Predictions combine all experts with weights
+``scale_k = -log(covmax_k)/covmax_k`` (active_bcm.py:589-633); sampling
+thresholds use the min covloss over experts (:885-894).  Experts are
+persisted as ``<head>_k.pckl`` folders and re-discovered on restart
+(:263-298).  The TPU mapping: each expert is an independent replicated
+ModelArrays; expert predictions are independent fused device calls (and
+can be dispatched across device groups).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..regression.sgpr import SgprModel
+from .active import ActiveCalculator, default_kernel_engine
+
+
+class BCMActiveCalculator(ActiveCalculator):
+    def __init__(self, covariance=None, pckl="model.pckl", tape=None,
+                 max_data=8, max_inducing=256, **kw):
+        self.pckl_head = pckl[:-5] if pckl and pckl.endswith(".pckl") else pckl
+        self.experts: dict[str, SgprModel] = {}
+        # restart: scan existing expert pickles
+        self.pckl_id = 1
+        used = []
+        while self.pckl_head and os.path.isdir(self._pckl_path(self.pckl_id)):
+            used.append(self.pckl_id)
+            self.pckl_id += 1
+        if used:
+            from ..io.model_io import load_model
+
+            for k in used[:-1]:
+                self.experts[self._key(k)] = load_model(self._pckl_path(k))
+            self.pckl_id = used[-1]
+        cur_pckl = self._pckl_path(self.pckl_id) if self.pckl_head else None
+        cur_tape = (
+            tape
+            if tape is not None
+            else (self._key(self.pckl_id) + ".sgpr" if self.pckl_head else None)
+        )
+        super().__init__(
+            covariance=covariance if covariance is not None else "pckl",
+            pckl=cur_pckl,
+            tape=cur_tape,
+            max_data=max_data,
+            max_inducing=max_inducing,
+            **kw,
+        )
+        # all experts must share the species table of the active engine
+        for ex in self.experts.values():
+            self.engine.ensure_species(
+                [z for x in ex.X for z in [x.number]]
+            )
+
+    def _key(self, k):
+        return f"{self.pckl_head}_{k}"
+
+    def _pckl_path(self, k):
+        return self._key(k) + ".pckl"
+
+    # ----------------------------------------------------------- prediction
+    def _expert_predict(self, model):
+        n = len(self.system)
+        # experts keep their own engines; share our config by restaging on
+        # our engine's species table (kernel values are table-invariant)
+        if model.engine is not self.engine:
+            model.engine = self.engine
+            if model.X and (
+                model.X[0].desc is None
+                or model.X[0].desc.shape[0] != self.engine.dim
+            ):
+                model.restage()
+        ma = model.full_model_arrays()
+        vs = model.vscale_for(np.asarray(self.cfg.numbers))
+        e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
+        return (
+            float(e) + model.mean_energy(self.system.numbers),
+            np.asarray(f)[:n],
+            np.asarray(w),
+            np.asarray(cov)[:n, : model.m],
+            np.asarray(beta)[:n],
+        )
+
+    def _predict(self):
+        n = len(self.system)
+        parts = []
+        self._expert_betas = []
+        for model in [*self.experts.values(), self.model]:
+            if model.m == 0 or len(model.mu) != model.m:
+                continue
+            e, f, w, cov, beta = self._expert_predict(model)
+            covmax = float(beta.max()) if len(beta) else 1.0
+            covmax = min(max(covmax, 1e-12), 1.0)
+            scale = (-np.log(covmax) if covmax < 1.0 else 0.0) / covmax
+            parts.append((scale, e, f, w))
+            self._expert_betas.append(beta)
+            if model is self.model:
+                self._cov = cov
+                self._desc = None
+        if not parts:
+            # untrained: fall back to the base implementation
+            return super()._predict()
+        tot = sum(p[0] for p in parts)
+        if tot <= 0:
+            tot = len(parts)
+            parts = [(1.0, *p[1:]) for p in parts]
+        energy = sum(s * e for s, e, f, w in parts) / tot
+        forces = sum(s * f for s, e, f, w in parts) / tot
+        w = sum(s * w for s, e, f, w in parts) / tot
+        try:
+            from ..engine import voigt6
+
+            stress = voigt6(w) / self.system.volume
+        except ValueError:
+            stress = np.zeros(6)
+        self.results = {"energy": energy, "forces": forces, "stress": stress}
+        self.maximum_force = float(np.abs(forces).max()) if n else np.inf
+        return self.results
+
+    def _host_beta(self):
+        """min covloss over the committee (active_bcm.py:885-894)."""
+        beta = super()._host_beta()
+        for model in self.experts.values():
+            if model.m == 0:
+                continue
+            _, _, _, cov, b = self._expert_predict(model)
+            beta = np.minimum(beta, b)
+        return beta
+
+    # ------------------------------------------------------------- spawning
+    def update(self, inducing=True, data=True):
+        m, n = super().update(inducing=inducing, data=data)
+        if (
+            self.model.ndata >= self.max_data
+            or self.model.m >= self.max_inducing
+        ):
+            self.spawn_expert()
+        return m, n
+
+    def spawn_expert(self):
+        """Freeze the current model and start a fresh one
+        (initiate_bcm, active_bcm.py:340-368)."""
+        if self.model.m == 0:
+            return
+        self.save_model()
+        self.experts[self._key(self.pckl_id)] = self.model
+        self.log(
+            f"BCM: froze expert {self.pckl_id} "
+            f"(size {self.model.ndata} {self.model.m}); starting fresh"
+        )
+        self.pckl_id += 1
+        if self.pckl_head:
+            self.pckl = self._pckl_path(self.pckl_id)
+            from ..io.tape import SgprTape
+
+            self.tape = SgprTape(self._key(self.pckl_id) + ".sgpr")
+        eng = default_kernel_engine()
+        eng.params = self.engine.params
+        eng.exponent = self.engine.exponent
+        eng.radii = self.engine.radii
+        eng.species = list(self.engine.species)
+        self.model = SgprModel(eng)

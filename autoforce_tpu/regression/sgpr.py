@@ -126,6 +126,7 @@ class SgprModel:
                 x.lone = bool(np.asarray(lone)[i])
         for rec in self.data:
             rec.cfg = self.engine.make_config(rec.system)
+        self._model_arrays = None
 
     def stage_env(self, env: InducingEnv):
         envs = self.engine.make_envs([(env.rvec, env.numbers)])

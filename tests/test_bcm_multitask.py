@@ -1,0 +1,84 @@
+"""BCM committee and multi-task learning."""
+
+import os
+
+import numpy as np
+import pytest
+
+from autoforce_tpu import units
+from autoforce_tpu.calculator.bcm import BCMActiveCalculator
+from autoforce_tpu.calculator.multitask import MultiTaskCalculator
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.md import Langevin
+from autoforce_tpu.system import bulk_fcc, maxwell_boltzmann_velocities
+
+
+def test_bcm_spawns_and_predicts(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    calc = BCMActiveCalculator(
+        calculator=lj,
+        pckl="bcm.pckl",
+        logfile="active.log",
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        ediff=0.002, ediff_tot=0.01, fdiff=0.02, noise_f=0.005,
+        max_data=2, max_inducing=6, eps_dr=0.0,
+    )
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 500, seed=1)
+    dyn = Langevin(s, 2 * units.fs, 500, friction=0.02, seed=2)
+    dyn.run(25)
+    # tight thresholds + tiny caps force at least one expert spawn
+    assert len(calc.experts) >= 1, (calc.experts, calc.size)
+    assert os.path.isdir("bcm_1.pckl")
+    res = calc.calculate(s)
+    assert np.isfinite(res["energy"])
+    assert np.isfinite(res["forces"]).all()
+
+    # restart discovers the experts
+    calc2 = BCMActiveCalculator(
+        calculator=None, pckl="bcm.pckl", logfile=None,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+    )
+    assert len(calc2.experts) >= 1 or calc2.size[1] > 0
+
+
+def test_multitask_two_lj(tmp_path, monkeypatch):
+    """Two tasks = two LJ potentials with different depths; the model must
+    recover both energy scales."""
+    monkeypatch.chdir(tmp_path)
+    lj1 = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    lj2 = LennardJones(epsilon=0.30, sigma=2.3, rc=4.0)
+    calc = MultiTaskCalculator(
+        [lj1, lj2],
+        weights=[1.0, 0.0],
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        logfile="active.log", pckl=None, tape=None,
+        ediff=0.01, ediff_tot=0.05, fdiff=0.05,
+    )
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=3)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 300, seed=4)
+    dyn = Langevin(s, 2 * units.fs, 300, friction=0.02, seed=5)
+    dyn.run(15)
+    res = calc.calculate(s)
+    assert "task_energies" in res
+    e1, e2 = res["task_energies"]
+    # task-2 LJ is twice as deep -> roughly twice the energy magnitude
+    t1 = s.copy()
+    t1.calc = lj1
+    t2 = s.copy()
+    t2.calc = lj2
+    ref1, ref2 = t1.get_potential_energy(), t2.get_potential_energy()
+    assert abs(e1 - ref1) / len(s) < 0.05, (e1, ref1)
+    assert abs(e2 - ref2) / len(s) < 0.1, (e2, ref2)
+    # combined prediction with weights [1,0] ~ task-1 energy
+    assert abs(res["energy"] - e1) < 1e-6
+
+    # switching weights switches the prediction
+    calc.set_weights([0.0, 1.0])
+    res2 = calc.calculate(s.copy())
+    assert abs(res2["energy"] - e2) < 0.2, (res2["energy"], e2)
