@@ -30,6 +30,14 @@ from .descriptor.radial import as_radii
 from .descriptor.soap import SoapParams, sesoap_descriptors
 from .kernels import covloss_beta, gram
 from .neighbors import neighbor_table, round_up
+from .pairkernels import (
+    PairTerm,
+    config_pair_mask,
+    env_pair_mask,
+    pair_diag,
+    pair_gram,
+    stage_env_pairs,
+)
 
 
 class ConfigArrays(NamedTuple):
@@ -58,6 +66,8 @@ class ModelArrays(NamedTuple):
     m_mask: jax.Array  # (M,) bool
     mu: jax.Array  # (M,)
     choli: jax.Array  # (M, M), zero-padded
+    pair_d: jax.Array = None  # (T, M, KX) pair distances per pair term
+    pair_mask: jax.Array = None  # (T, M, KX)
 
 
 class EnvArrays(NamedTuple):
@@ -95,27 +105,54 @@ def _config_descriptors(positions, cell, cfg, radii, params):
     return p, lone
 
 
-@partial(jax.jit, static_argnames=("params", "exponent"))
-def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params, exponent):
+def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
+               exponent, pair_terms, pair_d, pair_mask):
+    """SOAP covariance block + optional 2-body pair-kernel contributions
+    (EnergyForceKernel.base_kerns sums kernels, gppotential.py:81-84).
+
+    Returns (cov, lone, alpha) with alpha = per-LCE kernel diagonal (needed
+    for covloss normalization when pair terms break k(x,x)=1)."""
+    p, lone = _config_descriptors(posd, celld, cfg, radii, params)
+    cov = gram(p, cfg.numbers, lone, X_desc, X_num, X_lone, exponent)
+    alpha = jnp.ones(cfg.positions.shape[0], dtype=posd.dtype)
+    if pair_terms:
+        rvec = _env_rvec(posd, celld, cfg)
+        d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
+        nbrz = znum[jnp.clip(cfg.nbr_sidx, 0, znum.shape[0] - 1)]
+        mask = cfg.nbr_mask & cfg.atom_mask[:, None]
+        for t, term in enumerate(pair_terms):
+            m1 = config_pair_mask(term, cfg.numbers, nbrz, cfg.nbr_idx,
+                                  cfg.nbr_off, mask)
+            cov = cov + pair_gram(d, m1, pair_d[t], pair_mask[t], term)
+            alpha = alpha + pair_diag(d, m1, term)
+    return cov, lone, alpha
+
+
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
+def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params,
+               exponent, znum=None, pair_terms=()):
     """Fused energy/forces/virial/uncertainty (reference hot path §3.1)."""
 
     def energy(pos, eps):
         one = jnp.eye(3, dtype=pos.dtype) + eps
         posd = pos @ one
         celld = cfg.cell @ one
-        p, lone = _config_descriptors(posd, celld, cfg, radii, params)
-        cov = gram(p, cfg.numbers, lone, model.X_desc, model.X_num, model.X_lone, exponent)
+        cov, lone, alpha = _total_cov(
+            posd, celld, cfg, model.X_desc, model.X_num, model.X_lone,
+            radii, znum, params, exponent, pair_terms,
+            model.pair_d, model.pair_mask,
+        )
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
         e = (cov @ model.mu).sum()
-        return e, cov
+        return e, (cov, alpha)
 
     eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
-    (e, cov), (dpos, deps) = jax.value_and_grad(energy, argnums=(0, 1), has_aux=True)(
-        cfg.positions, eps0
-    )
+    (e, (cov, alpha)), (dpos, deps) = jax.value_and_grad(
+        energy, argnums=(0, 1), has_aux=True
+    )(cfg.positions, eps0)
     forces = -dpos * cfg.atom_mask[:, None]
     virial = 0.5 * (deps + deps.T)
-    beta = covloss_beta(model.choli, cov, vscale_atom, model.m_mask)
+    beta = covloss_beta(model.choli, cov, vscale_atom, model.m_mask, alpha=alpha)
     beta = jnp.where(cfg.atom_mask, beta, -jnp.inf)
     return e, forces, virial, cov, beta
 
@@ -126,25 +163,41 @@ def descriptors_fn(cfg: ConfigArrays, radii, params):
     return p, lone
 
 
-@partial(jax.jit, static_argnames=("params", "exponent"))
-def gram_self_fn(cfg: ConfigArrays, radii, params, exponent):
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
+def gram_self_fn(cfg: ConfigArrays, radii, params, exponent, znum=None,
+                 pair_terms=()):
     p, lone = _config_descriptors(cfg.positions, cfg.cell, cfg, radii, params)
     k = gram(p, cfg.numbers, lone, p, cfg.numbers, lone, exponent)
+    if pair_terms:
+        rvec = _env_rvec(cfg.positions, cfg.cell, cfg)
+        d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
+        nbrz = znum[jnp.clip(cfg.nbr_sidx, 0, znum.shape[0] - 1)]
+        mask = cfg.nbr_mask & cfg.atom_mask[:, None]
+        for term in pair_terms:
+            m1 = config_pair_mask(term, cfg.numbers, nbrz, cfg.nbr_idx,
+                                  cfg.nbr_off, mask)
+            k = k + pair_gram(d, m1, d, m1, term)
     return k
 
 
-def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent):
+def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
+                znum=None, pair_terms=(), x_pd=None, x_pm=None):
     one = jnp.eye(3, dtype=pos.dtype) + eps
     posd = pos @ one
     celld = cfg.cell @ one
-    p, lone = _config_descriptors(posd, celld, cfg, radii, params)
-    col = gram(p, cfg.numbers, lone, x_desc[None], x_num[None], x_lone[None], exponent)
+    pd = x_pd[:, None] if x_pd is not None else None
+    pm = x_pm[:, None] if x_pm is not None else None
+    col, lone, _ = _total_cov(
+        posd, celld, cfg, x_desc[None], x_num[None], x_lone[None],
+        radii, znum, params, exponent, pair_terms, pd, pm,
+    )
     col = col[:, 0] * cfg.atom_mask
     return col.sum()
 
 
-@partial(jax.jit, static_argnames=("params", "exponent"))
-def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params, exponent):
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
+def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params,
+                  exponent, znum=None, pair_terms=(), x_pd=None, x_pm=None):
     """(Ke, Kf, Kv) entries of one inducing env against a configuration.
 
     Ke = sum_i k(p_i, x);  Kf = -dKe/dpos (forces_energy, gppotential.py:67);
@@ -152,31 +205,44 @@ def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params, expon
     """
     eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
     ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
-        cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params, exponent
+        cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params, exponent,
+        znum, pair_terms, x_pd, x_pm
     )
     kf = -dpos * cfg.atom_mask[:, None]
     kv = 0.5 * (deps + deps.T)
     return ke, kf, kv
 
 
-@partial(jax.jit, static_argnames=("params", "exponent", "batch_size"))
-def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params, exponent, batch_size=16):
+@partial(jax.jit, static_argnames=("params", "exponent", "batch_size", "pair_terms"))
+def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
+                    exponent, batch_size=16, znum=None, pair_terms=()):
     """(Ke row, Kf block, Kv block) of a configuration vs the inducing set.
 
     Chunked map over the inducing axis: each chunk is a vmapped VJP, so
     memory stays bounded while the MXU stays busy.
     """
     eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
+    T = len(pair_terms)
+    if T:
+        pd_all = jnp.moveaxis(model.pair_d, 0, 1)  # (M, T, KX)
+        pm_all = jnp.moveaxis(model.pair_mask, 0, 1)
+    else:
+        pd_all = jnp.zeros((model.mu.shape[0], 0, 0))
+        pm_all = jnp.zeros((model.mu.shape[0], 0, 0), dtype=bool)
 
     def one(x):
-        x_desc, x_num, x_lone = x
+        x_desc, x_num, x_lone, x_pd, x_pm = x
         ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
-            cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params, exponent
+            cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params,
+            exponent, znum, pair_terms,
+            x_pd if T else None, x_pm if T else None,
         )
         return ke, -dpos * cfg.atom_mask[:, None], 0.5 * (deps + deps.T)
 
     ke, kf, kv = jax.lax.map(
-        one, (model.X_desc, model.X_num, model.X_lone), batch_size=batch_size
+        one,
+        (model.X_desc, model.X_num, model.X_lone, pd_all, pm_all),
+        batch_size=batch_size,
     )
     # ke: (M,), kf: (M, N, 3), kv: (M, 3, 3)
     return ke, jnp.moveaxis(kf, 0, -1), jnp.moveaxis(kv, 0, -1)
@@ -227,14 +293,20 @@ class Engine:
     """Host wrapper: species table, buckets, device state, compile cache."""
 
     def __init__(self, params: SoapParams = None, exponent=4, radii=None,
-                 species=None, dtype=None):
+                 species=None, dtype=None, pair_terms=()):
         self.params = params or SoapParams()
         self.exponent = int(exponent)
         self.radii = as_radii(radii if radii is not None else 1.0)
         self.species = sorted(int(z) for z in (species or []))
+        self.pair_terms = tuple(pair_terms)
+        self.pair_kx = 16
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
+
+    def znum_table(self):
+        table = self.species if self.species else [0]
+        return jnp.asarray(np.asarray(table, dtype=np.int32))
 
     # -------------------------------------------------------------- species
     @property
@@ -347,31 +419,48 @@ class Engine:
         return p, lone
 
     def gram_self(self, cfg: ConfigArrays):
-        return gram_self_fn(cfg, self.radii_table(), self.params, self.exponent)
+        return gram_self_fn(cfg, self.radii_table(), self.params, self.exponent,
+                            znum=self.znum_table(), pair_terms=self.pair_terms)
 
     def predict(self, cfg: ConfigArrays, model: ModelArrays, vscale_atom):
         return predict_fn(
             cfg, model, self.radii_table(),
             jnp.asarray(vscale_atom, dtype=self.dtype),
             self.params, self.exponent,
+            znum=self.znum_table(), pair_terms=self.pair_terms,
         )
 
-    def kernel_col(self, cfg: ConfigArrays, x_desc, x_num, x_lone):
+    def kernel_col(self, cfg: ConfigArrays, x_desc, x_num, x_lone,
+                   x_pd=None, x_pm=None):
+        if self.pair_terms and x_pd is None:
+            x_pd = np.zeros((len(self.pair_terms), self.pair_kx))
+            x_pm = np.zeros((len(self.pair_terms), self.pair_kx), dtype=bool)
         return kernel_col_fn(
             cfg,
             jnp.asarray(x_desc, dtype=self.dtype),
             jnp.asarray(np.int32(x_num)),
             jnp.asarray(bool(x_lone)),
             self.radii_table(), self.params, self.exponent,
+            znum=self.znum_table(), pair_terms=self.pair_terms,
+            x_pd=jnp.asarray(x_pd, dtype=self.dtype) if x_pd is not None else None,
+            x_pm=jnp.asarray(x_pm) if x_pm is not None else None,
         )
 
     def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16):
         return kernel_block_fn(
-            cfg, model, self.radii_table(), self.params, self.exponent, batch_size
+            cfg, model, self.radii_table(), self.params, self.exponent,
+            batch_size, znum=self.znum_table(), pair_terms=self.pair_terms,
         )
 
+    def env_pair_data(self, env):
+        """Host: padded pair distances for one env (all pair terms)."""
+        if not self.pair_terms:
+            return None, None
+        return stage_env_pairs(env, self.pair_terms, self.pair_kx)
+
     # ------------------------------------------------------------ model sync
-    def model_arrays(self, X_desc, X_num, X_lone, mu, choli, mcap=None) -> ModelArrays:
+    def model_arrays(self, X_desc, X_num, X_lone, mu, choli, mcap=None,
+                     envs=None) -> ModelArrays:
         """Pad host model state to the inducing-capacity bucket."""
         m = len(X_num)
         mcap = mcap or max(32, round_up(max(m, 1), 32))
@@ -389,6 +478,17 @@ class Engine:
             mm[:m] = True
             muv[:m] = mu
             ch[:m, :m] = choli
+        pair_d = pair_mask = None
+        if self.pair_terms:
+            T = len(self.pair_terms)
+            pd = np.zeros((T, mcap, self.pair_kx))
+            pm = np.zeros((T, mcap, self.pair_kx), dtype=bool)
+            for i, env in enumerate(envs or []):
+                d, msk = stage_env_pairs(env, self.pair_terms, self.pair_kx)
+                pd[:, i] = d
+                pm[:, i] = msk
+            pair_d = jnp.asarray(pd, dtype=self.dtype)
+            pair_mask = jnp.asarray(pm)
         return ModelArrays(
             X_desc=jnp.asarray(Xd, dtype=self.dtype),
             X_num=jnp.asarray(Xn),
@@ -396,4 +496,6 @@ class Engine:
             m_mask=jnp.asarray(mm),
             mu=jnp.asarray(muv, dtype=self.dtype),
             choli=jnp.asarray(ch, dtype=self.dtype),
+            pair_d=pair_d,
+            pair_mask=pair_mask,
         )

@@ -59,6 +59,7 @@ def save_model(model: SgprModel, folder):
         "exponent": eng.exponent,
         "species": eng.species,
         "radii": _radii_state(eng.radii),
+        "pair_terms": [vars(t) for t in eng.pair_terms],
         "noise_state": {str(k): float(v) for k, v in model.noise_state.items()},
         "scaled_noise": {str(k): float(v) for k, v in model.scaled_noise.items()},
         "mean_weights": {str(k): float(v) for k, v in model.mean_weights.items()},
@@ -108,11 +109,14 @@ def load_model(folder) -> SgprModel:
     with open(os.path.join(folder, "meta.json")) as f:
         meta = json.load(f)
     params = SoapParams(**meta["params"])
+    from ..pairkernels import PairTerm
+
     engine = Engine(
         params=params,
         exponent=meta["exponent"],
         radii=_radii_from_state(meta["radii"]),
         species=meta["species"],
+        pair_terms=tuple(PairTerm(**t) for t in meta.get("pair_terms", [])),
     )
     model = SgprModel(engine)
     arr = np.load(os.path.join(folder, "arrays.npz"))

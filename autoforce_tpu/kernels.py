@@ -35,14 +35,17 @@ def gram(p1, z1, lone1, p2, z2, lone2, exponent):
     return k
 
 
-def covloss_beta(choli, cov, vscale_atom, m_mask):
+def covloss_beta(choli, cov, vscale_atom, m_mask, alpha=None):
     """Per-atom uncertainty beta (reference active.py:781-804).
 
-    beta_i = sqrt(max(0, 1 - ||choli @ k_i||^2)) * sqrt(vscale(z_i))
+    beta_i = sqrt(max(0, 1 - ||choli @ k_i||^2 / k(x_i,x_i)))
+             * sqrt(vscale(z_i))
 
-    Assumes normalized kernel diagonal (k(x,x) = 1).
+    alpha is the kernel diagonal k(x_i, x_i); None means normalized (=1).
     """
     b = (choli * m_mask[None, :]) @ (cov * m_mask[None, :]).T  # (M, n)
     c = (b * b).sum(axis=0)
+    if alpha is not None:
+        c = c / alpha
     beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None))
     return beta * jnp.sqrt(vscale_atom)

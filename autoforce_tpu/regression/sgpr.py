@@ -137,11 +137,15 @@ class SgprModel:
 
     def kern_env_env(self, a: InducingEnv, b: InducingEnv):
         """Host kernel between two staged environments."""
-        if a.number != b.number:
-            return 0.0
-        k = float(np.dot(a.desc, b.desc)) ** self.engine.exponent
-        if a.lone and b.lone:
-            k += 1.0
+        k = 0.0
+        if a.number == b.number:
+            k = float(np.dot(a.desc, b.desc)) ** self.engine.exponent
+            if a.lone and b.lone:
+                k += 1.0
+        if self.engine.pair_terms:
+            from ..pairkernels import pair_kernel_envs_np
+
+            k += pair_kernel_envs_np(a, b, self.engine.pair_terms)
         return k
 
     def kern_X_env(self, env: InducingEnv):
@@ -153,6 +157,13 @@ class SgprModel:
         lo = np.array([x.lone for x in self.X])
         col = (Xd @ env.desc) ** self.engine.exponent * (zs == env.number)
         col = col + ((lo & env.lone) & (zs == env.number)) * 1.0
+        if self.engine.pair_terms:
+            from ..pairkernels import pair_kernel_envs_np
+
+            terms = self.engine.pair_terms
+            col = col + np.array(
+                [pair_kernel_envs_np(x, env, terms) for x in self.X]
+            )
         return col
 
     # --------------------------------------------------- incremental updates
@@ -163,8 +174,11 @@ class SgprModel:
         ke_col = []
         kf_col = []
         kv_col = []
+        x_pd, x_pm = self.engine.env_pair_data(env)
         for rec in self.data:
-            ke, kf, kv = self.engine.kernel_col(rec.cfg, env.desc, env.number, env.lone)
+            ke, kf, kv = self.engine.kernel_col(
+                rec.cfg, env.desc, env.number, env.lone, x_pd=x_pd, x_pm=x_pm
+            )
             ke_col.append(float(ke))
             kf_col.append(np.asarray(kf)[: rec.natoms].reshape(-1))
             kv_col.append(voigt6(kv))
@@ -433,5 +447,7 @@ class SgprModel:
             while mcap < m:
                 mcap *= 2
             self._mcap = mcap
-            self._model_arrays = self.engine.model_arrays(Xd, Xn, Xl, mu, ch, mcap=mcap)
+            self._model_arrays = self.engine.model_arrays(
+                Xd, Xn, Xl, mu, ch, mcap=mcap, envs=self.X
+            )
         return self._model_arrays
