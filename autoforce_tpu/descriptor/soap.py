@@ -124,6 +124,10 @@ def sesoap_descriptors(rvec, nbr_sidx, nbr_mask, radii, params: SoapParams):
     batch = p.shape[: p.ndim - 5]
     p = p.reshape(*batch, -1)
     if params.normalize:
-        norm = jnp.linalg.norm(p, axis=-1, keepdims=True)
-        p = p / (norm + jnp.finfo(dtype).eps)
+        # sqrt(sum + eps^2) instead of sqrt(sum) + eps: identical to ~1e-30
+        # for physical descriptors but smooth at p = 0 (padded atoms), so
+        # forward-mode (gradgrad) differentiation is NaN-free
+        eps = jnp.finfo(dtype).eps
+        norm = jnp.sqrt((p * p).sum(axis=-1, keepdims=True) + eps * eps)
+        p = p / norm
     return p

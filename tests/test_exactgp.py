@@ -1,0 +1,85 @@
+"""Exact GP with forces-forces (gradgrad) covariance."""
+
+import numpy as np
+
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.regression.exactgp import ExactGP, cross_kernel_blocks
+from autoforce_tpu.regression.sgpr import DataRecord
+from autoforce_tpu.system import bulk_fcc
+
+from test_engine import make_engine, make_system
+
+
+def test_gradgrad_finite_difference():
+    """ff block == FD of the fe block w.r.t. the second structure."""
+    eng = make_engine()
+    s1 = make_system(seed=0)
+    s2 = make_system(seed=1)
+    cfg1 = eng.make_config(s1)
+    cfg2 = eng.make_config(s2)
+    ee, ef, fe, ff = cross_kernel_blocks(
+        cfg1, cfg2, eng.radii_table(), eng.params, eng.exponent
+    )
+    ff = np.asarray(ff)
+    eps = 1e-6
+    for (j, b) in [(0, 0), (2, 1)]:
+        def fe_of(delta):
+            s = s2.copy()
+            pp = s.positions.copy()
+            pp[j, b] += delta
+            s.positions = pp
+            c2 = eng.make_config(s)
+            _, _, fe_d, _ = cross_kernel_blocks(
+                cfg1, c2, eng.radii_table(), eng.params, eng.exponent
+            )
+            return np.asarray(fe_d)
+
+        fd = (fe_of(eps) - fe_of(-eps)) / (2 * eps)
+        # ff[i, a, j, b] = d fe[i, a] / d pos2[j, b] * (-1):
+        # fe = -dk/dpos1, ff = +d2k/dpos1 dpos2 = -d fe / d pos2
+        np.testing.assert_allclose(ff[:, :, j, b], -fd[: ff.shape[0]],
+                                   rtol=1e-4, atol=1e-9)
+
+
+def test_symmetry():
+    """Covariance matrix must be symmetric (same structure both sides)."""
+    eng = make_engine()
+    s = make_system(seed=2)
+    cfg = eng.make_config(s)
+    ee, ef, fe, ff = cross_kernel_blocks(
+        cfg, cfg, eng.radii_table(), eng.params, eng.exponent
+    )
+    ff = np.asarray(ff)
+    n = len(s)
+    M = ff[:n, :, :n, :].reshape(3 * n, 3 * n)
+    np.testing.assert_allclose(M, M.T, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ef)[:n].reshape(-1),
+                               np.asarray(fe)[:n].reshape(-1), atol=1e-9)
+    # PSD-ish: eigenvalues >= -tiny
+    w = np.linalg.eigvalsh(M)
+    assert w.min() > -1e-8
+
+
+def test_exact_gp_learns_lj():
+    eng = make_engine()
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    gp = ExactGP(eng, noise_e=1e-4, noise_f=1e-4)
+    systems = []
+    for k in range(4):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=300 + k)
+        s.calc = lj
+        systems.append(s)
+    for s in systems[:3]:
+        gp.add_data(DataRecord.from_system(s))
+    gp.fit()
+    lml = gp.log_marginal_likelihood()
+    assert np.isfinite(lml)
+
+    # training structures are reproduced almost exactly
+    e, f = gp.predict(systems[0])
+    np.testing.assert_allclose(f, systems[0].get_forces(), atol=5e-3)
+
+    # held-out structure: good interpolation
+    e, f = gp.predict(systems[3])
+    assert np.abs(f - systems[3].get_forces()).mean() < 0.15
