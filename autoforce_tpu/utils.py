@@ -1,0 +1,81 @@
+"""Assorted structure utilities (counterparts of theforce/util/{flake,
+aseutil}.py and Local.vor)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def generate_random_cluster(n, d, dim=3, seed=None):
+    """Random cluster of n points with all nearest-neighbor distances == d
+    (reference util/flake.py:6-46, ballistic-deposition style)."""
+    rng = np.random.default_rng(seed)
+    c = np.zeros((1, dim))
+    for _ in range(1, n):
+        u = rng.uniform(-1.0, 1.0, size=dim)
+        u /= np.linalg.norm(u)
+        p = (u * c).sum(axis=1)
+        s = np.argsort(p)[::-1]
+        x = None
+        for j, k in enumerate(s):
+            y = np.linalg.norm(c[k] - p[k] * u)
+            if y <= d:
+                x = p[k] + np.sqrt(d**2 - y**2)
+                break
+        for k in s[j:]:
+            if x - p[k] > d:
+                break
+            y = np.linalg.norm(c[k] - x * u)
+            if y < d:
+                z = np.linalg.norm(c[k] - p[k] * u)
+                x = p[k] + np.sqrt(d**2 - z**2)
+        c = np.concatenate([c, x * u.reshape(1, dim)])
+    return c
+
+
+def make_cell_upper_triangular(system):
+    """Rotate the configuration so the cell matrix is upper triangular
+    (reference util/aseutil.py:61-71; needed by some MD barostats)."""
+    q, r = np.linalg.qr(system.cell.T)
+    signs = np.sign(np.diag(r))
+    signs[signs == 0] = 1.0
+    q = q * signs
+    r = signs[:, None] * r
+    # cell' = cell @ q  ->  upper triangular r.T? use rotation R = q
+    system.positions = system.positions @ q
+    system.cell = system.cell @ q
+    # zero numerical noise below the diagonal
+    system.cell[np.tril_indices(3, -1)] = np.where(
+        np.abs(system.cell[np.tril_indices(3, -1)]) < 1e-13,
+        0.0,
+        system.cell[np.tril_indices(3, -1)],
+    )
+    return system
+
+
+def average_positions(frames, weights=None):
+    """Average structure over trajectory frames (aseutil.py:42-58)."""
+    pos = np.stack([f.positions for f in frames])
+    cell = np.stack([f.cell for f in frames])
+    w = np.ones(len(frames)) if weights is None else np.asarray(weights)
+    w = w / w.sum()
+    out = frames[0].copy()
+    out.positions = (w[:, None, None] * pos).sum(axis=0)
+    out.cell = (w[:, None, None] * cell).sum(axis=0)
+    return out
+
+
+def voronoi_neighbors(rvec):
+    """Indices of Voronoi-relevant neighbors among displacement vectors:
+    j such that (r_k - r_j) . r_j <= 0 for all k (reference Local.vor,
+    atoms.py:103-107)."""
+    rvec = np.asarray(rvec)
+    dots = ((rvec[:, None] - rvec[None]) * rvec[None]).sum(axis=-1)
+    return np.flatnonzero((dots <= 0.0).all(axis=1))
+
+
+def get_repeat(system, spacing=10.0):
+    """Repetitions needed so each cell vector exceeds ``spacing``
+    (aseutil.py:80-86)."""
+    lengths = np.linalg.norm(system.cell, axis=1)
+    return [max(1, int(np.ceil(spacing / L))) for L in lengths]
