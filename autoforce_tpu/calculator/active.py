@@ -97,6 +97,7 @@ class ActiveCalculator:
         report_timings=False,
         step0_forced_fp=False,
         mesh=None,
+        skin=0.3,
     ):
         self._calc = calculator
         self.pckl = pckl
@@ -133,7 +134,7 @@ class ActiveCalculator:
         self._saved_for_tape = None
         self._npad = 0
         self._kpad = 0
-        self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=0.3)
+        self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=skin)
         self.cfg = None
         self._cfg_key = None
         self.results = {}
@@ -290,7 +291,9 @@ class ActiveCalculator:
         key = (len(system), tuple(self.engine.species))
         if rebuilt or self.cfg is None or key != self._cfg_key:
             self._npad = max(self._npad, round_up(len(system), 16))
-            self._kpad = max(self._kpad, table.kmax)
+            # headroom on the neighbor axis: thermal fluctuations must not
+            # nudge the bucket (each growth is a full recompile)
+            self._kpad = max(self._kpad, round_up(int(table.kmax * 1.4) + 8, 32))
             self.cfg = self.engine.make_config(
                 system,
                 npad=self._npad,

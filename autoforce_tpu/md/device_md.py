@@ -1,0 +1,210 @@
+"""Device-resident molecular dynamics: the integrator lives on the TPU.
+
+The reference (and our host drivers) pay one host<->device round trip per
+MD step.  Here the whole inner loop — forces (SGPR predict), thermostat,
+position update, and the stopping checks — runs inside ONE jitted
+``lax.while_loop``; the host is re-entered only when
+
+  * the Verlet-skin displacement bound is hit (neighbor rebuild),
+  * the covloss uncertainty crosses the sampling threshold (active
+    learning wants an update at *that* step — physics identical to
+    per-step checking), or
+  * the requested number of steps is done.
+
+Integrators: velocity Verlet (NVE) and BAOAB Langevin (NVT) with
+on-device PRNG.  This is the flagship throughput path (see bench.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import units
+from ..engine import ConfigArrays, ModelArrays, _total_cov
+from ..kernels import covloss_beta
+
+
+@partial(
+    jax.jit,
+    static_argnames=("params", "exponent", "pair_terms", "check_beta",
+                     "langevin"),
+)
+def md_chunk(
+    cfg: ConfigArrays,
+    model: ModelArrays,
+    radii,
+    znum,
+    vscale_atom,
+    velocities,  # (N, 3)
+    masses,  # (N, 1)
+    pos0,  # positions at neighbor-table build time
+    key,
+    dt,
+    kT,
+    friction,
+    skin_half,
+    beta_thresh,
+    nsteps=20,  # traced upper bound -> one compilation for any chunk size
+    params=None,
+    exponent=4,
+    pair_terms=(),
+    check_beta=True,
+    langevin=True,
+):
+    """Run up to ``nsteps`` MD steps on device; early-exit on skin breach
+    or uncertainty threshold.  Returns (pos, vel, key, ndone, beta_max, e)."""
+
+    def forces_fn(pos):
+        def energy(p):
+            cov, lone, alpha = _total_cov(
+                p, cfg.cell, cfg, model.X_desc, model.X_num, model.X_lone,
+                radii, znum, params, exponent, pair_terms,
+                model.pair_d, model.pair_mask,
+            )
+            cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
+            return (cov @ model.mu).sum(), (cov, alpha)
+
+        (e, (cov, alpha)), g = jax.value_and_grad(energy, has_aux=True)(pos)
+        f = -g * cfg.atom_mask[:, None]
+        if check_beta:
+            beta = covloss_beta(model.choli, cov, vscale_atom, model.m_mask,
+                                alpha=alpha)
+            beta_max = jnp.max(jnp.where(cfg.atom_mask, beta, -jnp.inf))
+        else:
+            beta_max = jnp.zeros((), dtype=pos.dtype)
+        return e, f, beta_max
+
+    c1 = jnp.exp(-friction * dt)
+
+    def step(pos, vel, key, f):
+        vel = vel + 0.5 * dt * f / masses  # B
+        pos = pos + 0.5 * dt * vel  # A
+        if langevin:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
+            c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / masses)
+            vel = c1 * vel + c2 * noise  # O
+        pos = pos + 0.5 * dt * vel  # A
+        e, f, beta_max = forces_fn(pos)
+        vel = vel + 0.5 * dt * f / masses  # B
+        return pos, vel, key, f, e, beta_max
+
+    e0, f0, b0 = forces_fn(cfg.positions)
+
+    def cond(state):
+        pos, vel, key, f, e, beta_max, i = state
+        disp2 = ((pos - pos0) ** 2 * cfg.atom_mask[:, None]).sum(-1).max()
+        ok = disp2 < skin_half**2
+        if check_beta:
+            ok = ok & (beta_max < beta_thresh)
+        return (i < nsteps) & ok
+
+    def body(state):
+        pos, vel, key, f, e, beta_max, i = state
+        pos, vel, key, f, e, beta_max = step(pos, vel, key, f)
+        return pos, vel, key, f, e, beta_max, i + 1
+
+    init = (cfg.positions, velocities, key, f0, e0, b0, jnp.zeros((), jnp.int32))
+    pos, vel, key, f, e, beta_max, i = jax.lax.while_loop(cond, body, init)
+    return pos, vel, key, f, e, beta_max, i
+
+
+class DeviceMD:
+    """Chunked on-device MD around an (inference or active) calculator.
+
+    For inference-only runs this is a drop-in fast MD engine.  For active
+    learning it hands control back to the ActiveCalculator whenever the
+    uncertainty threshold trips, so sampling happens at the exact step the
+    reference would have sampled.
+    """
+
+    def __init__(self, system, calc, dt, temperature_K=None, friction=0.01,
+                 chunk=50, seed=0, check_beta=None):
+        self.system = system
+        self.calc = calc  # ActiveCalculator
+        self.dt = float(dt)
+        self.kT = units.kB * temperature_K if temperature_K else 0.0
+        self.friction = float(friction)
+        self.chunk = int(chunk)
+        self.key = jax.random.PRNGKey(seed)
+        self.nsteps = 0
+        self.check_beta = (
+            check_beta if check_beta is not None else calc.active
+        )
+
+    def run(self, steps):
+        calc = self.calc
+        system = self.system
+        eng = calc.engine
+        done = 0
+        first = True
+        while done < steps:
+            if first or self.check_beta:
+                # full ActiveCalculator semantics (predict + maybe sample +
+                # log) at the boundary
+                system.calc = calc
+                system.get_potential_energy()
+                first = False
+            else:
+                # inference-only boundary: just refresh the neighbor table /
+                # device config (no host predict round-trip needed)
+                calc.system = system
+                calc._make_cfg(system)
+            model = calc.model
+            ma = model.full_model_arrays()
+            cfg = calc.cfg
+            dtype = cfg.positions.dtype
+            vs = model.vscale_for(np.asarray(cfg.numbers))
+            vs = np.where(np.isfinite(vs), vs, 0.0)
+            npad = cfg.npad
+            vel = np.zeros((npad, 3))
+            vel[: len(system)] = system.get_velocities()
+            masses = np.ones((npad, 1))
+            masses[: len(system), 0] = system.get_masses()
+            pos0 = np.zeros((npad, 3))
+            pos0[: len(system)] = calc._nlcache._pos
+            beta_thresh = calc.ediff if self.check_beta else np.inf
+
+            n = min(self.chunk, steps - done)
+            pos, vel, self.key, f, e, beta_max, i = md_chunk(
+                cfg, ma, eng.radii_table(), eng.znum_table(),
+                jnp.asarray(vs, dtype=dtype),
+                jnp.asarray(vel, dtype=dtype),
+                jnp.asarray(masses, dtype=dtype),
+                jnp.asarray(pos0, dtype=dtype),
+                self.key,
+                jnp.asarray(self.dt, dtype=dtype),
+                jnp.asarray(self.kT, dtype=dtype),
+                jnp.asarray(self.friction, dtype=dtype),
+                jnp.asarray(0.5 * calc._nlcache.skin, dtype=dtype),
+                jnp.asarray(beta_thresh, dtype=dtype),
+                jnp.asarray(n, dtype=jnp.int32),
+                params=eng.params,
+                exponent=eng.exponent,
+                pair_terms=eng.pair_terms,
+                check_beta=self.check_beta,
+                langevin=self.kT > 0,
+            )
+            ndone = int(i)
+            system.set_positions(np.asarray(pos)[: len(system)])
+            system.set_velocities(np.asarray(vel)[: len(system)])
+            if ndone == 0:
+                # stuck at a trigger the host must resolve (sampling or
+                # rebuild); advance one step through the host path
+                from .langevin import Langevin
+                from .verlet import VelocityVerlet
+
+                if self.kT > 0:
+                    drv = Langevin(system, self.dt, self.kT / units.kB,
+                                   self.friction)
+                else:
+                    drv = VelocityVerlet(system, self.dt)
+                drv.step()
+                ndone = 1
+            done += ndone
+            self.nsteps += ndone
+        return True

@@ -1,0 +1,71 @@
+"""Device-resident MD: exact agreement with the host integrator."""
+
+import os
+
+import numpy as np
+import pytest
+
+from autoforce_tpu import units
+from autoforce_tpu.calculator.active import ActiveCalculator
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.md import VelocityVerlet
+from autoforce_tpu.md.device_md import DeviceMD
+from autoforce_tpu.system import bulk_fcc, maxwell_boltzmann_velocities
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("devmd"))
+    os.chdir(tmp)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
+    calc = ActiveCalculator(
+        covariance=None, calculator=lj, logfile=None, pckl=None, tape=None,
+        kernel_kw=dict(cutoff=4.5, lmax=2, nmax=2),
+        ediff=0.02, ediff_tot=0.05, fdiff=0.06,
+    )
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    from autoforce_tpu.md import Langevin
+
+    maxwell_boltzmann_velocities(s, 300, seed=1)
+    Langevin(s, 2 * units.fs, 300, friction=0.01, seed=2).run(20)
+    return calc, s
+
+
+def test_nve_matches_host(trained):
+    calc, s0 = trained
+    # inference-only copies with identical initial state
+    calc._calc = None  # freeze learning
+    s_dev = s0.copy()
+    s_host = s0.copy()
+    v0 = s0.get_velocities()
+    s_dev.set_velocities(v0)
+    s_host.set_velocities(v0)
+
+    s_host.calc = calc
+    VelocityVerlet(s_host, 1 * units.fs).run(8)
+    pos_host = s_host.positions.copy()
+
+    s_dev.calc = calc
+    dyn = DeviceMD(s_dev, calc, dt=1 * units.fs, temperature_K=None,
+                   chunk=8, check_beta=False)
+    dyn.run(8)
+    np.testing.assert_allclose(s_dev.positions, pos_host, atol=1e-7)
+    calc._calc = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
+
+
+def test_device_langevin_stable(trained):
+    calc, s0 = trained
+    calc._calc = None
+    s = s0.copy()
+    maxwell_boltzmann_velocities(s, 300, seed=5)
+    s.calc = calc
+    dyn = DeviceMD(s, calc, dt=2 * units.fs, temperature_K=300,
+                   friction=0.02, chunk=25, check_beta=False)
+    dyn.run(100)
+    assert dyn.nsteps == 100
+    T = s.get_temperature()
+    assert 50 < T < 900, T
+    assert np.isfinite(s.positions).all()
+    calc._calc = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
