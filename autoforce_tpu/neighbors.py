@@ -94,6 +94,28 @@ def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8, k_guess=64):
     else:
         reps = [0, 0, 0]
 
+    # native C++ cell-list fast path
+    try:
+        from .native import native_neighbor_list
+    except Exception:
+        native_neighbor_list = None
+    if native_neighbor_list is not None:
+        kpad = max(kpad_multiple, round_up(k_guess, kpad_multiple))
+        while True:
+            out = native_neighbor_list(positions, cell, pbc, reps, cutoff, kpad)
+            if out is None:
+                break
+            kmax, idx, off, mask = out
+            if kmax <= kpad:
+                kpad2 = max(kpad_multiple, round_up(max(kmax, 1), kpad_multiple))
+                idx = idx[:, :kpad2]
+                off = off[:, :kpad2]
+                mask = mask[:, :kpad2].astype(bool)
+                rows = np.arange(n, dtype=np.int32)[:, None]
+                idx = np.where(mask, idx, rows)
+                return NeighborTable(idx, off, mask, cutoff)
+            kpad = round_up(kmax, kpad_multiple)
+
     offsets = np.array(
         [
             (i, j, k)

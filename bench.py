@@ -27,12 +27,21 @@ LMAX = NMAX = 3
 STEPS = 20
 
 
-def build_workload():
+def build_workload(cache_dir=os.path.join(HERE, "baselines", "bench_model.pckl")):
     from autoforce_tpu.descriptor.soap import SoapParams
     from autoforce_tpu.engine import Engine
     from autoforce_tpu.neighbors import displacements, neighbor_table
     from autoforce_tpu.regression.sgpr import InducingEnv, SgprModel
     from autoforce_tpu.system import bulk_fcc
+
+    if cache_dir and os.path.isdir(cache_dir):
+        from autoforce_tpu.io.model_io import load_model
+
+        model = load_model(cache_dir)
+        if model.m == M_INDUCING:
+            big = bulk_fcc("Cu", 3.6).repeat(NATOMS_REPS)
+            big.rattle(0.05, seed=1)
+            return model.engine, model, big
 
     eng = Engine(params=SoapParams(lmax=LMAX, nmax=NMAX, rc=RC), exponent=4,
                  species=[29])
@@ -70,6 +79,10 @@ def build_workload():
         s.calc = lj
         model.add_data(DataRecord.from_system(s), remake=False)
     model.make_munu(optimize=True, noise_f=0.01)
+    if cache_dir:
+        from autoforce_tpu.io.model_io import save_model
+
+        save_model(model, cache_dir)
 
     big = bulk_fcc("Cu", 3.6).repeat(NATOMS_REPS)
     big.rattle(0.05, seed=1)
