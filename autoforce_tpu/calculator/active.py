@@ -98,6 +98,7 @@ class ActiveCalculator:
         step0_forced_fp=False,
         mesh=None,
         skin=0.3,
+        nbeads=1,
     ):
         self._calc = calculator
         self.pckl = pckl
@@ -135,6 +136,7 @@ class ActiveCalculator:
         self._npad = 0
         self._kpad = 0
         self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=skin)
+        self.nbeads = int(nbeads)
         self.cfg = None
         self._cfg_key = None
         self.results = {}
@@ -232,7 +234,9 @@ class ActiveCalculator:
 
         self.deltas = None
         self.covlog = ""
-        if self.active and not self.veto():
+        # PIMD: only the first bead is sampled (reference active.py:477-491)
+        first_bead = self.nbeads == 1 or (self.step + 1) % self.nbeads == 1
+        if self.active and not self.veto() and first_bead:
             pre = dict(self.results)
             m, n = self.update(**self._update_args)
             if m > 0 or n > 0:

@@ -76,6 +76,12 @@ def md(
             dyn = Langevin(
                 atoms, dt * units.fs, temperature_K=T, friction=friction / units.fs
             )
+        elif dynamics.upper() == "DEVICE":
+            from .device_wrap import run_device_md
+
+            run_device_md(atoms, calc, dt, T, friction, picos, write_frame,
+                          loginterval)
+            continue
         else:
             dyn = BerendsenNVT(
                 atoms, dt * units.fs, temperature_K=T, taut=tdamp * units.fs
