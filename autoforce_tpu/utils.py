@@ -35,21 +35,22 @@ def generate_random_cluster(n, d, dim=3, seed=None):
 
 def make_cell_upper_triangular(system):
     """Rotate the configuration so the cell matrix is upper triangular
-    (reference util/aseutil.py:61-71; needed by some MD barostats)."""
-    q, r = np.linalg.qr(system.cell.T)
-    signs = np.sign(np.diag(r))
-    signs[signs == 0] = 1.0
-    q = q * signs
-    r = signs[:, None] * r
-    # cell' = cell @ q  ->  upper triangular r.T? use rotation R = q
-    system.positions = system.positions @ q
-    system.cell = system.cell @ q
-    # zero numerical noise below the diagonal
-    system.cell[np.tril_indices(3, -1)] = np.where(
-        np.abs(system.cell[np.tril_indices(3, -1)]) < 1e-13,
-        0.0,
-        system.cell[np.tril_indices(3, -1)],
-    )
+    (reference util/aseutil.py:61-71; needed by some MD barostats).
+
+    The rotated cell U preserves the Gram matrix G = C C^T; it is the
+    reverse-order Cholesky factor of G (rows: v1 full, v2 in yz, v3 on z).
+    """
+    G = system.cell @ system.cell.T
+    U = np.zeros((3, 3))
+    U[2, 2] = np.sqrt(G[2, 2])
+    U[1, 2] = G[1, 2] / U[2, 2]
+    U[1, 1] = np.sqrt(G[1, 1] - U[1, 2] ** 2)
+    U[0, 2] = G[0, 2] / U[2, 2]
+    U[0, 1] = (G[0, 1] - U[0, 2] * U[1, 2]) / U[1, 1]
+    U[0, 0] = np.sqrt(G[0, 0] - U[0, 1] ** 2 - U[0, 2] ** 2)
+    R = np.linalg.solve(system.cell, U)  # rotation: cell @ R = U
+    system.positions = system.positions @ R
+    system.cell = U
     return system
 
 
