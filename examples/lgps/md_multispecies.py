@@ -1,0 +1,29 @@
+"""Flagship-style workload: multi-species ~1000-atom MLMD with the
+device-resident integrator (analog of the reference's Li10GeP2S12 MD,
+README.md:99-113, using a 4-species LJ-mixture oracle in place of DFT)."""
+
+import numpy as np
+
+from autoforce_tpu import units
+from autoforce_tpu.calculator.active import ActiveCalculator
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.md.device_md import DeviceMD
+from autoforce_tpu.system import bulk_fcc, maxwell_boltzmann_velocities
+
+# 4-species mixture on an fcc host lattice (~1000 atoms)
+atoms = bulk_fcc("Cu", 3.7).repeat((6, 6, 7))
+rng = np.random.default_rng(0)
+for frac, z in [(0.5, 3), (0.1, 32), (0.2, 15)]:  # Li, Ge, P on Cu->"S" host
+    sel = rng.choice(len(atoms), int(frac * len(atoms) / 2), replace=False)
+    atoms.numbers[sel] = z
+atoms.rattle(0.05)
+
+calc = ActiveCalculator(
+    calculator=LennardJones(epsilon=0.15, sigma=2.3, rc=6.0),
+    kernel_kw=dict(cutoff=6.0, lmax=3, nmax=3),
+    stdout=True,
+)
+atoms.calc = calc
+maxwell_boltzmann_velocities(atoms, 600)
+DeviceMD(atoms, calc, dt=1 * units.fs, temperature_K=600, chunk=50).run(2000)
+print("model size:", calc.size)
