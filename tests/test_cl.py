@@ -149,3 +149,31 @@ def test_socket_calculator(in_tmp):
     np.testing.assert_allclose(res["forces"], s.get_forces(), atol=1e-6)
     sc.close()
     t.join(timeout=5)
+
+
+def test_tape_tools(in_tmp):
+    from autoforce_tpu.io.tape import SgprTape
+    from autoforce_tpu.io.tape_tools import dedup, slice_traj, truncate
+    from autoforce_tpu.regression.sgpr import InducingEnv
+    import numpy as np
+
+    tape = SgprTape("a.sgpr")
+    env1 = InducingEnv.from_arrays(29, [[1.0, 0, 0], [0, 1.2, 0]], [29, 29])
+    env2 = InducingEnv.from_arrays(29, [[1.1, 0, 0]], [29])
+    s = bulk_fcc("Cu", 3.6)
+    s.calc = SinglePointCalculator(s, energy=-1.0, forces=np.zeros((4, 3)))
+    tape.write(env1)
+    tape.write(env1)  # duplicate
+    tape.write(env2)
+    tape.write(s)
+    tape.write(s)  # duplicate
+    assert len(tape.read()) == 5
+    n = dedup("a.sgpr", "b.sgpr")
+    assert n == 3
+    assert len(SgprTape("b.sgpr").read()) == 3
+    n = truncate("b.sgpr", "c.sgpr", 2)
+    assert len(SgprTape("c.sgpr").read()) == 2
+
+    write_xyz("t.extxyz", [s.copy() for _ in range(10)])
+    n = slice_traj("t.extxyz", "t2.extxyz", "::3")
+    assert n == 4
