@@ -133,3 +133,54 @@ def test_tape_rebuild(otf_run):
     tmp_s.calc = lj
     f_ref = tmp_s.get_forces()
     assert np.abs(res2["forces"] - f_ref).mean() < 0.3
+
+
+def test_switch():
+    from autoforce_tpu.calculator.active import Switch
+
+    s = Switch([0.01, 1.0, 0.05, 3.0, 0.1])
+    assert s(0.5) == 0.01
+    assert s(2.0) == 0.05
+    assert s(5.0) == 0.1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        Switch([0.1, 3.0, 0.2, 1.0, 0.3])  # unordered switch points
+
+
+def test_filter_deltas_smooths_updates(otf_run):
+    from autoforce_tpu.calculator.active import FilterDeltas
+
+    tmp, calc, lj, s = otf_run
+    filt = FilterDeltas(calc, shrink=0.9)
+    s2 = s.copy()
+    res = filt.calculate(s2)
+    assert np.isfinite(res["forces"]).all()
+    # without model updates the filter decays to a passthrough
+    calc.deltas = {"forces": np.ones_like(res["forces"]), "stress": np.zeros(6)}
+    r1 = filt.calculate(s2)
+    calc.deltas = None
+    prev = np.abs(filt.f).max()
+    for _ in range(5):
+        filt.calculate(s2)
+        cur = np.abs(filt.f).max()
+        assert cur <= prev + 1e-12
+        prev = cur
+
+
+def test_veto(otf_run):
+    tmp, calc, lj, s = otf_run
+    calc._veto = {"forces": 1e-9}
+    calc.results = {"forces": np.ones((len(s), 3))}
+    if calc.size[0] < 2:
+        # guard: with <2 data the update is never vetoed (active.py:538-540)
+        assert calc.veto() is False
+        calc.model.data.append(calc.model.data[0])  # fake second record
+        try:
+            assert calc.veto() is True
+        finally:
+            calc.model.data.pop()
+    else:
+        assert calc.veto() is True
+    calc._veto = {}
+    assert calc.veto() is False
