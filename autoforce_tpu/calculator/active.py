@@ -725,14 +725,17 @@ class ActiveCalculator:
         write_xyz("active_uncertain.extxyz", tmp, mode="a")
 
     # ------------------------------------------------------------- offline
-    def include_data(self, data):
-        """Train on precomputed structures (active.py:989-1004)."""
+    def include_data(self, data, fmax=inf):
+        """Train on precomputed structures (active.py:989-1004); structures
+        with |F| > fmax are skipped (include_params filter)."""
         from ..io.xyz import read_xyz
 
         if isinstance(data, str):
             data = read_xyz(data)
         _calc = self._calc
         for s in data:
+            if fmax < inf and np.abs(s.get_forces()).max() > fmax:
+                continue
             self._calc = s.calc
             self.calculate(s)
         self._calc = _calc

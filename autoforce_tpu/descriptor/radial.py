@@ -71,6 +71,35 @@ class RadiiFromDict(Radii):
         return str({int(z): float(r) for z, r in self.d.items()})
 
 
+class RadiiFromArray(Radii):
+    """Radii indexed by atomic number (reference sesoap.py:55-64)."""
+
+    def __init__(self, d):
+        self.d = list(d)
+
+    def get(self, number):
+        return self.d[number]
+
+    @property
+    def state_args(self):
+        return str([float(z) for z in self.d])
+
+
+class SpecialRadii(Radii):
+    """Dict with a default for unlisted species (sesoap.py:67-81)."""
+
+    def __init__(self, dct, others=1.0):
+        self.dct = dict(dct)
+        self.others = float(others)
+
+    def get(self, number):
+        return self.dct.get(number, self.others)
+
+    @property
+    def state_args(self):
+        return f"{self.dct}, {self.others}"
+
+
 class DefaultRadii(Radii):
     """Default 1.0, hydrogen 0.5 (reference sesoap.py:84-99)."""
 
@@ -93,4 +122,6 @@ def as_radii(radii):
         return UniformRadii(radii)
     if isinstance(radii, dict):
         return RadiiFromDict(radii)
+    if isinstance(radii, (list, tuple)):
+        return RadiiFromArray(radii)
     raise TypeError(f"cannot interpret radii: {radii!r}")

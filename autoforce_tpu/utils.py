@@ -80,3 +80,45 @@ def get_repeat(system, spacing=10.0):
     (aseutil.py:80-86)."""
     lengths = np.linalg.norm(system.cell, axis=1)
     return [max(1, int(np.ceil(spacing / L))) for L in lengths]
+
+
+def dope(system, fraction, new_z, species=None, seed=None):
+    """Random substitutional doping (reference analysis/doping.py role)."""
+    rng = np.random.default_rng(seed)
+    out = system.copy()
+    cand = (
+        np.flatnonzero(out.numbers == species)
+        if species is not None
+        else np.arange(len(out))
+    )
+    k = int(round(fraction * len(cand)))
+    sel = rng.choice(cand, k, replace=False)
+    out.numbers = out.numbers.copy()
+    out.numbers[sel] = new_z
+    return out
+
+
+def random_structure(numbers, density=0.05, margin=1.5, seed=None):
+    """Random periodic structure with a minimum-distance constraint
+    (reference analysis/atomsgen role)."""
+    from .system import System
+
+    rng = np.random.default_rng(seed)
+    n = len(numbers)
+    vol = n / density
+    a = vol ** (1.0 / 3.0)
+    pos = np.zeros((n, 3))
+    for i in range(n):
+        for _ in range(2000):
+            trial = rng.uniform(0, a, 3)
+            if i == 0:
+                pos[i] = trial
+                break
+            delta = pos[:i] - trial
+            delta -= a * np.round(delta / a)
+            if (np.linalg.norm(delta, axis=1) > margin).all():
+                pos[i] = trial
+                break
+        else:
+            raise RuntimeError("could not place atom; lower density")
+    return System(numbers=numbers, positions=pos, cell=np.eye(3) * a, pbc=True)
