@@ -99,6 +99,7 @@ class ActiveCalculator:
         mesh=None,
         skin=0.3,
         nbeads=1,
+        seed=None,
     ):
         self._calc = calculator
         self.pckl = pckl
@@ -137,6 +138,7 @@ class ActiveCalculator:
         self._kpad = 0
         self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=skin)
         self.nbeads = int(nbeads)
+        self.rng = np.random.default_rng(seed)
         self.cfg = None
         self._cfg_key = None
         self.results = {}
@@ -312,7 +314,10 @@ class ActiveCalculator:
         n = len(self.system)
         ma = self.model.full_model_arrays()
         vs = self.model.vscale_for(np.asarray(self.cfg.numbers))
-        e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
+        if self.mesh is not None:
+            e, f, w, cov, beta = self._predict_sharded(ma, vs)
+        else:
+            e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
         energy = float(e) + self.model.mean_energy(self.system.numbers)
         forces = np.asarray(f)[:n]
         try:
@@ -328,6 +333,26 @@ class ActiveCalculator:
         self._cov = np.asarray(cov)[:n, : self.model.m]
         self._desc = None  # fetched lazily in the sampling loop
         return self.results
+
+    def _predict_sharded(self, ma, vs):
+        """SPMD predict over the calculator's mesh (SURVEY.md §2.2):
+        atoms over 'data', inducing set over 'model'."""
+        from ..parallel.mesh import sharded_inputs_from, sharded_predict
+
+        if self.engine.pair_terms:
+            raise NotImplementedError(
+                "pair kernels + mesh sharding: run them on the replicated path"
+            )
+        vs_safe = np.where(np.isfinite(vs), vs, 1e30)
+        args = sharded_inputs_from(
+            self.cfg, ma, self.engine.radii_table(), vs_safe, self.mesh
+        )
+        e, f, w, beta, cov = sharded_predict(
+            *args, mesh=self.mesh, params=self.engine.params,
+            exponent=self.engine.exponent,
+        )
+        npad = self.cfg.npad
+        return e, f[:npad], w, cov[:npad], beta[:npad]
 
     def _get_desc(self):
         if self._desc is None:
@@ -412,7 +437,7 @@ class ActiveCalculator:
     def sample_rand_lces(self, indices=None, repeat=1):
         """Rattled-copy LCE sampling for MD robustness (active.py:655-682)."""
         added = 0
-        rng = np.random.default_rng()
+        rng = self.rng
         for _ in range(repeat):
             tmp = self.system.copy()
             tmp.positions = tmp.positions + rng.uniform(

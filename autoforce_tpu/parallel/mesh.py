@@ -61,7 +61,12 @@ def sharded_predict(
     params,
     exponent,
 ):
-    """Fused sharded MD step: returns (E, forces(N,3), virial, beta(N,))."""
+    """Fused sharded MD step.
+
+    Returns (E, forces(N,3), virial(3,3), beta(N,), cov(N,M)); the pair-
+    kernel terms are currently single-device only (compose them on the
+    replicated path or extend block_fn analogously).
+    """
 
     def block_fn(
         pos, cell, numbers, amask, oidx, nidx, noff, nsidx, nmask,
@@ -90,12 +95,12 @@ def sharded_predict(
         virial = 0.5 * (deps + deps.T)
         # uncertainty needs full kernel rows: gather over the model axis
         cov_full = jax.lax.all_gather(cov_blk, "model", axis=1, tiled=True)
+        cov_full = jax.lax.pmean(cov_full, "model")  # provably replicated
         b = chol @ cov_full.T
-        # identical on every 'model' shard; pmean makes that provable
-        c = jax.lax.pmean((b * b).sum(axis=0), "model")
+        c = (b * b).sum(axis=0)
         beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vsc)
         beta = jnp.where(amask, beta, -jnp.inf)
-        return e, forces, virial, beta
+        return e, forces, virial, beta, cov_full
 
     fn = jax.shard_map(
         block_fn,
@@ -106,7 +111,7 @@ def sharded_predict(
             P("model"), P("model"), P("model"), P("model"), P("model"),
             P(), P(), P("data"),
         ),
-        out_specs=(P(), P(), P(), P("data")),
+        out_specs=(P(), P(), P(), P("data"), P("data")),
     )
     return fn(
         positions, cell, numbers, atom_mask, own_idx, nbr_idx, nbr_off,

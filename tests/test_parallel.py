@@ -39,7 +39,7 @@ def test_matches_single_device(shape):
 
     mesh = make_mesh(n_data=shape[0], n_model=shape[1])
     args = sharded_inputs_from(cfg, ma, eng.radii_table(), vs, mesh)
-    e, f, w, beta = sharded_predict(*args, mesh=mesh, params=eng.params,
+    e, f, w, beta, cov = sharded_predict(*args, mesh=mesh, params=eng.params,
                                     exponent=eng.exponent)
     np.testing.assert_allclose(float(e), float(e0), rtol=1e-10)
     n = len(s)
@@ -48,3 +48,28 @@ def test_matches_single_device(shape):
     np.testing.assert_allclose(
         np.asarray(beta)[:n], np.asarray(b0)[:n], atol=1e-10
     )
+
+
+def test_active_calculator_with_mesh(tmp_path, monkeypatch):
+    """ActiveCalculator(mesh=...) learns identically to the replicated path."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    kw = dict(
+        covariance=None, calculator=lj, logfile=None, pckl=None, tape=None,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        ediff=0.02, ediff_tot=0.05, fdiff=0.08, seed=0,
+    )
+    mesh = make_mesh(n_data=4, n_model=2)
+    calc_mesh = ActiveCalculator(mesh=mesh, **kw)
+    calc_ref = ActiveCalculator(**kw)
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 1))
+    s.rattle(0.06, seed=11)
+
+    r1 = calc_mesh.calculate(s.copy())
+    r2 = calc_ref.calculate(s.copy())
+    assert calc_mesh.size == calc_ref.size  # same sampling decisions
+    np.testing.assert_allclose(r1["energy"], r2["energy"], rtol=1e-8)
+    np.testing.assert_allclose(r1["forces"], r2["forces"], atol=1e-8)
