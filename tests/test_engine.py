@@ -200,3 +200,20 @@ def test_add_inducing_column_consistency():
     np.testing.assert_allclose(model.Ke, np.stack(Ke), atol=1e-10)
     np.testing.assert_allclose(model.Kf, np.concatenate(Kf), atol=1e-10)
     np.testing.assert_allclose(model.Kv, np.concatenate(Kv), atol=1e-10)
+
+
+def test_kernel_block_jac_matches_vjp():
+    """The MXU Jacobian path equals the per-column VJP path."""
+    eng = make_engine()
+    s = make_system(seed=3)
+    cfg = eng.make_config(s)
+    model = SgprModel(eng)
+    for seed in range(5):
+        model.add_inducing(env_from_system(eng, make_system(seed=seed), seed % 4),
+                           remake=False)
+    ma = model.full_model_arrays()
+    ke1, kf1, kv1 = eng.kernel_block(cfg, ma, method="vjp")
+    ke2, kf2, kv2 = eng.kernel_block(cfg, ma, method="jac")
+    np.testing.assert_allclose(np.asarray(ke2), np.asarray(ke1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(kf2), np.asarray(kf1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(kv2), np.asarray(kv1), atol=1e-9)
