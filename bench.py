@@ -20,6 +20,14 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
+# persistent compilation cache: repeated bench runs skip the slow
+# remote compiles (harmless if the backend ignores it)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 NATOMS_REPS = (6, 6, 7)  # 4 * 252 = 1008 atoms
 M_INDUCING = 256
 RC = 6.0
@@ -89,7 +97,7 @@ def build_workload(cache_dir=os.path.join(HERE, "baselines", "bench_model.pckl")
     return eng, model, big
 
 
-def measure_ours_device_md(eng, model, system, steps=200, chunk=25):
+def measure_ours_device_md(eng, model, system, steps=300, chunk=100):
     """Headline: real Langevin MD with the device-resident integrator
     (forces + thermostat + integration on-chip; host re-entry only for
     Verlet-skin neighbor rebuilds)."""
@@ -100,14 +108,14 @@ def measure_ours_device_md(eng, model, system, steps=200, chunk=25):
 
     calc = ActiveCalculator(
         covariance=model, calculator=None, logfile=None, pckl=None, tape=None,
-        skin=0.6,
+        skin=1.2,  # swept: 0.3/0.6/0.9/1.2/1.6/2.0 -> optimum ~1.2 at 300 K
     )
     system = system.copy()
     system.calc = calc
     maxwell_boltzmann_velocities(system, 300, seed=3)
     dyn = DeviceMD(system, calc, dt=2 * units.fs, temperature_K=300,
                    friction=0.02, chunk=chunk, check_beta=False)
-    dyn.run(100)  # warmup: compile + let the neighbor bucket settle
+    dyn.run(150)  # warmup: compile + let the neighbor bucket settle
     t0 = time.time()
     dyn.run(steps)
     dt = (time.time() - t0) / steps
