@@ -93,6 +93,24 @@ def _env_rvec(positions, cell, cfg: ConfigArrays):
     return rvec
 
 
+def _chem_mix(p, mixL, nspecies):
+    """Alchemical species mixing of the power spectrum (chemical.py):
+    p~ = (L (x) L) p over the two species axes."""
+    if mixL is None:
+        return p
+    batch = p.shape[:-1]
+    q = p.reshape(*batch, nspecies, nspecies, -1)
+    q = jnp.einsum("ab,cd,...bdk->...ack", mixL, mixL, q)
+    return q.reshape(*batch, -1)
+
+
+def _central_factor(z1, z2, chem_z, dtype):
+    """delta(z1, z2) or the alchemical chi(z1, z2) central-species factor."""
+    if chem_z is None:
+        return (z1[:, None] == z2[None, :]).astype(dtype)
+    return chem_z[z1[:, None], z2[None, :]].astype(dtype)
+
+
 def _config_descriptors(positions, cell, cfg, radii, params):
     rvec = _env_rvec(positions, cell, cfg)
     mask = cfg.nbr_mask & cfg.atom_mask[:, None]
@@ -106,15 +124,25 @@ def _config_descriptors(positions, cell, cfg, radii, params):
 
 
 def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
-               exponent, pair_terms, pair_d, pair_mask):
+               exponent, pair_terms, pair_d, pair_mask, chem_z=None,
+               mixL=None):
     """SOAP covariance block + optional 2-body pair-kernel contributions
     (EnergyForceKernel.base_kerns sums kernels, gppotential.py:81-84).
 
     Returns (cov, lone, alpha) with alpha = per-LCE kernel diagonal (needed
-    for covloss normalization when pair terms break k(x,x)=1)."""
+    for covloss normalization when pair terms or alchemical mixing break
+    k(x,x)=1)."""
     p, lone = _config_descriptors(posd, celld, cfg, radii, params)
-    cov = gram(p, cfg.numbers, lone, X_desc, X_num, X_lone, exponent)
-    alpha = jnp.ones(cfg.positions.shape[0], dtype=posd.dtype)
+    nsp = radii.shape[0]
+    p = _chem_mix(p, mixL, nsp)
+    cov = gram(p, cfg.numbers, lone, X_desc, X_num, X_lone, exponent,
+               chem=None if chem_z is None else chem_z)
+    if mixL is None:
+        alpha = jnp.ones(cfg.positions.shape[0], dtype=posd.dtype)
+    else:
+        alpha = (p * p).sum(axis=-1) ** exponent
+        alpha = jnp.where(lone, alpha + 1.0, alpha)
+        alpha = jnp.maximum(alpha, 1e-12)
     if pair_terms:
         rvec = _env_rvec(posd, celld, cfg)
         d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
@@ -130,7 +158,7 @@ def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
 
 @partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
 def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params,
-               exponent, znum=None, pair_terms=()):
+               exponent, znum=None, pair_terms=(), chem_z=None, mixL=None):
     """Fused energy/forces/virial/uncertainty (reference hot path §3.1)."""
 
     def energy(pos, eps):
@@ -140,7 +168,7 @@ def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params
         cov, lone, alpha = _total_cov(
             posd, celld, cfg, model.X_desc, model.X_num, model.X_lone,
             radii, znum, params, exponent, pair_terms,
-            model.pair_d, model.pair_mask,
+            model.pair_d, model.pair_mask, chem_z=chem_z, mixL=mixL,
         )
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
         e = (cov @ model.mu).sum()
@@ -165,9 +193,10 @@ def descriptors_fn(cfg: ConfigArrays, radii, params):
 
 @partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
 def gram_self_fn(cfg: ConfigArrays, radii, params, exponent, znum=None,
-                 pair_terms=()):
+                 pair_terms=(), chem_z=None, mixL=None):
     p, lone = _config_descriptors(cfg.positions, cfg.cell, cfg, radii, params)
-    k = gram(p, cfg.numbers, lone, p, cfg.numbers, lone, exponent)
+    p = _chem_mix(p, mixL, radii.shape[0])
+    k = gram(p, cfg.numbers, lone, p, cfg.numbers, lone, exponent, chem=chem_z)
     if pair_terms:
         rvec = _env_rvec(cfg.positions, cfg.cell, cfg)
         d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
@@ -181,7 +210,8 @@ def gram_self_fn(cfg: ConfigArrays, radii, params, exponent, znum=None,
 
 
 def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
-                znum=None, pair_terms=(), x_pd=None, x_pm=None):
+                znum=None, pair_terms=(), x_pd=None, x_pm=None, chem_z=None,
+                mixL=None):
     one = jnp.eye(3, dtype=pos.dtype) + eps
     posd = pos @ one
     celld = cfg.cell @ one
@@ -190,6 +220,7 @@ def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
     col, lone, _ = _total_cov(
         posd, celld, cfg, x_desc[None], x_num[None], x_lone[None],
         radii, znum, params, exponent, pair_terms, pd, pm,
+        chem_z=chem_z, mixL=mixL,
     )
     col = col[:, 0] * cfg.atom_mask
     return col.sum()
@@ -197,7 +228,8 @@ def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
 
 @partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
 def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params,
-                  exponent, znum=None, pair_terms=(), x_pd=None, x_pm=None):
+                  exponent, znum=None, pair_terms=(), x_pd=None, x_pm=None,
+                  chem_z=None, mixL=None):
     """(Ke, Kf, Kv) entries of one inducing env against a configuration.
 
     Ke = sum_i k(p_i, x);  Kf = -dKe/dpos (forces_energy, gppotential.py:67);
@@ -206,7 +238,7 @@ def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params,
     eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
     ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
         cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params, exponent,
-        znum, pair_terms, x_pd, x_pm
+        znum, pair_terms, x_pd, x_pm, chem_z, mixL
     )
     kf = -dpos * cfg.atom_mask[:, None]
     kv = 0.5 * (deps + deps.T)
@@ -215,7 +247,8 @@ def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params,
 
 @partial(jax.jit, static_argnames=("params", "exponent", "batch_size", "pair_terms"))
 def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
-                    exponent, batch_size=16, znum=None, pair_terms=()):
+                    exponent, batch_size=16, znum=None, pair_terms=(),
+                    chem_z=None, mixL=None):
     """(Ke row, Kf block, Kv block) of a configuration vs the inducing set.
 
     Chunked map over the inducing axis: each chunk is a vmapped VJP, so
@@ -235,7 +268,7 @@ def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
         ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
             cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params,
             exponent, znum, pair_terms,
-            x_pd if T else None, x_pm if T else None,
+            x_pd if T else None, x_pm if T else None, chem_z, mixL,
         )
         return ke, -dpos * cfg.atom_mask[:, None], 0.5 * (deps + deps.T)
 
@@ -342,9 +375,10 @@ def meta_covloss_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
 
 
 @partial(jax.jit, static_argnames=("params",))
-def env_descriptors_fn(envs: EnvArrays, radii, params):
+def env_descriptors_fn(envs: EnvArrays, radii, params, mixL=None):
     """Descriptors for a batch of raw environments (inducing set staging)."""
     p = sesoap_descriptors(envs.rvec, envs.sidx, envs.mask, radii, params)
+    p = _chem_mix(p, mixL, radii.shape[0])
     lone = ~envs.mask.any(axis=-1)
     return p, lone
 
@@ -366,16 +400,30 @@ class Engine:
     """Host wrapper: species table, buckets, device state, compile cache."""
 
     def __init__(self, params: SoapParams = None, exponent=4, radii=None,
-                 species=None, dtype=None, pair_terms=()):
+                 species=None, dtype=None, pair_terms=(), chemical=None):
         self.params = params or SoapParams()
         self.exponent = int(exponent)
         self.radii = as_radii(radii if radii is not None else 1.0)
         self.species = sorted(int(z) for z in (species or []))
         self.pair_terms = tuple(pair_terms)
         self.pair_kx = 16
+        # alchemical species similarity (ChemicalSoapKernel/ChemRBF):
+        # None -> Dirac delta; 'rbf' -> element-embedding RBF
+        self.chemical = chemical
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
+
+    def chem_args(self):
+        """(chem_z table, per-table mixing cholesky) or (None, None)."""
+        if not self.chemical:
+            return None, None
+        from .chemical import chem_rbf_table, mixing_cholesky
+
+        chem_z = jnp.asarray(chem_rbf_table(), dtype=self.dtype)
+        table = self.species if self.species else [0]
+        mixL = jnp.asarray(mixing_cholesky(table), dtype=self.dtype)
+        return chem_z, mixL
 
     def znum_table(self):
         table = self.species if self.species else [0]
@@ -484,23 +532,33 @@ class Engine:
 
     # ---------------------------------------------------------- computations
     def descriptors(self, cfg: ConfigArrays):
+        """Per-LCE descriptors (alchemically mixed when chemical is on)."""
         p, lone = descriptors_fn(cfg, self.radii_table(), self.params)
+        _, mixL = self.chem_args()
+        if mixL is not None:
+            p = _chem_mix(p, mixL, self.radii_table().shape[0])
         return p, lone
 
     def env_descriptors(self, envs: EnvArrays):
-        p, lone = env_descriptors_fn(envs, self.radii_table(), self.params)
+        _, mixL = self.chem_args()
+        p, lone = env_descriptors_fn(envs, self.radii_table(), self.params,
+                                     mixL=mixL)
         return p, lone
 
     def gram_self(self, cfg: ConfigArrays):
+        chem_z, mixL = self.chem_args()
         return gram_self_fn(cfg, self.radii_table(), self.params, self.exponent,
-                            znum=self.znum_table(), pair_terms=self.pair_terms)
+                            znum=self.znum_table(), pair_terms=self.pair_terms,
+                            chem_z=chem_z, mixL=mixL)
 
     def predict(self, cfg: ConfigArrays, model: ModelArrays, vscale_atom):
+        chem_z, mixL = self.chem_args()
         return predict_fn(
             cfg, model, self.radii_table(),
             jnp.asarray(vscale_atom, dtype=self.dtype),
             self.params, self.exponent,
             znum=self.znum_table(), pair_terms=self.pair_terms,
+            chem_z=chem_z, mixL=mixL,
         )
 
     def kernel_col(self, cfg: ConfigArrays, x_desc, x_num, x_lone,
@@ -508,6 +566,7 @@ class Engine:
         if self.pair_terms and x_pd is None:
             x_pd = np.zeros((len(self.pair_terms), self.pair_kx))
             x_pm = np.zeros((len(self.pair_terms), self.pair_kx), dtype=bool)
+        chem_z, mixL = self.chem_args()
         return kernel_col_fn(
             cfg,
             jnp.asarray(x_desc, dtype=self.dtype),
@@ -517,6 +576,7 @@ class Engine:
             znum=self.znum_table(), pair_terms=self.pair_terms,
             x_pd=jnp.asarray(x_pd, dtype=self.dtype) if x_pd is not None else None,
             x_pm=jnp.asarray(x_pm) if x_pm is not None else None,
+            chem_z=chem_z, mixL=mixL,
         )
 
     def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16,
@@ -524,15 +584,19 @@ class Engine:
         m = int(np.asarray(model.m_mask).sum())
         if method == "auto":
             method = (
-                "jac" if not self.pair_terms and m >= 64 else "vjp"
+                "jac"
+                if not self.pair_terms and not self.chemical and m >= 64
+                else "vjp"
             )
         if method == "jac":
             return kernel_block_jac_fn(
                 cfg, model, self.radii_table(), self.params, self.exponent
             )
+        chem_z, mixL = self.chem_args()
         return kernel_block_fn(
             cfg, model, self.radii_table(), self.params, self.exponent,
             batch_size, znum=self.znum_table(), pair_terms=self.pair_terms,
+            chem_z=chem_z, mixL=mixL,
         )
 
     def env_pair_data(self, env):

@@ -60,6 +60,7 @@ def save_model(model: SgprModel, folder):
         "species": eng.species,
         "radii": _radii_state(eng.radii),
         "pair_terms": [vars(t) for t in eng.pair_terms],
+        "chemical": eng.chemical,
         "noise_state": {str(k): float(v) for k, v in model.noise_state.items()},
         "scaled_noise": {str(k): float(v) for k, v in model.scaled_noise.items()},
         "mean_weights": {str(k): float(v) for k, v in model.mean_weights.items()},
@@ -117,6 +118,7 @@ def load_model(folder) -> SgprModel:
         radii=_radii_from_state(meta["radii"]),
         species=meta["species"],
         pair_terms=tuple(PairTerm(**t) for t in meta.get("pair_terms", [])),
+        chemical=meta.get("chemical"),
     )
     model = SgprModel(engine)
     arr = np.load(os.path.join(folder, "arrays.npz"))

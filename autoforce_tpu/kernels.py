@@ -16,7 +16,7 @@ a mask, not control flow.
 import jax.numpy as jnp
 
 
-def gram(p1, z1, lone1, p2, z2, lone2, exponent):
+def gram(p1, z1, lone1, p2, z2, lone2, exponent, chem=None):
     """Kernel block between two sets of LCEs.
 
     Args:
@@ -24,14 +24,23 @@ def gram(p1, z1, lone1, p2, z2, lone2, exponent):
         lone1: (n,) bool, True for environments with zero neighbors.
         p2/z2/lone2: (m, ...) likewise.
         exponent: static int zeta.
+        chem: optional (Zmax, Zmax) alchemical central-species factor
+            (chi table); None -> Dirac delta (universal.py:17-29).
     Returns:
         (n, m) kernel matrix.
     """
     dtype = p1.dtype
     dot = p1 @ p2.T
-    same = (z1[:, None] == z2[None, :]).astype(dtype)
+    if chem is None:
+        same = (z1[:, None] == z2[None, :]).astype(dtype)
+    else:
+        same = chem[z1[:, None], z2[None, :]].astype(dtype)
     k = dot**exponent * same
-    k = k + (lone1[:, None] & lone2[None, :]).astype(dtype) * same
+    # lone-atom correction stays a strict same-species rule
+    eq = (z1[:, None] == z2[None, :]).astype(dtype)
+    k = k + (lone1[:, None] & lone2[None, :]).astype(dtype) * eq * (
+        same if chem is not None else 1.0
+    )
     return k
 
 

@@ -135,13 +135,21 @@ class SgprModel:
         env.lone = bool(np.asarray(lone)[0])
         return env
 
+    def _central(self, za, zb):
+        if getattr(self.engine, "chemical", None):
+            from ..chemical import chem_rbf_table
+
+            if not hasattr(self, "_chem_np"):
+                self._chem_np = chem_rbf_table()
+            return float(self._chem_np[za, zb])
+        return 1.0 if za == zb else 0.0
+
     def kern_env_env(self, a: InducingEnv, b: InducingEnv):
         """Host kernel between two staged environments."""
-        k = 0.0
-        if a.number == b.number:
-            k = float(np.dot(a.desc, b.desc)) ** self.engine.exponent
-            if a.lone and b.lone:
-                k += 1.0
+        c = self._central(a.number, b.number)
+        k = c * float(np.dot(a.desc, b.desc)) ** self.engine.exponent
+        if a.lone and b.lone and a.number == b.number:
+            k += 1.0
         if self.engine.pair_terms:
             from ..pairkernels import pair_kernel_envs_np
 
@@ -155,7 +163,8 @@ class SgprModel:
         Xd = np.stack([x.desc for x in self.X])
         zs = np.array([x.number for x in self.X])
         lo = np.array([x.lone for x in self.X])
-        col = (Xd @ env.desc) ** self.engine.exponent * (zs == env.number)
+        central = np.array([self._central(z, env.number) for z in zs])
+        col = (Xd @ env.desc) ** self.engine.exponent * central
         col = col + ((lo & env.lone) & (zs == env.number)) * 1.0
         if self.engine.pair_terms:
             from ..pairkernels import pair_kernel_envs_np
