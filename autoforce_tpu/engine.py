@@ -125,7 +125,7 @@ def _config_descriptors(positions, cell, cfg, radii, params):
 
 def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
                exponent, pair_terms, pair_d, pair_mask, chem_z=None,
-               mixL=None):
+               mixL=None, kind="dot"):
     """SOAP covariance block + optional 2-body pair-kernel contributions
     (EnergyForceKernel.base_kerns sums kernels, gppotential.py:81-84).
 
@@ -136,8 +136,10 @@ def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
     nsp = radii.shape[0]
     p = _chem_mix(p, mixL, nsp)
     cov = gram(p, cfg.numbers, lone, X_desc, X_num, X_lone, exponent,
-               chem=None if chem_z is None else chem_z)
-    if mixL is None:
+               chem=None if chem_z is None else chem_z, kind=kind)
+    if mixL is None and kind != "rbf":
+        alpha = jnp.ones(cfg.positions.shape[0], dtype=posd.dtype)
+    elif kind == "rbf":
         alpha = jnp.ones(cfg.positions.shape[0], dtype=posd.dtype)
     else:
         alpha = (p * p).sum(axis=-1) ** exponent
@@ -156,9 +158,10 @@ def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
     return cov, lone, alpha
 
 
-@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms", "kind"))
 def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params,
-               exponent, znum=None, pair_terms=(), chem_z=None, mixL=None):
+               exponent, znum=None, pair_terms=(), chem_z=None, mixL=None,
+               kind="dot"):
     """Fused energy/forces/virial/uncertainty (reference hot path §3.1)."""
 
     def energy(pos, eps):
@@ -169,6 +172,7 @@ def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params
             posd, celld, cfg, model.X_desc, model.X_num, model.X_lone,
             radii, znum, params, exponent, pair_terms,
             model.pair_d, model.pair_mask, chem_z=chem_z, mixL=mixL,
+            kind=kind,
         )
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
         e = (cov @ model.mu).sum()
@@ -191,12 +195,13 @@ def descriptors_fn(cfg: ConfigArrays, radii, params):
     return p, lone
 
 
-@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms", "kind"))
 def gram_self_fn(cfg: ConfigArrays, radii, params, exponent, znum=None,
-                 pair_terms=(), chem_z=None, mixL=None):
+                 pair_terms=(), chem_z=None, mixL=None, kind="dot"):
     p, lone = _config_descriptors(cfg.positions, cfg.cell, cfg, radii, params)
     p = _chem_mix(p, mixL, radii.shape[0])
-    k = gram(p, cfg.numbers, lone, p, cfg.numbers, lone, exponent, chem=chem_z)
+    k = gram(p, cfg.numbers, lone, p, cfg.numbers, lone, exponent, chem=chem_z,
+             kind=kind)
     if pair_terms:
         rvec = _env_rvec(cfg.positions, cfg.cell, cfg)
         d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
@@ -211,7 +216,7 @@ def gram_self_fn(cfg: ConfigArrays, radii, params, exponent, znum=None,
 
 def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
                 znum=None, pair_terms=(), x_pd=None, x_pm=None, chem_z=None,
-                mixL=None):
+                mixL=None, kind="dot"):
     one = jnp.eye(3, dtype=pos.dtype) + eps
     posd = pos @ one
     celld = cfg.cell @ one
@@ -220,16 +225,16 @@ def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
     col, lone, _ = _total_cov(
         posd, celld, cfg, x_desc[None], x_num[None], x_lone[None],
         radii, znum, params, exponent, pair_terms, pd, pm,
-        chem_z=chem_z, mixL=mixL,
+        chem_z=chem_z, mixL=mixL, kind=kind,
     )
     col = col[:, 0] * cfg.atom_mask
     return col.sum()
 
 
-@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms"))
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms", "kind"))
 def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params,
                   exponent, znum=None, pair_terms=(), x_pd=None, x_pm=None,
-                  chem_z=None, mixL=None):
+                  chem_z=None, mixL=None, kind="dot"):
     """(Ke, Kf, Kv) entries of one inducing env against a configuration.
 
     Ke = sum_i k(p_i, x);  Kf = -dKe/dpos (forces_energy, gppotential.py:67);
@@ -238,17 +243,17 @@ def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params,
     eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
     ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
         cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params, exponent,
-        znum, pair_terms, x_pd, x_pm, chem_z, mixL
+        znum, pair_terms, x_pd, x_pm, chem_z, mixL, kind
     )
     kf = -dpos * cfg.atom_mask[:, None]
     kv = 0.5 * (deps + deps.T)
     return ke, kf, kv
 
 
-@partial(jax.jit, static_argnames=("params", "exponent", "batch_size", "pair_terms"))
+@partial(jax.jit, static_argnames=("params", "exponent", "batch_size", "pair_terms", "kind"))
 def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
                     exponent, batch_size=16, znum=None, pair_terms=(),
-                    chem_z=None, mixL=None):
+                    chem_z=None, mixL=None, kind="dot"):
     """(Ke row, Kf block, Kv block) of a configuration vs the inducing set.
 
     Chunked map over the inducing axis: each chunk is a vmapped VJP, so
@@ -268,7 +273,7 @@ def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
         ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
             cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params,
             exponent, znum, pair_terms,
-            x_pd if T else None, x_pm if T else None, chem_z, mixL,
+            x_pd if T else None, x_pm if T else None, chem_z, mixL, kind,
         )
         return ke, -dpos * cfg.atom_mask[:, None], 0.5 * (deps + deps.T)
 
@@ -410,6 +415,9 @@ class Engine:
         # alchemical species similarity (ChemicalSoapKernel/ChemRBF):
         # None -> Dirac delta; 'rbf' -> element-embedding RBF
         self.chemical = chemical
+        # base kernel on descriptors: 'dot' (DotProd**zeta, default),
+        # 'rbf' (RBF on unit-norm descriptors), 'normed' (plain dot)
+        self.kernel_kind = "dot"
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -549,7 +557,7 @@ class Engine:
         chem_z, mixL = self.chem_args()
         return gram_self_fn(cfg, self.radii_table(), self.params, self.exponent,
                             znum=self.znum_table(), pair_terms=self.pair_terms,
-                            chem_z=chem_z, mixL=mixL)
+                            chem_z=chem_z, mixL=mixL, kind=self.kernel_kind)
 
     def predict(self, cfg: ConfigArrays, model: ModelArrays, vscale_atom):
         chem_z, mixL = self.chem_args()
@@ -558,7 +566,7 @@ class Engine:
             jnp.asarray(vscale_atom, dtype=self.dtype),
             self.params, self.exponent,
             znum=self.znum_table(), pair_terms=self.pair_terms,
-            chem_z=chem_z, mixL=mixL,
+            chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
         )
 
     def kernel_col(self, cfg: ConfigArrays, x_desc, x_num, x_lone,
@@ -576,7 +584,7 @@ class Engine:
             znum=self.znum_table(), pair_terms=self.pair_terms,
             x_pd=jnp.asarray(x_pd, dtype=self.dtype) if x_pd is not None else None,
             x_pm=jnp.asarray(x_pm) if x_pm is not None else None,
-            chem_z=chem_z, mixL=mixL,
+            chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
         )
 
     def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16,
@@ -585,7 +593,8 @@ class Engine:
         if method == "auto":
             method = (
                 "jac"
-                if not self.pair_terms and not self.chemical and m >= 64
+                if not self.pair_terms and not self.chemical
+                and self.kernel_kind == "dot" and m >= 64
                 else "vjp"
             )
         if method == "jac":
@@ -596,7 +605,7 @@ class Engine:
         return kernel_block_fn(
             cfg, model, self.radii_table(), self.params, self.exponent,
             batch_size, znum=self.znum_table(), pair_terms=self.pair_terms,
-            chem_z=chem_z, mixL=mixL,
+            chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
         )
 
     def env_pair_data(self, env):

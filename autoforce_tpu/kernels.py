@@ -16,7 +16,22 @@ a mask, not control flow.
 import jax.numpy as jnp
 
 
-def gram(p1, z1, lone1, p2, z2, lone2, exponent, chem=None):
+def base_kernel(dot, exponent, kind="dot", lengthscale=1.0):
+    """Base-kernel algebra on normalized-descriptor dot products
+    (reference regression/kernel.py): 'dot' -> (p.q)^zeta (DotProd**zeta),
+    'rbf' -> exp((p.q - 1)/l^2)  (= RBF on unit-norm descriptors, since
+    ||p-q||^2 = 2 - 2 p.q), 'normed' -> plain p.q (Normed/DotProd)."""
+    if kind == "dot":
+        return dot**exponent
+    if kind == "rbf":
+        return jnp.exp((dot - 1.0) / lengthscale**2)
+    if kind == "normed":
+        return dot
+    raise ValueError(f"unknown kernel kind {kind}")
+
+
+def gram(p1, z1, lone1, p2, z2, lone2, exponent, chem=None, kind="dot",
+         lengthscale=1.0):
     """Kernel block between two sets of LCEs.
 
     Args:
@@ -35,7 +50,7 @@ def gram(p1, z1, lone1, p2, z2, lone2, exponent, chem=None):
         same = (z1[:, None] == z2[None, :]).astype(dtype)
     else:
         same = chem[z1[:, None], z2[None, :]].astype(dtype)
-    k = dot**exponent * same
+    k = base_kernel(dot, exponent, kind, lengthscale) * same
     # lone-atom correction stays a strict same-species rule
     eq = (z1[:, None] == z2[None, :]).astype(dtype)
     k = k + (lone1[:, None] & lone2[None, :]).astype(dtype) * eq * (

@@ -31,7 +31,7 @@ from ..kernels import covloss_beta
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "langevin"),
+                     "langevin", "kind"),
 )
 def md_chunk(
     cfg: ConfigArrays,
@@ -49,11 +49,14 @@ def md_chunk(
     skin_half,
     beta_thresh,
     nsteps=20,  # traced upper bound -> one compilation for any chunk size
+    chem_z=None,
+    mixL=None,
     params=None,
     exponent=4,
     pair_terms=(),
     check_beta=True,
     langevin=True,
+    kind="dot",
 ):
     """Run up to ``nsteps`` MD steps on device; early-exit on skin breach
     or uncertainty threshold.  Returns (pos, vel, key, ndone, beta_max, e)."""
@@ -63,7 +66,8 @@ def md_chunk(
             cov, lone, alpha = _total_cov(
                 p, cfg.cell, cfg, model.X_desc, model.X_num, model.X_lone,
                 radii, znum, params, exponent, pair_terms,
-                model.pair_d, model.pair_mask,
+                model.pair_d, model.pair_mask, chem_z=chem_z, mixL=mixL,
+                kind=kind,
             )
             cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
             return (cov @ model.mu).sum(), (cov, alpha)
@@ -183,11 +187,13 @@ class DeviceMD:
                 jnp.asarray(0.5 * calc._nlcache.skin, dtype=dtype),
                 jnp.asarray(beta_thresh, dtype=dtype),
                 jnp.asarray(n, dtype=jnp.int32),
+                *eng.chem_args(),
                 params=eng.params,
                 exponent=eng.exponent,
                 pair_terms=eng.pair_terms,
                 check_beta=self.check_beta,
                 langevin=self.kT > 0,
+                kind=eng.kernel_kind,
             )
             ndone = int(i)
             system.set_positions(np.asarray(pos)[: len(system)])

@@ -144,10 +144,18 @@ class SgprModel:
             return float(self._chem_np[za, zb])
         return 1.0 if za == zb else 0.0
 
+    def _base_kernel(self, dot):
+        kind = getattr(self.engine, "kernel_kind", "dot")
+        if kind == "rbf":
+            return np.exp(dot - 1.0)
+        if kind == "normed":
+            return dot
+        return dot**self.engine.exponent
+
     def kern_env_env(self, a: InducingEnv, b: InducingEnv):
         """Host kernel between two staged environments."""
         c = self._central(a.number, b.number)
-        k = c * float(np.dot(a.desc, b.desc)) ** self.engine.exponent
+        k = c * self._base_kernel(float(np.dot(a.desc, b.desc)))
         if a.lone and b.lone and a.number == b.number:
             k += 1.0
         if self.engine.pair_terms:
@@ -164,7 +172,7 @@ class SgprModel:
         zs = np.array([x.number for x in self.X])
         lo = np.array([x.lone for x in self.X])
         central = np.array([self._central(z, env.number) for z in zs])
-        col = (Xd @ env.desc) ** self.engine.exponent * central
+        col = self._base_kernel(Xd @ env.desc) * central
         col = col + ((lo & env.lone) & (zs == env.number)) * 1.0
         if self.engine.pair_terms:
             from ..pairkernels import pair_kernel_envs_np

@@ -95,3 +95,43 @@ def test_chemical_learning():
     assert np.abs(f - s.get_forces()).mean() < 0.35
     b = np.asarray(beta)[: len(s)]
     assert np.isfinite(b).all() and (b >= 0).all()
+
+
+def test_kernel_kinds():
+    """Base-kernel variants (DotProd**zeta / RBF / Normed) stay consistent
+    between the device and host paths and keep exact gradients."""
+    from autoforce_tpu.regression.sgpr import SgprModel
+    import jax
+
+    for kind in ("rbf", "normed"):
+        eng = Engine(params=SoapParams(lmax=2, nmax=2, rc=4.0), exponent=4,
+                     species=[29])
+        eng.kernel_kind = kind
+        model = SgprModel(eng)
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.06, seed=1)
+        env = env_from_system(eng, s, 1)
+        model.stage_env(env)
+        cfg = eng.make_config(s)
+        ke, kf, kv = eng.kernel_col(cfg, env.desc, env.number, env.lone)
+        # host: sum over extracted LCEs
+        total = 0.0
+        for i in range(len(s)):
+            ei = env_from_system(eng, s, i)
+            model.stage_env(ei)
+            total += model.kern_env_env(ei, env)
+        np.testing.assert_allclose(float(ke), total, rtol=1e-8)
+        # FD of the kernel gradient
+        eps = 1e-6
+        pp = s.positions.copy()
+        pp[0, 0] += eps
+        s2 = s.copy(); s2.positions = pp
+        kp, *_ = eng.kernel_col(eng.make_config(s2), env.desc, env.number,
+                                env.lone)
+        pp[0, 0] -= 2 * eps
+        s3 = s.copy(); s3.positions = pp
+        km, *_ = eng.kernel_col(eng.make_config(s3), env.desc, env.number,
+                                env.lone)
+        fd = (float(kp) - float(km)) / (2 * eps)
+        np.testing.assert_allclose(-np.asarray(kf)[0, 0], fd, rtol=1e-5,
+                                   atol=1e-9)
