@@ -103,8 +103,21 @@ def sesoap_coefficients(rvec, nbr_sidx, nbr_mask, radii, params: SoapParams):
     Yr, Yi = solid_harmonics(xyz, params.lmax)  # (..., K, L, L)
     onehot = (sidx[..., None] == jnp.arange(S)) & mask[..., None]
     onehot = onehot.astype(dtype)  # (..., K, S)
-    cR = jnp.einsum("...ks,...kn,...klm->...snlm", onehot, f, Yr)
-    cI = jnp.einsum("...ks,...kn,...klm->...snlm", onehot, f, Yi)
+    # batched-GEMM formulation: one (P, K) @ (K, 2 L^2) matmul per atom.
+    # Equivalent to einsum('...ks,...kn,...klm->...snlm', onehot, f, Y) but
+    # with a ~3x cheaper VJP (transposed GEMMs instead of the 3-operand
+    # einsum backward) — the force path is gradient-dominated.
+    L = params.lmax + 1
+    nmax1 = params.nmax + 1
+    batch = f.shape[:-2]
+    K = f.shape[-2]
+    WF = (onehot[..., :, None] * f[..., None, :]).reshape(*batch, K, S * nmax1)
+    Y2 = jnp.concatenate(
+        [Yr.reshape(*batch, K, L * L), Yi.reshape(*batch, K, L * L)], axis=-1
+    )
+    C = jnp.einsum("...kp,...kq->...pq", WF, Y2)  # (..., P, 2 L^2)
+    cR = C[..., : L * L].reshape(*batch, S, nmax1, L, L)
+    cI = C[..., L * L :].reshape(*batch, S, nmax1, L, L)
     return cR, cI
 
 
