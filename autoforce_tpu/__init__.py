@@ -9,6 +9,16 @@ ASE-compatible calculator protocol (without requiring ASE).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bfloat16 accumulation, which injects ~4e-3
+# relative error into descriptor dot products — enough to push normalized
+# kernel values above 1, zero out the covloss sampling signal, and degrade
+# forces to percent level.  Force-field accuracy requires full float32
+# matmul precision (the extra passes are negligible against the
+# elementwise descriptor work).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import units
 from .system import System, SinglePointCalculator
 

@@ -474,9 +474,17 @@ class ActiveCalculator:
             model.add_inducing(env, col=col)
             added = -1 if m < 2 else 1
         elif beta < self.ediff_lb:
-            if m < 2 and beta > np.finfo(np.float64).eps:
-                model.add_inducing(env, col=col)
-                added = -1
+            if m < 2:
+                # robust variant of the beta > eps guard (active.py:824-826):
+                # in f32 the covloss of near-duplicate environments rounds
+                # to exactly 0, which would deadlock the seeding phase, so
+                # test for duplication on the kernel column directly
+                if col is None:
+                    col = model.kern_X_env(env)
+                kmax = float(col.max()) if len(col) else 0.0
+                if kmax < 1.0 - 1e-6:
+                    model.add_inducing(env, col=col)
+                    added = -1
         else:
             ediff = self.ediff if m > 1 else np.finfo(np.float64).eps
             added, _delta = model.add_1inducing(env, ediff)
