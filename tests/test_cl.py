@@ -177,3 +177,25 @@ def test_tape_tools(in_tmp):
     write_xyz("t.extxyz", [s.copy() for _ in range(10)])
     n = slice_traj("t.extxyz", "t2.extxyz", "::3")
     assert n == 4
+
+
+def test_md_device_dynamics(in_tmp):
+    """cl.md dynamics='DEVICE' path (device-resident integrator)."""
+    import autoforce_tpu.cl as cline
+
+    write_ARGS(
+        in_tmp,
+        calculator="LJ",
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl=None, tape=None, logfile=None,
+        ediff=0.05, fdiff=0.1,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.md import md
+
+    atoms = bulk_fcc("Cu", 3.6)
+    atoms.rattle(0.03, seed=1)
+    md(atoms, dynamics="DEVICE", tem=200.0, dt=2.0, picos=-30,
+       trajectory="mdd.extxyz", ml_filter=0.0, loginterval=10)
+    assert os.path.isfile("mdd.extxyz")
+    assert np.isfinite(atoms.positions).all()
