@@ -362,6 +362,22 @@ class ActiveCalculator:
             self._lone = np.asarray(lone)[:n]
         return self._desc
 
+    def _host_alpha(self):
+        """Per-atom kernel diagonal k(x,x) for covloss normalization.
+
+        1 for the default normalized dot kernel; the alchemical mixing
+        changes descriptor norms (pair-term diagonals are handled on the
+        device path; the host sampling loop treats them as 1, which only
+        makes sampling slightly conservative)."""
+        if getattr(self.engine, "chemical", None):
+            p = self._get_desc()
+            a = (p * p).sum(axis=1)
+            if self.engine.kernel_kind == "dot":
+                a = a**self.engine.exponent
+            a = np.where(self._lone, a + 1.0, a)
+            return np.maximum(a, 1e-12)
+        return 1.0
+
     def _host_beta(self):
         """β from host-side cov/choli (active.py:781-804), updatable inside
         the sampling loop without device round-trips."""
@@ -369,17 +385,32 @@ class ActiveCalculator:
         if m == 0 or len(self.model.mu) != m:
             return np.full(len(self.system), inf)
         b = self.model.choli @ self._cov.T
-        c = (b * b).sum(axis=0)
+        c = (b * b).sum(axis=0) / self._host_alpha()
         beta = np.sqrt(np.clip(1.0 - c, 0.0, None))
         vs = self.model.vscale_for(self.system.numbers)
         return beta * np.sqrt(vs)
 
     def _extend_cov(self, env):
-        """Append the kernel column of a new inducing env to host cov."""
+        """Append the kernel column of a new inducing env to host cov
+        (respecting the base-kernel kind and the chemical central factor)."""
         p = self._get_desc()
-        col = (p @ env.desc) ** self.engine.exponent
-        col = col * (self.system.numbers == env.number)
+        model = self.model
+        col = model._base_kernel(p @ env.desc)
+        central = np.array(
+            [model._central(int(z), env.number) for z in self.system.numbers]
+        )
+        col = col * central
         col = col + ((self._lone & env.lone) & (self.system.numbers == env.number))
+        if self.engine.pair_terms:
+            from ..pairkernels import pair_kernel_envs_np
+
+            terms = self.engine.pair_terms
+            col = col + np.array(
+                [
+                    pair_kernel_envs_np(self.extract_env(i), env, terms)
+                    for i in range(len(self.system))
+                ]
+            )
         self._cov = np.concatenate([self._cov, col[:, None]], axis=1)
 
     # --------------------------------------------------------------- the LCEs
@@ -464,7 +495,8 @@ class ActiveCalculator:
         if beta is None:
             col = model.kern_X_env(env)
             b = model.choli @ col if model.m else np.zeros(0)
-            c = float(b @ b)
+            alpha = model.kern_env_env(env, env)
+            c = float(b @ b) / max(alpha, 1e-12)
             vscale = model.vscale.get(env.number, inf)
             beta = np.sqrt(max((1.0 - c) * vscale, 0.0))
         added = 0

@@ -608,10 +608,21 @@ class Engine:
             chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
         )
 
+    def grow_pair_kx(self, env):
+        """Grow the pair buffer bucket to fit this env (rare host event)."""
+        from .pairkernels import env_pair_counts
+
+        need = max(env_pair_counts(env, self.pair_terms) + [1])
+        if need > self.pair_kx:
+            self.pair_kx = round_up(need, 8)
+            return True
+        return False
+
     def env_pair_data(self, env):
         """Host: padded pair distances for one env (all pair terms)."""
         if not self.pair_terms:
             return None, None
+        self.grow_pair_kx(env)
         return stage_env_pairs(env, self.pair_terms, self.pair_kx)
 
     # ------------------------------------------------------------ model sync

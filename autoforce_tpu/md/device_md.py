@@ -128,6 +128,13 @@ class DeviceMD:
 
     def __init__(self, system, calc, dt, temperature_K=None, friction=0.01,
                  chunk=50, seed=0, check_beta=None):
+        from ..calculator.bcm import BCMActiveCalculator
+
+        if isinstance(calc, BCMActiveCalculator) and calc.experts:
+            raise NotImplementedError(
+                "DeviceMD drives a single SGPR model; BCM committees with "
+                "frozen experts must use the host MD drivers"
+            )
         self.system = system
         self.calc = calc  # ActiveCalculator
         self.dt = float(dt)

@@ -194,13 +194,15 @@ class VerletNeighborCache:
         cell = np.asarray(cell, dtype=np.float64)
         rebuild = self.table is None
         if not rebuild:
-            if positions.shape != self._pos.shape or not np.allclose(
-                cell, self._cell
-            ):
+            if positions.shape != self._pos.shape:
+                rebuild = True
+            elif np.abs(cell - self._cell).max() > 0.02 * self.skin:
+                # cell drift (e.g. NPT barostat) consumes skin budget too;
+                # tolerate tiny rescalings so NPT doesn't rebuild every step
                 rebuild = True
             else:
                 dmax2 = ((positions - self._pos) ** 2).sum(axis=1).max()
-                rebuild = dmax2 > (0.5 * self.skin) ** 2
+                rebuild = dmax2 > (0.45 * self.skin) ** 2
         if rebuild:
             self.table = neighbor_table(
                 positions, cell, pbc, self.cutoff + self.skin

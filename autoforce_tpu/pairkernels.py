@@ -121,6 +121,17 @@ def pair_diag(d, m, term: PairTerm):
     return term.signal**2 * (k * w).sum(axis=(1, 2))
 
 
+def env_pair_counts(env, terms):
+    """Per-term selected-pair counts (for buffer sizing)."""
+    out = []
+    for term in terms:
+        sel = ((env.number == term.a) & (env.numbers == term.b)) | (
+            (env.number == term.b) & (env.numbers == term.a)
+        )
+        out.append(int(sel.sum()))
+    return out
+
+
 def stage_env_pairs(env, terms, kx):
     """Host: padded (T, kx) distances + masks for an InducingEnv."""
     T = len(terms)

@@ -464,6 +464,9 @@ class SgprModel:
             while mcap < m:
                 mcap *= 2
             self._mcap = mcap
+            if self.engine.pair_terms:
+                for x in self.X:
+                    self.engine.grow_pair_kx(x)
             self._model_arrays = self.engine.model_arrays(
                 Xd, Xn, Xl, mu, ch, mcap=mcap, envs=self.X
             )
