@@ -153,16 +153,17 @@ class DeviceMD:
         eng = calc.engine
         done = 0
         first = True
+        need_host = True
         while done < steps:
-            if first or self.check_beta:
+            if first or (self.check_beta and need_host):
                 # full ActiveCalculator semantics (predict + maybe sample +
                 # log) at the boundary
                 system.calc = calc
                 system.get_potential_energy()
                 first = False
             else:
-                # inference-only boundary: just refresh the neighbor table /
-                # device config (no host predict round-trip needed)
+                # skin-only rebuild (uncertainty stayed below threshold):
+                # just refresh the neighbor table / device config
                 calc.system = system
                 calc._make_cfg(system)
             model = calc.model
@@ -203,6 +204,9 @@ class DeviceMD:
                 kind=eng.kernel_kind,
             )
             ndone = int(i)
+            # host attention only needed if the uncertainty tripped (the
+            # chunk then stopped at the exact step sampling is due)
+            need_host = self.check_beta and float(beta_max) >= beta_thresh
             system.set_positions(np.asarray(pos)[: len(system)])
             system.set_velocities(np.asarray(vel)[: len(system)])
             if ndone == 0:

@@ -199,3 +199,57 @@ def test_md_device_dynamics(in_tmp):
        trajectory="mdd.extxyz", ml_filter=0.0, loginterval=10)
     assert os.path.isfile("mdd.extxyz")
     assert np.isfinite(atoms.positions).all()
+
+
+def test_init_model_and_singlepoint(in_tmp):
+    import autoforce_tpu.cl as cline
+
+    write_ARGS(
+        in_tmp,
+        calculator="LJ",
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl="model.pckl", tape=None, logfile=None,
+        ediff=0.02, fdiff=0.06,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.init_model import init_model
+
+    atoms = bulk_fcc("Cu", 3.6)
+    calc = init_model(atoms, samples=2, rattle=0.05)
+    assert calc.size[1] >= 1
+    assert os.path.isdir("model.pckl")
+
+    from autoforce_tpu.cl.singlepoint import singlepoint
+
+    res = singlepoint(bulk_fcc("Cu", 3.6), output="sp.extxyz")
+    assert np.isfinite(res["energy"])
+    assert os.path.isfile("sp.extxyz")
+
+
+def test_offline_cli(in_tmp):
+    import autoforce_tpu.cl as cline
+    from autoforce_tpu.calculator.oracles import LennardJones
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    frames = []
+    for k in range(3):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=30 + k)
+        s.calc = lj
+        s.calc = SinglePointCalculator(
+            s, energy=s.copy().__class__ and lj.calculate(s)["energy"],
+            forces=lj.calculate(s)["forces"], stress=lj.calculate(s)["stress"],
+        )
+        frames.append(s)
+    write_xyz("off.extxyz", frames)
+    write_ARGS(
+        in_tmp,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl=None, tape=None, logfile=None,
+        ediff=0.02, fdiff=0.06,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.offline import offline
+
+    calc = offline("off.extxyz")
+    assert calc.size[0] >= 1 and calc.size[1] >= 1
