@@ -322,8 +322,14 @@ class SgprModel:
             if self.data
             else np.zeros(0)
         )
+        def _vir(rec):
+            try:
+                return rec.s * rec.system.volume
+            except ValueError:  # non-periodic: stress rows are zeros
+                return np.zeros(6)
+
         virials = (
-            np.concatenate([rec.s * rec.system.volume for rec in self.data])
+            np.concatenate([_vir(rec) for rec in self.data])
             if self.data
             else np.zeros(0)
         )

@@ -74,3 +74,59 @@ def test_include_tape_roundtrip(tmp_path, monkeypatch):
     r1 = calc.calculate(s.copy())
     r2 = calc2.calculate(s.copy())
     assert np.abs(r1["forces"] - r2["forces"]).mean() < 0.3
+
+
+def test_water_dimer_relax_neb(tmp_path, monkeypatch):
+    """Config 3 analog: molecular relax + NEB with a pre-trained model on a
+    multi-species toy oracle."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.parametric import (
+        ParametricCalculator,
+        get_lj_terms,
+    )
+    from autoforce_tpu.opt import FIRE, LBFGS, NEB
+    from autoforce_tpu.opt.neb import interpolate_images
+    from autoforce_tpu.system import System
+
+    oracle = ParametricCalculator(
+        get_lj_terms([(8, 8), (8, 1), (1, 1)], epsilon=0.25, sigma=1.6,
+                     rc=6.0, trainable=False),
+        rc=6.0,
+    )
+    calc = ActiveCalculator(
+        covariance=None, calculator=oracle, logfile=None, pckl=None,
+        tape=None, kernel_kw=dict(cutoff=6.0, lmax=3, nmax=3),
+        ediff=0.005, ediff_tot=0.02, fdiff=0.02, seed=12,
+    )
+    dimer = System(
+        symbols=["O", "H", "H", "O", "H", "H"],
+        positions=[
+            [0, 0, 0], [1.7, 0.3, 0], [-0.3, 1.7, 0],
+            [3.6, 0, 0], [4.9, 1.0, 0], [4.9, -1.0, 0],
+        ],
+    )
+    dimer.calc = calc
+    LBFGS(dimer, maxstep=0.1).run(fmax=0.05, steps=150)
+    e_ml = dimer.get_potential_energy()
+    check = dimer.copy()
+    check.calc = oracle
+    assert abs(e_ml - check.get_potential_energy()) < 0.12
+
+    # NEB between the relaxed dimer and its mirror
+    last = dimer.copy()
+    last.positions = last.positions[[3, 4, 5, 0, 1, 2]]
+    images = interpolate_images(dimer, last, 5)
+    for im in images:
+        im.calc = calc
+    band = NEB(images, k=1.0, climb=False)
+    FIRE(band, dt=0.05, maxstep=0.1).run(fmax=0.1, steps=120)
+    barrier_ml = band.barrier()
+    # oracle barrier along the ML-relaxed path
+    e_or = []
+    for im in images:
+        t = im.copy()
+        t.calc = oracle
+        e_or.append(t.get_potential_energy())
+    barrier_or = max(e_or) - e_or[0]
+    assert np.isfinite(barrier_ml)
+    assert abs(barrier_ml - barrier_or) < max(0.3 * abs(barrier_or), 0.1)
