@@ -625,6 +625,10 @@ class ActiveCalculator:
         (active.py:753-761)."""
         rec = self.model.data[-1]
         energy, forces, stress = self._exact(rec.system)
+        if not (np.isfinite(energy) and np.isfinite(forces).all()):
+            self.log("rejected exact data with non-finite targets")
+            self.model.pop_1data()
+            return
         rec.e = float(energy)
         rec.f = np.asarray(forces).copy()
         rec.s = np.asarray(stress).copy()
@@ -681,6 +685,11 @@ class ActiveCalculator:
                     return 0
         n0 = model.ndata
         rec = self.snapshot(fake=try_fake)
+        if not (np.isfinite(rec.e) and np.isfinite(rec.f).all()):
+            # a diverged oracle result (e.g. overlapping atoms) must never
+            # poison the regression
+            self.log("rejected data with non-finite targets")
+            return 0
         a, de, df = self.add_1atoms_fast(rec)
         added = model.ndata - n0
         self.log(f"DF: {df}  accept: {added}")

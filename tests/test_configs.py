@@ -112,9 +112,11 @@ def test_water_dimer_relax_neb(tmp_path, monkeypatch):
     check.calc = oracle
     assert abs(e_ml - check.get_potential_energy()) < 0.12
 
-    # NEB between the relaxed dimer and its mirror
+    # NEB: slide molecule B sideways around molecule A (no coincidences)
     last = dimer.copy()
-    last.positions = last.positions[[3, 4, 5, 0, 1, 2]]
+    last.positions = last.positions + np.array(
+        3 * [[0.0, 0.0, 0.0]] + 3 * [[0.0, 3.0, 0.0]]
+    )
     images = interpolate_images(dimer, last, 5)
     for im in images:
         im.calc = calc
