@@ -625,7 +625,7 @@ class ActiveCalculator:
         (active.py:753-761)."""
         rec = self.model.data[-1]
         energy, forces, stress = self._exact(rec.system)
-        if not (np.isfinite(energy) and np.isfinite(forces).all()):
+        if not (np.all(np.isfinite(energy)) and np.isfinite(forces).all()):
             self.log("rejected exact data with non-finite targets")
             self.model.pop_1data()
             return
@@ -685,7 +685,7 @@ class ActiveCalculator:
                     return 0
         n0 = model.ndata
         rec = self.snapshot(fake=try_fake)
-        if not (np.isfinite(rec.e) and np.isfinite(rec.f).all()):
+        if not (np.isfinite(rec.e).all() and np.isfinite(rec.f).all()):
             # a diverged oracle result (e.g. overlapping atoms) must never
             # poison the regression
             self.log("rejected data with non-finite targets")
