@@ -573,7 +573,7 @@ class ActiveCalculator:
             )
             if self.blind:
                 self.log("model may be blind -> go robust")
-        self.covlog = f"{float(beta[order[0]]) if len(beta) else 0.0}"
+        self.covlog = f"{float(beta.max()) if len(beta) else 0.0}"
         return added
 
     # ----------------------------------------------------------- structures

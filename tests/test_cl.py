@@ -235,11 +235,8 @@ def test_offline_cli(in_tmp):
     for k in range(3):
         s = bulk_fcc("Cu", 3.6)
         s.rattle(0.08, seed=30 + k)
-        s.calc = lj
-        s.calc = SinglePointCalculator(
-            s, energy=s.copy().__class__ and lj.calculate(s)["energy"],
-            forces=lj.calculate(s)["forces"], stress=lj.calculate(s)["stress"],
-        )
+        res = lj.calculate(s)
+        s.calc = SinglePointCalculator(s, **res)
         frames.append(s)
     write_xyz("off.extxyz", frames)
     write_ARGS(
