@@ -105,6 +105,10 @@ class ActiveCalculator:
         self.pckl = pckl
         self.mesh = mesh
         self._get_model(covariance, kernel_kw or {})
+        if mesh is not None:
+            # SPMD predict + training covariance over the mesh (the engine
+            # dispatches every kernel configuration uniformly; parallel/mesh.py)
+            self.engine.mesh = mesh
         self.ediff = ediff
         self.ediff_lb = ediff_lb if ediff_lb is not None else ediff
         self.ediff_ub = ediff_ub if ediff_ub is not None else ediff
@@ -314,10 +318,7 @@ class ActiveCalculator:
         n = len(self.system)
         ma = self.model.full_model_arrays()
         vs = self.model.vscale_for(np.asarray(self.cfg.numbers))
-        if self.mesh is not None:
-            e, f, w, cov, beta = self._predict_sharded(ma, vs)
-        else:
-            e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
+        e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
         energy = float(e) + self.model.mean_energy(self.system.numbers)
         forces = np.asarray(f)[:n]
         try:
@@ -333,26 +334,6 @@ class ActiveCalculator:
         self._cov = np.asarray(cov)[:n, : self.model.m]
         self._desc = None  # fetched lazily in the sampling loop
         return self.results
-
-    def _predict_sharded(self, ma, vs):
-        """SPMD predict over the calculator's mesh (SURVEY.md §2.2):
-        atoms over 'data', inducing set over 'model'."""
-        from ..parallel.mesh import sharded_inputs_from, sharded_predict
-
-        if self.engine.pair_terms:
-            raise NotImplementedError(
-                "pair kernels + mesh sharding: run them on the replicated path"
-            )
-        vs_safe = np.where(np.isfinite(vs), vs, 1e30)
-        args = sharded_inputs_from(
-            self.cfg, ma, self.engine.radii_table(), vs_safe, self.mesh
-        )
-        e, f, w, beta, cov = sharded_predict(
-            *args, mesh=self.mesh, params=self.engine.params,
-            exponent=self.engine.exponent,
-        )
-        npad = self.cfg.npad
-        return e, f[:npad], w, cov[:npad], beta[:npad]
 
     def _get_desc(self):
         if self._desc is None:
@@ -402,14 +383,12 @@ class ActiveCalculator:
         col = col * central
         col = col + ((self._lone & env.lone) & (self.system.numbers == env.number))
         if self.engine.pair_terms:
-            from ..pairkernels import pair_kernel_envs_np
+            from ..pairkernels import pair_cols_config_np
 
-            terms = self.engine.pair_terms
-            col = col + np.array(
-                [
-                    pair_kernel_envs_np(self.extract_env(i), env, terms)
-                    for i in range(len(self.system))
-                ]
+            col = col + pair_cols_config_np(
+                self.system.positions, self.system.cell,
+                np.asarray(self.system.numbers), self._nl,
+                self.engine.params.rc, env, self.engine.pair_terms,
             )
         self._cov = np.concatenate([self._cov, col[:, None]], axis=1)
 
@@ -456,13 +435,19 @@ class ActiveCalculator:
         self.save_model()
 
     def get_unique_lces(self, thresh=0.95):
-        """Greedy kernel-similarity filter (active.py:632-653)."""
+        """Greedy kernel-similarity filter (active.py:632-653).
+
+        Vectorized: one boolean "still novel" mask updated per accepted
+        LCE, so the scan is O(n * n_unique) numpy ops instead of O(n^2)
+        python (safe at the 10k-atom scale)."""
         k = np.asarray(self.engine.gram_self(self.cfg))
         n = len(self.system)
         unique = []
+        novel = np.ones(n, dtype=bool)
         for i in range(n):
-            if all(k[i, j] < thresh for j in unique):
+            if novel[i]:
                 unique.append(i)
+                novel &= k[:n, i] < thresh
         return unique
 
     def sample_rand_lces(self, indices=None, repeat=1):
@@ -510,10 +495,21 @@ class ActiveCalculator:
                 # robust variant of the beta > eps guard (active.py:824-826):
                 # in f32 the covloss of near-duplicate environments rounds
                 # to exactly 0, which would deadlock the seeding phase, so
-                # test for duplication on the kernel column directly
+                # test for duplication on the kernel column directly —
+                # normalized by the diagonals k(x,x), k(y,y) so pair terms
+                # and unnormalized base kinds (column values > 1 for
+                # non-duplicates) cannot permanently block a species at m<2
                 if col is None:
                     col = model.kern_X_env(env)
-                kmax = float(col.max()) if len(col) else 0.0
+                if len(col):
+                    a_env = model.kern_env_env(env, env)
+                    diag = np.array(
+                        [model.kern_env_env(x, x) for x in model.X]
+                    )
+                    sim = col / np.sqrt(np.maximum(diag * a_env, 1e-24))
+                    kmax = float(sim.max())
+                else:
+                    kmax = 0.0
                 if kmax < 1.0 - 1e-6:
                     model.add_inducing(env, col=col)
                     added = -1

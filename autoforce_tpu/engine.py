@@ -83,11 +83,19 @@ class EnvArrays(NamedTuple):
 # --------------------------------------------------------------------------
 
 
-def _env_rvec(positions, cell, cfg: ConfigArrays):
+def _env_rvec(positions, cell, cfg: ConfigArrays, oidx=None):
+    """Neighbor displacement vectors.
+
+    ``oidx`` maps table rows to global position rows: under the mesh the
+    per-atom tables are sharded over 'data' while positions stay global
+    (neighbors cross shard boundaries), so row i of the local table refers
+    to atom ``oidx[i]``.  None means rows and positions are aligned.
+    """
     dtype = positions.dtype
+    own = positions if oidx is None else positions[oidx]
     rvec = (
         positions[cfg.nbr_idx]
-        - positions[:, None, :]
+        - own[:, None, :]
         + cfg.nbr_off.astype(dtype) @ cell
     )
     return rvec
@@ -111,8 +119,8 @@ def _central_factor(z1, z2, chem_z, dtype):
     return chem_z[z1[:, None], z2[None, :]].astype(dtype)
 
 
-def _config_descriptors(positions, cell, cfg, radii, params):
-    rvec = _env_rvec(positions, cell, cfg)
+def _config_descriptors(positions, cell, cfg, radii, params, oidx=None):
+    rvec = _env_rvec(positions, cell, cfg, oidx)
     mask = cfg.nbr_mask & cfg.atom_mask[:, None]
     p = sesoap_descriptors(rvec, cfg.nbr_sidx, mask, radii, params)
     # neighbor tables may carry skin-buffered pairs beyond rc (inert in the
@@ -125,34 +133,35 @@ def _config_descriptors(positions, cell, cfg, radii, params):
 
 def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
                exponent, pair_terms, pair_d, pair_mask, chem_z=None,
-               mixL=None, kind="dot"):
+               mixL=None, kind="dot", oidx=None):
     """SOAP covariance block + optional 2-body pair-kernel contributions
     (EnergyForceKernel.base_kerns sums kernels, gppotential.py:81-84).
 
     Returns (cov, lone, alpha) with alpha = per-LCE kernel diagonal (needed
     for covloss normalization when pair terms or alchemical mixing break
-    k(x,x)=1)."""
-    p, lone = _config_descriptors(posd, celld, cfg, radii, params)
+    k(x,x)=1).  ``oidx``: see :func:`_env_rvec` (sharded row blocks)."""
+    p, lone = _config_descriptors(posd, celld, cfg, radii, params, oidx)
+    nrows = cfg.nbr_mask.shape[0]
     nsp = radii.shape[0]
     p = _chem_mix(p, mixL, nsp)
     cov = gram(p, cfg.numbers, lone, X_desc, X_num, X_lone, exponent,
                chem=None if chem_z is None else chem_z, kind=kind)
     if mixL is None and kind != "rbf":
-        alpha = jnp.ones(cfg.positions.shape[0], dtype=posd.dtype)
+        alpha = jnp.ones(nrows, dtype=posd.dtype)
     elif kind == "rbf":
-        alpha = jnp.ones(cfg.positions.shape[0], dtype=posd.dtype)
+        alpha = jnp.ones(nrows, dtype=posd.dtype)
     else:
         alpha = (p * p).sum(axis=-1) ** exponent
         alpha = jnp.where(lone, alpha + 1.0, alpha)
         alpha = jnp.maximum(alpha, 1e-12)
     if pair_terms:
-        rvec = _env_rvec(posd, celld, cfg)
+        rvec = _env_rvec(posd, celld, cfg, oidx)
         d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
         nbrz = znum[jnp.clip(cfg.nbr_sidx, 0, znum.shape[0] - 1)]
         mask = cfg.nbr_mask & cfg.atom_mask[:, None]
         for t, term in enumerate(pair_terms):
             m1 = config_pair_mask(term, cfg.numbers, nbrz, cfg.nbr_idx,
-                                  cfg.nbr_off, mask)
+                                  cfg.nbr_off, mask, own_idx=oidx)
             cov = cov + pair_gram(d, m1, pair_d[t], pair_mask[t], term)
             alpha = alpha + pair_diag(d, m1, term)
     return cov, lone, alpha
@@ -216,7 +225,7 @@ def gram_self_fn(cfg: ConfigArrays, radii, params, exponent, znum=None,
 
 def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
                 znum=None, pair_terms=(), x_pd=None, x_pm=None, chem_z=None,
-                mixL=None, kind="dot"):
+                mixL=None, kind="dot", oidx=None, psum_axes=None):
     one = jnp.eye(3, dtype=pos.dtype) + eps
     posd = pos @ one
     celld = cfg.cell @ one
@@ -225,10 +234,15 @@ def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
     col, lone, _ = _total_cov(
         posd, celld, cfg, x_desc[None], x_num[None], x_lone[None],
         radii, znum, params, exponent, pair_terms, pd, pm,
-        chem_z=chem_z, mixL=mixL, kind=kind,
+        chem_z=chem_z, mixL=mixL, kind=kind, oidx=oidx,
     )
     col = col[:, 0] * cfg.atom_mask
-    return col.sum()
+    s = col.sum()
+    if psum_axes is not None:
+        # sharded row block: sum partial Ke over the 'data' axis; the VJP of
+        # this psum makes dpos/deps come out globally reduced as well
+        s = jax.lax.psum(s, psum_axes)
+    return s
 
 
 @partial(jax.jit, static_argnames=("params", "exponent", "pair_terms", "kind"))
@@ -248,6 +262,29 @@ def kernel_col_fn(cfg: ConfigArrays, x_desc, x_num, x_lone, radii, params,
     kf = -dpos * cfg.atom_mask[:, None]
     kv = 0.5 * (deps + deps.T)
     return ke, kf, kv
+
+
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms", "kind"))
+def kernel_col_batch_fn(cfgs: ConfigArrays, x_desc, x_num, x_lone, radii,
+                        params, exponent, znum=None, pair_terms=(), x_pd=None,
+                        x_pm=None, chem_z=None, mixL=None, kind="dot"):
+    """kernel_col of ONE inducing env against a BATCH of configurations.
+
+    ``cfgs`` is a ConfigArrays whose leaves carry a leading record axis
+    (same npad/kpad bucket).  One vmapped dispatch replaces the reference's
+    per-structure loop when a column is appended during add_inducing
+    (gppotential.py:746-752) — O(ndata) device calls become O(1).
+    """
+
+    def one(cfg):
+        eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
+        ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
+            cfg.positions, eps0, cfg, x_desc, x_num, x_lone, radii, params,
+            exponent, znum, pair_terms, x_pd, x_pm, chem_z, mixL, kind,
+        )
+        return ke, -dpos * cfg.atom_mask[:, None], 0.5 * (deps + deps.T)
+
+    return jax.vmap(one)(cfgs)
 
 
 @partial(jax.jit, static_argnames=("params", "exponent", "batch_size", "pair_terms", "kind"))
@@ -405,7 +442,8 @@ class Engine:
     """Host wrapper: species table, buckets, device state, compile cache."""
 
     def __init__(self, params: SoapParams = None, exponent=4, radii=None,
-                 species=None, dtype=None, pair_terms=(), chemical=None):
+                 species=None, dtype=None, pair_terms=(), chemical=None,
+                 mesh=None):
         self.params = params or SoapParams()
         self.exponent = int(exponent)
         self.radii = as_radii(radii if radii is not None else 1.0)
@@ -418,6 +456,10 @@ class Engine:
         # base kernel on descriptors: 'dot' (DotProd**zeta, default),
         # 'rbf' (RBF on unit-norm descriptors), 'normed' (plain dot)
         self.kernel_kind = "dot"
+        # ('data', 'model') device mesh; when set, predict and the training
+        # covariance blocks run SPMD (parallel/mesh.py) instead of
+        # single-device — the reference's MPI layer (SURVEY.md §2.1/2.2)
+        self.mesh = mesh
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -561,6 +603,20 @@ class Engine:
 
     def predict(self, cfg: ConfigArrays, model: ModelArrays, vscale_atom):
         chem_z, mixL = self.chem_args()
+        if self.mesh is not None:
+            from .parallel.mesh import mesh_pad, sharded_predict
+
+            cfg2, model2, oidx, vs2 = mesh_pad(
+                cfg, model, vscale_atom, self.mesh, dtype=self.dtype
+            )
+            e, f, w, cov, beta = sharded_predict(
+                cfg2, model2, self.radii_table(), vs2, oidx, mesh=self.mesh,
+                params=self.params, exponent=self.exponent,
+                znum=self.znum_table(), pair_terms=self.pair_terms,
+                chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
+            )
+            npad, mcap = cfg.npad, model.mu.shape[0]
+            return e, f[:npad], w, cov[:npad, :mcap], beta[:npad]
         return predict_fn(
             cfg, model, self.radii_table(),
             jnp.asarray(vscale_atom, dtype=self.dtype),
@@ -587,8 +643,45 @@ class Engine:
             chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
         )
 
+    def kernel_col_batch(self, cfg_list, x_desc, x_num, x_lone,
+                         x_pd=None, x_pm=None):
+        """(ke, kf, kv) of one inducing env against a list of same-bucket
+        configurations in ONE device dispatch (see kernel_col_batch_fn)."""
+        if self.pair_terms and x_pd is None:
+            x_pd = np.zeros((len(self.pair_terms), self.pair_kx))
+            x_pm = np.zeros((len(self.pair_terms), self.pair_kx), dtype=bool)
+        chem_z, mixL = self.chem_args()
+        cfgs = jax.tree.map(lambda *xs: jnp.stack(xs), *cfg_list)
+        return kernel_col_batch_fn(
+            cfgs,
+            jnp.asarray(x_desc, dtype=self.dtype),
+            jnp.asarray(np.int32(x_num)),
+            jnp.asarray(bool(x_lone)),
+            self.radii_table(), self.params, self.exponent,
+            znum=self.znum_table(), pair_terms=self.pair_terms,
+            x_pd=jnp.asarray(x_pd, dtype=self.dtype) if x_pd is not None else None,
+            x_pm=jnp.asarray(x_pm) if x_pm is not None else None,
+            chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
+        )
+
     def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16,
                      method="auto"):
+        if self.mesh is not None:
+            from .parallel.mesh import mesh_pad, sharded_kernel_block
+
+            chem_z, mixL = self.chem_args()
+            cfg2, model2, oidx, _ = mesh_pad(
+                cfg, model, np.zeros(cfg.npad), self.mesh, dtype=self.dtype
+            )
+            ke, kf, kv = sharded_kernel_block(
+                cfg2, model2, self.radii_table(), oidx, mesh=self.mesh,
+                params=self.params, exponent=self.exponent,
+                batch_size=batch_size, znum=self.znum_table(),
+                pair_terms=self.pair_terms, chem_z=chem_z, mixL=mixL,
+                kind=self.kernel_kind,
+            )
+            npad, mcap = cfg.npad, model.mu.shape[0]
+            return ke[:mcap], kf[:npad, :, :mcap], kv[..., :mcap]
         m = int(np.asarray(model.m_mask).sum())
         if method == "auto":
             method = (

@@ -65,12 +65,19 @@ def _lex3(off):
 
 
 def config_pair_mask(term: PairTerm, numbers, nbr_numbers, nbr_idx, nbr_off,
-                     nbr_mask):
-    """Species selection + dedup for all LCEs of a configuration."""
+                     nbr_mask, own_idx=None):
+    """Species selection + dedup for all LCEs of a configuration.
+
+    ``own_idx``: global atom index of each table row (sharded row blocks
+    where ``nbr_idx`` holds global indices); None = rows are 0..n-1.
+    """
     zi = numbers[:, None]
     zj = nbr_numbers
     sel = ((zi == term.a) & (zj == term.b)) | ((zi == term.b) & (zj == term.a))
-    row = jnp.arange(numbers.shape[0])[:, None]
+    if own_idx is None:
+        row = jnp.arange(numbers.shape[0])[:, None]
+    else:
+        row = own_idx[:, None]
     dedup = (nbr_idx > row) | ((nbr_idx == row) & _lex3(nbr_off))
     return sel & nbr_mask & dedup
 
@@ -171,6 +178,68 @@ def env_pair_list(env, term):
         (env.number == term.b) & (env.numbers == term.a)
     )
     return np.linalg.norm(env.rvec[sel], axis=1)
+
+
+def pair_kernel_env_vs_stage_np(env, d2, m2, terms):
+    """(m,) pair-kernel column of one env against staged (T, m, kx)
+    distance/mask arrays — the vectorized form of the per-env
+    pair_kernel_envs_np loop (reference pair.py forward over LocalsData)."""
+    out = np.zeros(d2.shape[1])
+    for t, term in enumerate(terms):
+        d1 = env_pair_list(env, term)
+        if d1.size == 0:
+            continue
+        x1 = _np_psi(d1, term)[:, None, None]
+        f1 = _np_factor(d1, term)[:, None, None]
+        x2 = _np_psi(d2[t], term)[None]
+        f2 = (_np_factor(d2[t], term) * m2[t])[None]
+        k = np.exp(-((x1 - x2) ** 2) / (2 * term.lengthscale**2))
+        out += term.signal**2 * (k * f1 * f2).sum(axis=(0, 2))
+    return out
+
+
+def pair_cols_config_np(positions, cell, numbers, nl, rc, env, terms,
+                        chunk=2048):
+    """(N,) pair-kernel column of every LCE of a configuration against one
+    detached env — vectorized over atoms (replaces the O(N) python
+    extract_env loop in the sampling path)."""
+    n = len(numbers)
+    out = np.zeros(n)
+    have = [env_pair_list(env, term) for term in terms]
+    if all(d.size == 0 for d in have):
+        return out
+    idx = nl.idx
+    off = nl.off
+    msk = nl.mask
+    for lo in range(0, n, chunk):
+        sl = slice(lo, min(lo + chunk, n))
+        r = (
+            positions[idx[sl]]
+            - positions[sl][:, None, :]
+            + off[sl] @ cell
+        )
+        d = np.linalg.norm(r, axis=-1)
+        within = msk[sl] & (d <= rc)
+        zi = numbers[sl][:, None]
+        zj = numbers[idx[sl]]
+        for t, term in enumerate(terms):
+            d1 = have[t]
+            if d1.size == 0:
+                continue
+            sel = ((zi == term.a) & (zj == term.b)) | (
+                (zi == term.b) & (zj == term.a)
+            )
+            f = _np_factor(d, term) * (sel & within)
+            x = _np_psi(d, term)
+            x2 = _np_psi(d1, term)[None, None, :]
+            f2 = _np_factor(d1, term)[None, None, :]
+            k = np.exp(
+                -((x[:, :, None] - x2) ** 2) / (2 * term.lengthscale**2)
+            )
+            out[sl] += term.signal**2 * (
+                k * f[:, :, None] * f2
+            ).sum(axis=(1, 2))
+    return out
 
 
 def pair_kernel_envs_np(env1, env2, terms):

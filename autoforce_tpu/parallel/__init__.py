@@ -1,3 +1,3 @@
-from .mesh import make_mesh, sharded_predict
+from .mesh import make_mesh, mesh_pad, sharded_kernel_block, sharded_predict
 
-__all__ = ["make_mesh", "sharded_predict"]
+__all__ = ["make_mesh", "mesh_pad", "sharded_kernel_block", "sharded_predict"]

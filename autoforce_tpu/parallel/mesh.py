@@ -10,11 +10,21 @@ util/parallel.py — SURVEY.md §2.1/2.2) with XLA collectives over ICI:
     (reference all_reduce, active.py:557-611).
   * the **inducing axis** is sharded over mesh axis ``"model"`` — the
     tensor-parallel analog of the reference's row-split Gram matrices
-    (`method_forker`, util/parallel.py:101-143); the per-atom uncertainty
-    needs full kernel rows, obtained with one ``all_gather`` over "model".
+    (`method_forker`, util/parallel.py:101-143); full kernel rows are
+    obtained with one ``all_gather`` over "model".
+
+Both the PREDICT path (:func:`sharded_predict`) and the TRAINING
+covariance path (:func:`sharded_kernel_block`, the `method_forker` analog
+applied at similarity/similarity.py:17-35) are built on the same engine
+internals (`engine._total_cov`), so every kernel configuration — pair
+terms, alchemical similarity, rbf/normed base kinds — is covered
+uniformly, like the reference's MPI row split.
 
 Model state (mu, choli) is replicated, matching the reference's
-rank-0-solve + broadcast idiom (gppotential.py:548-605).
+rank-0-solve + broadcast idiom (gppotential.py:548-605).  Positions stay
+globally replicated (neighbors cross shard boundaries); the per-atom
+neighbor tables are sharded, with ``own_idx`` mapping table rows to
+global atom indices.
 """
 
 from __future__ import annotations
@@ -26,103 +36,59 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..descriptor.soap import sesoap_descriptors
-from ..kernels import gram
+from ..engine import ConfigArrays, ModelArrays, _col_energy, _total_cov
 
 
 def make_mesh(n_data=None, n_model=1, devices=None):
     """Create a ('data', 'model') mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()
     n_data = n_data if n_data is not None else len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)} ({devices[0].platform})"
+        )
     dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev, ("data", "model"))
 
 
-@partial(jax.jit, static_argnames=("mesh", "params", "exponent"))
-def sharded_predict(
-    positions,  # (N, 3) replicated
-    cell,  # (3, 3) replicated
-    numbers,  # (N,) replicated
-    atom_mask,  # (N,) sharded over 'data'
-    own_idx,  # (N,) global row index of each padded atom, sharded 'data'
-    nbr_idx,  # (N, K) sharded 'data'
-    nbr_off,  # (N, K, 3) sharded 'data'
-    nbr_sidx,  # (N, K) sharded 'data'
-    nbr_mask,  # (N, K) sharded 'data'
-    X_desc,  # (M, D) sharded over 'model'
-    X_num,  # (M,) sharded 'model'
-    X_lone,  # (M,) sharded 'model'
-    m_mask,  # (M,) sharded 'model'
-    mu,  # (M,) sharded 'model'
-    choli,  # (M, M) replicated
-    radii,  # (S,) replicated
-    vscale_atom,  # (N,) sharded 'data'
-    mesh,
-    params,
-    exponent,
-):
-    """Fused sharded MD step.
+def _cfg_spec():
+    """Per-leaf partition specs of a sharded ConfigArrays: positions/cell
+    replicated (neighbors cross shards), per-atom tables over 'data'."""
+    return ConfigArrays(
+        positions=P(),
+        cell=P(),
+        numbers=P("data"),
+        atom_mask=P("data"),
+        nbr_idx=P("data"),
+        nbr_off=P("data"),
+        nbr_sidx=P("data"),
+        nbr_mask=P("data"),
+    )
 
-    Returns (E, forces(N,3), virial(3,3), beta(N,), cov(N,M)); the pair-
-    kernel terms are currently single-device only (compose them on the
-    replicated path or extend block_fn analogously).
+
+def _model_spec(model: ModelArrays):
+    """Per-leaf partition specs of a sharded ModelArrays: inducing axis
+    over 'model', choli replicated (needed whole for covloss)."""
+    return ModelArrays(
+        X_desc=P("model"),
+        X_num=P("model"),
+        X_lone=P("model"),
+        m_mask=P("model"),
+        mu=P("model"),
+        choli=P(),
+        pair_d=None if model.pair_d is None else P(None, "model"),
+        pair_mask=None if model.pair_mask is None else P(None, "model"),
+    )
+
+
+def mesh_pad(cfg: ConfigArrays, model: ModelArrays, vscale_atom, mesh,
+             dtype=None):
+    """Pad a (ConfigArrays, ModelArrays) pair to mesh-divisible sizes.
+
+    Returns (cfg2, model2, own_idx, vscale2); slice outputs back with the
+    original npad / mcap.
     """
-
-    def block_fn(
-        pos, cell, numbers, amask, oidx, nidx, noff, nsidx, nmask,
-        Xd, Xn, Xl, mm, mub, chol, rad, vsc,
-    ):
-        def global_energy(p_all, eps):
-            one = jnp.eye(3, dtype=p_all.dtype) + eps
-            posd = p_all @ one
-            celld = cell @ one
-            rvec = posd[nidx] - posd[oidx][:, None, :] + noff.astype(p_all.dtype) @ celld
-            mask = nmask & amask[:, None]
-            p = sesoap_descriptors(rvec, nsidx, mask, rad, params)
-            lone = amask & ~mask.any(axis=1)
-            cov = gram(p, numbers[oidx], lone, Xd, Xn, Xl, exponent)
-            cov = cov * (amask[:, None] & mm[None, :])
-            # the psum (reference all_reduce) is differentiated through, so
-            # gradients of the replicated inputs come out globally reduced
-            e = jax.lax.psum((cov @ mub).sum(), ("data", "model"))
-            return e, cov
-
-        eps0 = jnp.zeros((3, 3), dtype=pos.dtype)
-        (e, cov_blk), (dpos, deps) = jax.value_and_grad(
-            global_energy, argnums=(0, 1), has_aux=True
-        )(pos, eps0)
-        forces = -dpos
-        virial = 0.5 * (deps + deps.T)
-        # uncertainty needs full kernel rows: gather over the model axis
-        cov_full = jax.lax.all_gather(cov_blk, "model", axis=1, tiled=True)
-        cov_full = jax.lax.pmean(cov_full, "model")  # provably replicated
-        b = chol @ cov_full.T
-        c = (b * b).sum(axis=0)
-        beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vsc)
-        beta = jnp.where(amask, beta, -jnp.inf)
-        return e, forces, virial, beta, cov_full
-
-    fn = jax.shard_map(
-        block_fn,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P("data"), P("data"), P("data"), P("data"),
-            P("data"), P("data"),
-            P("model"), P("model"), P("model"), P("model"), P("model"),
-            P(), P(), P("data"),
-        ),
-        out_specs=(P(), P(), P(), P("data"), P("data")),
-    )
-    return fn(
-        positions, cell, numbers, atom_mask, own_idx, nbr_idx, nbr_off,
-        nbr_sidx, nbr_mask, X_desc, X_num, X_lone, m_mask, mu, choli,
-        radii, vscale_atom,
-    )
-
-
-def sharded_inputs_from(cfg, model, radii, vscale_atom, mesh):
-    """Pad a (ConfigArrays, ModelArrays) pair to mesh-divisible sizes and
-    return the argument tuple for :func:`sharded_predict`."""
     nd = mesh.shape["data"]
     nm = mesh.shape["model"]
     npad = cfg.positions.shape[0]
@@ -139,23 +105,165 @@ def sharded_inputs_from(cfg, model, radii, vscale_atom, mesh):
     n2 = -(-npad // nd) * nd
     m2 = -(-mpad // nm) * nm
     own_idx = jnp.arange(n2, dtype=jnp.int32)
-    args = (
-        pad_to(cfg.positions, n2),
-        cfg.cell,
-        pad_to(cfg.numbers, n2),
-        pad_to(cfg.atom_mask, n2),
-        own_idx,
-        pad_to(cfg.nbr_idx, n2),
-        pad_to(cfg.nbr_off, n2),
-        pad_to(cfg.nbr_sidx, n2),
-        pad_to(cfg.nbr_mask, n2),
-        pad_to(model.X_desc, m2),
-        pad_to(model.X_num, m2),
-        pad_to(model.X_lone, m2),
-        pad_to(model.m_mask, m2),
-        pad_to(model.mu, m2),
-        pad_to(pad_to(model.choli, m2, 0), m2, 1),
-        radii,
-        pad_to(jnp.asarray(vscale_atom, dtype=cfg.positions.dtype), n2),
+    cfg2 = ConfigArrays(
+        positions=pad_to(cfg.positions, n2),
+        cell=cfg.cell,
+        numbers=pad_to(cfg.numbers, n2),
+        atom_mask=pad_to(cfg.atom_mask, n2),
+        nbr_idx=pad_to(cfg.nbr_idx, n2),
+        nbr_off=pad_to(cfg.nbr_off, n2),
+        nbr_sidx=pad_to(cfg.nbr_sidx, n2),
+        nbr_mask=pad_to(cfg.nbr_mask, n2),
     )
-    return args
+    model2 = ModelArrays(
+        X_desc=pad_to(model.X_desc, m2),
+        X_num=pad_to(model.X_num, m2),
+        X_lone=pad_to(model.X_lone, m2),
+        m_mask=pad_to(model.m_mask, m2),
+        mu=pad_to(model.mu, m2),
+        choli=pad_to(pad_to(model.choli, m2, 0), m2, 1),
+        pair_d=None if model.pair_d is None else pad_to(model.pair_d, m2, 1),
+        pair_mask=(
+            None if model.pair_mask is None else pad_to(model.pair_mask, m2, 1)
+        ),
+    )
+    vs = jnp.asarray(vscale_atom, dtype=dtype or cfg.positions.dtype)
+    return cfg2, model2, own_idx, pad_to(vs, n2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "params", "exponent", "pair_terms", "kind"),
+)
+def sharded_predict(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
+                    own_idx, mesh, params, exponent, znum=None, pair_terms=(),
+                    chem_z=None, mixL=None, kind="dot"):
+    """Fused sharded MD step (same contract as engine.predict_fn).
+
+    Returns (E, forces(N,3), virial(3,3), cov(N,M), beta(N,)); every
+    kernel configuration of the replicated path (pair terms, chemical,
+    rbf/normed kinds) is supported — the covariance block comes from the
+    same `_total_cov` the single-device path uses.
+    """
+
+    def block_fn(cfg_l, model_l, rad, vs, oidx):
+        def global_energy(pos, eps):
+            one = jnp.eye(3, dtype=pos.dtype) + eps
+            posd = pos @ one
+            celld = cfg_l.cell @ one
+            cov, lone, alpha = _total_cov(
+                posd, celld, cfg_l, model_l.X_desc, model_l.X_num,
+                model_l.X_lone, rad, znum, params, exponent, pair_terms,
+                model_l.pair_d, model_l.pair_mask, chem_z=chem_z, mixL=mixL,
+                kind=kind, oidx=oidx,
+            )
+            cov = cov * (cfg_l.atom_mask[:, None] & model_l.m_mask[None, :])
+            # the psum (reference all_reduce) is differentiated through, so
+            # gradients of the replicated inputs come out globally reduced
+            e = jax.lax.psum((cov @ model_l.mu).sum(), ("data", "model"))
+            return e, (cov, alpha)
+
+        eps0 = jnp.zeros((3, 3), dtype=cfg_l.positions.dtype)
+        (e, (cov_blk, alpha)), (dpos, deps) = jax.value_and_grad(
+            global_energy, argnums=(0, 1), has_aux=True
+        )(cfg_l.positions, eps0)
+        forces = -dpos
+        virial = 0.5 * (deps + deps.T)
+        # uncertainty needs full kernel rows: gather over the model axis
+        cov_full = jax.lax.all_gather(cov_blk, "model", axis=1, tiled=True)
+        cov_full = jax.lax.pmean(cov_full, "model")  # provably replicated
+        b = model_l.choli @ cov_full.T
+        c = (b * b).sum(axis=0) / alpha
+        beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vs)
+        beta = jnp.where(cfg_l.atom_mask, beta, -jnp.inf)
+        return e, forces, virial, cov_full, beta
+
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"), P("data")),
+        out_specs=(P(), P(), P(), P("data"), P("data")),
+    )
+    return fn(cfg, model, radii, vscale_atom, own_idx)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "params", "exponent", "batch_size", "pair_terms", "kind",
+    ),
+)
+def sharded_kernel_block(cfg: ConfigArrays, model: ModelArrays, radii, own_idx,
+                         mesh, params, exponent, batch_size=16, znum=None,
+                         pair_terms=(), chem_z=None, mixL=None, kind="dot"):
+    """(Ke row, Kf block, Kv block) of a configuration vs the inducing set,
+    sharded: inducing columns over 'model', atom rows over 'data'.
+
+    The TPU analog of the reference's row-parallel Gram construction
+    during model updates (`method_forker`, util/parallel.py:101-143): each
+    device computes its (atom-block x inducing-block) partial VJPs; partial
+    Ke/Kf/Kv are psum-reduced over 'data' and the column blocks
+    all_gather-ed over 'model', so every device holds the full block
+    (reference broadcast reassembly, parallel.py:129-135).
+
+    Same contract as engine.kernel_block_fn: ke (M,), kf (N, 3, M),
+    kv (3, 3, M).
+    """
+    T = len(pair_terms)
+
+    def block_fn(cfg_l, model_l, rad, oidx):
+        # mark the differentiated inputs device-varying: otherwise shard_map
+        # AD auto-psums the position cotangent over ALL mesh axes (since
+        # positions are replicated), double-counting rows and mixing the
+        # per-'model'-shard columns.  With pcast-to-varying the VJP stays local and the
+        # single explicit psum over 'data' below is the only reduction.
+        pos0 = jax.lax.pcast(cfg_l.positions, ("data", "model"), to="varying")
+        eps0 = jax.lax.pcast(
+            jnp.zeros((3, 3), dtype=cfg_l.positions.dtype),
+            ("data", "model"), to="varying",
+        )
+        mloc = model_l.mu.shape[0]
+        if T:
+            pd_all = jnp.moveaxis(model_l.pair_d, 0, 1)  # (Mb, T, KX)
+            pm_all = jnp.moveaxis(model_l.pair_mask, 0, 1)
+        else:
+            pd_all = jnp.zeros((mloc, 0, 0))
+            pm_all = jnp.zeros((mloc, 0, 0), dtype=bool)
+
+        def one(x):
+            x_desc, x_num, x_lone, x_pd, x_pm = x
+            ke, (dpos, deps) = jax.value_and_grad(_col_energy, argnums=(0, 1))(
+                pos0, eps0, cfg_l, x_desc, x_num, x_lone, rad,
+                params, exponent, znum, pair_terms,
+                x_pd if T else None, x_pm if T else None, chem_z, mixL, kind,
+                oidx, None,
+            )
+            return ke, -dpos, 0.5 * (deps + deps.T)
+
+        # local partial sums over this device's atom rows, one VJP per
+        # owned inducing column
+        ke, kf, kv = jax.lax.map(
+            one,
+            (model_l.X_desc, model_l.X_num, model_l.X_lone, pd_all, pm_all),
+            batch_size=batch_size,
+        )
+        # reduce partial row sums over 'data' (linear, so summing the
+        # stacked per-column VJPs is exact); the column blocks stay sharded
+        # over 'model' — the out_specs reassemble the full matrix (the
+        # reference's all_gather/broadcast step, parallel.py:129-135, done
+        # by XLA's output layout instead of an explicit collective)
+        ke, kf, kv = jax.lax.psum((ke, kf, kv), "data")
+        # ke: (Mb,), kf: (Mb, N, 3), kv: (Mb, 3, 3) per device
+        return ke, jnp.moveaxis(kf, 0, -1), jnp.moveaxis(kv, 0, -1)
+
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data")),
+        out_specs=(
+            P("model"),
+            P(None, None, "model"),
+            P(None, None, "model"),
+        ),
+    )
+    return fn(cfg, model, radii, own_idx)

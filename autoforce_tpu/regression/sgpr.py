@@ -86,6 +86,7 @@ class SgprModel:
         self.vscale = {}
         self.stats = None
         self._model_arrays = None
+        self._pair_stage = None
         self._mcap = 0
 
     # ------------------------------------------------------------ properties
@@ -127,6 +128,7 @@ class SgprModel:
         for rec in self.data:
             rec.cfg = self.engine.make_config(rec.system)
         self._model_arrays = None
+        self._pair_stage = None
 
     def stage_env(self, env: InducingEnv):
         envs = self.engine.make_envs([(env.rvec, env.numbers)])
@@ -164,6 +166,26 @@ class SgprModel:
             k += pair_kernel_envs_np(a, b, self.engine.pair_terms)
         return k
 
+    def pair_stage(self):
+        """Cached (T, m, kx) pair distances/masks of the inducing set
+        (invalidated whenever X changes)."""
+        if self._pair_stage is None:
+            from ..pairkernels import stage_env_pairs
+
+            terms = self.engine.pair_terms
+            for x in self.X:
+                self.engine.grow_pair_kx(x)
+            kx = self.engine.pair_kx
+            T = len(terms)
+            d = np.zeros((T, self.m, kx))
+            mm = np.zeros((T, self.m, kx), dtype=bool)
+            for i, x in enumerate(self.X):
+                di, mi = stage_env_pairs(x, terms, kx)
+                d[:, i] = di
+                mm[:, i] = mi
+            self._pair_stage = (d, mm)
+        return self._pair_stage
+
     def kern_X_env(self, env: InducingEnv):
         """(m,) kernel column of env against the inducing set."""
         if self.m == 0:
@@ -175,30 +197,59 @@ class SgprModel:
         col = self._base_kernel(Xd @ env.desc) * central
         col = col + ((lo & env.lone) & (zs == env.number)) * 1.0
         if self.engine.pair_terms:
-            from ..pairkernels import pair_kernel_envs_np
+            from ..pairkernels import pair_kernel_env_vs_stage_np
 
-            terms = self.engine.pair_terms
-            col = col + np.array(
-                [pair_kernel_envs_np(x, env, terms) for x in self.X]
+            d2, m2 = self.pair_stage()
+            col = col + pair_kernel_env_vs_stage_np(
+                env, d2, m2, self.engine.pair_terms
             )
         return col
 
     # --------------------------------------------------- incremental updates
+    def _column_blocks(self, env: InducingEnv, x_pd, x_pm):
+        """(Ke, Kf, Kv) column entries of one env against ALL data records.
+
+        Records are grouped by config-shape bucket and each group runs as
+        ONE vmapped device dispatch (padded to a power-of-two batch so the
+        jit cache stays small) — the reference's per-structure kern loop
+        (gppotential.py:746-752) without the O(ndata) dispatch storm.
+        """
+        n = self.ndata
+        ke_col = np.zeros(n)
+        kf_col: list = [None] * n
+        kv_col: list = [None] * n
+        groups: dict = {}
+        for i, rec in enumerate(self.data):
+            key = (rec.cfg.positions.shape, rec.cfg.nbr_idx.shape)
+            groups.setdefault(key, []).append(i)
+        for idxs in groups.values():
+            for lo in range(0, len(idxs), 32):
+                chunk = idxs[lo : lo + 32]
+                b = 1
+                while b < len(chunk):
+                    b *= 2
+                cfg_list = [self.data[i].cfg for i in chunk]
+                cfg_list += [cfg_list[-1]] * (b - len(chunk))
+                ke, kf, kv = self.engine.kernel_col_batch(
+                    cfg_list, env.desc, env.number, env.lone,
+                    x_pd=x_pd, x_pm=x_pm,
+                )
+                ke = np.asarray(ke)
+                kf = np.asarray(kf)
+                kv = np.asarray(kv)
+                for j, i in enumerate(chunk):
+                    rec = self.data[i]
+                    ke_col[i] = ke[j]
+                    kf_col[i] = kf[j][: rec.natoms].reshape(-1)
+                    kv_col[i] = voigt6(kv[j])
+        return list(ke_col), kf_col, kv_col
+
     def add_inducing(self, env: InducingEnv, col=None, remake=True):
         """Append one inducing column (gppotential.py:745-771)."""
         if env.desc is None:
             self.stage_env(env)
-        ke_col = []
-        kf_col = []
-        kv_col = []
         x_pd, x_pm = self.engine.env_pair_data(env)
-        for rec in self.data:
-            ke, kf, kv = self.engine.kernel_col(
-                rec.cfg, env.desc, env.number, env.lone, x_pd=x_pd, x_pm=x_pm
-            )
-            ke_col.append(float(ke))
-            kf_col.append(np.asarray(kf)[: rec.natoms].reshape(-1))
-            kv_col.append(voigt6(kv))
+        ke_col, kf_col, kv_col = self._column_blocks(env, x_pd, x_pm)
         a = self.kern_X_env(env) if col is None else np.asarray(col).reshape(-1)
         b = self.kern_env_env(env, env)
         m = self.m
@@ -221,6 +272,7 @@ class SgprModel:
             self.Kv = np.zeros((0, m + 1))
         self.X.append(env)
         self._model_arrays = None
+        self._pair_stage = None
         if remake:
             self.make_munu()
 
@@ -280,6 +332,7 @@ class SgprModel:
         self.M = self.M[sl, sl]
         self.X.pop(0 if first else -1)
         self._model_arrays = None
+        self._pair_stage = None
         if remake:
             self.make_munu()
 
@@ -291,6 +344,7 @@ class SgprModel:
         self.M = self.M[np.ix_(i, i)]
         self.X = [self.X[j] for j in i]
         self._model_arrays = None
+        self._pair_stage = None
         if remake:
             self.make_munu()
 

@@ -1,13 +1,21 @@
-"""Benchmark: MD predict steps/sec at ~1k atoms (SGPR SOAP potential).
+"""Benchmark: MD predict steps/sec at ~1k and ~10k atoms (SGPR SOAP).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+Prints ONE JSON line with the headline metric plus diagnostics:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N,
+   "ms_per_step": ..., "std_steps_per_sec": ..., "est_mfu": ...,
+   "flops_per_step": ..., "natoms": 1008, "scale_10k": {...}}
 
-The baseline is the measured throughput of an independent torch/double
-reimplementation of the reference's per-step computational pattern (the
-reference itself cannot run here — it requires ASE; see
-baselines/torch_baseline.py).  The measured baseline is cached in
-bench_baseline.json so TPU runs don't re-pay the slow torch measurement.
+- value/vs_baseline: Langevin MD steps/sec at 1008 atoms vs the measured
+  torch/double reimplementation of the reference's per-step pattern
+  (the reference itself cannot run here — it requires ASE; see
+  baselines/torch_baseline.py).  Cached in bench_baseline.json.
+- est_mfu: XLA-reported FLOPs of the fused predict step (forward + VJP)
+  divided by measured step time and chip peak (bf16 MXU peak for the
+  detected device kind).  The engine runs matmuls at 'highest' precision
+  (3-pass bf16, CLAUDE.md), so the practically reachable ceiling is ~1/3
+  of that peak — est_mfu is the honest fraction of nominal peak.
+- scale_10k: the same measurement at 10192 atoms (the 10k-atom regime of
+  the reference's BCM+LAMMPS headline config, SURVEY.md §6).
 """
 
 import json
@@ -29,10 +37,20 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NATOMS_REPS = (6, 6, 7)  # 4 * 252 = 1008 atoms
+REPS_10K = (13, 14, 14)  # 4 * 2548 = 10192 atoms
 M_INDUCING = 256
 RC = 6.0
 LMAX = NMAX = 3
-STEPS = 20
+SKIN = 1.2  # swept in round 1: 0.3/0.9/1.2/1.6/2.0 -> optimum ~1.2 at 300 K
+
+# nominal bf16 MXU peak per chip (public numbers)
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
 
 
 def build_workload(cache_dir=os.path.join(HERE, "baselines", "bench_model.pckl")):
@@ -47,9 +65,7 @@ def build_workload(cache_dir=os.path.join(HERE, "baselines", "bench_model.pckl")
 
         model = load_model(cache_dir)
         if model.m == M_INDUCING:
-            big = bulk_fcc("Cu", 3.6).repeat(NATOMS_REPS)
-            big.rattle(0.05, seed=1)
-            return model.engine, model, big
+            return model.engine, model
 
     eng = Engine(params=SoapParams(lmax=LMAX, nmax=NMAX, rc=RC), exponent=4,
                  species=[29])
@@ -91,16 +107,46 @@ def build_workload(cache_dir=os.path.join(HERE, "baselines", "bench_model.pckl")
         from autoforce_tpu.io.model_io import save_model
 
         save_model(model, cache_dir)
-
-    big = bulk_fcc("Cu", 3.6).repeat(NATOMS_REPS)
-    big.rattle(0.05, seed=1)
-    return eng, model, big
+    return eng, model
 
 
-def measure_ours_device_md(eng, model, system, steps=300, chunk=100):
+def make_system(reps):
+    from autoforce_tpu.system import bulk_fcc
+
+    s = bulk_fcc("Cu", 3.6).repeat(reps)
+    s.rattle(0.05, seed=1)
+    return s
+
+
+def flops_per_step(eng, model, system):
+    """XLA-reported FLOPs of the fused predict step (fwd + VJP) — the
+    per-MD-step device work (integrator adds O(N) negligible flops)."""
+    from autoforce_tpu.engine import predict_fn
+
+    cfg = eng.make_config(system)
+    ma = model.full_model_arrays()
+    vs = np.ones(cfg.npad)
+    import jax.numpy as jnp
+
+    try:
+        lowered = predict_fn.lower(
+            cfg, ma, eng.radii_table(),
+            jnp.asarray(vs, dtype=cfg.positions.dtype),
+            eng.params, eng.exponent,
+            znum=eng.znum_table(),
+        )
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def measure_device_md(eng, model, system, steps=300, chunk=100, repeats=3,
+                      warmup=150):
     """Headline: real Langevin MD with the device-resident integrator
     (forces + thermostat + integration on-chip; host re-entry only for
-    Verlet-skin neighbor rebuilds)."""
+    Verlet-skin neighbor rebuilds).  Returns per-repeat steps/sec."""
     from autoforce_tpu import units
     from autoforce_tpu.calculator.active import ActiveCalculator
     from autoforce_tpu.md.device_md import DeviceMD
@@ -108,55 +154,20 @@ def measure_ours_device_md(eng, model, system, steps=300, chunk=100):
 
     calc = ActiveCalculator(
         covariance=model, calculator=None, logfile=None, pckl=None, tape=None,
-        skin=1.2,  # swept: 0.3/0.6/0.9/1.2/1.6/2.0 -> optimum ~1.2 at 300 K
+        skin=SKIN,
     )
     system = system.copy()
     system.calc = calc
     maxwell_boltzmann_velocities(system, 300, seed=3)
     dyn = DeviceMD(system, calc, dt=2 * units.fs, temperature_K=300,
                    friction=0.02, chunk=chunk, check_beta=False)
-    dyn.run(150)  # warmup: compile + let the neighbor bucket settle
-    t0 = time.time()
-    dyn.run(steps)
-    dt = (time.time() - t0) / steps
-    return 1.0 / dt
-
-
-def measure_ours(eng, model, system):
-    """Honest MD predict loop: atoms drift ~0.02 A/step, the Verlet-skin
-    neighbor cache rebuilds when needed, forces fetched every step."""
-    import jax.numpy as jnp
-
-    from autoforce_tpu.neighbors import VerletNeighborCache
-
-    ma = model.full_model_arrays()
-    cache = VerletNeighborCache(RC, skin=0.3)
-    rng = np.random.default_rng(2)
-
-    table, _ = cache.update(system.positions, system.cell, system.pbc)
-    kpad = table.kmax
-    cfg = eng.make_config(system, table=table)
-    vs = jnp.asarray(np.ones(cfg.npad), dtype=cfg.positions.dtype)
-
-    # warmup/compile
-    e, f, w, cov, beta = eng.predict(cfg, ma, vs)
-    np.asarray(f)
-
-    t_start = time.time()
-    for _ in range(STEPS):
-        system.positions = system.positions + rng.normal(0, 0.02, (len(system), 3))
-        table, rebuilt = cache.update(system.positions, system.cell, system.pbc)
-        if rebuilt:
-            kpad = max(kpad, table.kmax)
-            cfg = eng.make_config(
-                system, npad=cfg.npad, kpad=kpad, table=table.pad_to(kpad)
-            )
-        else:
-            cfg = eng.update_positions(cfg, system)
-        e, f, w, cov, beta = eng.predict(cfg, ma, vs)
-        np.asarray(f)  # block: forces are needed to move atoms
-    dt = (time.time() - t_start) / STEPS
-    return 1.0 / dt
+    dyn.run(warmup)  # compile + let the neighbor bucket settle
+    out = []
+    for _ in range(repeats):
+        t0 = time.time()
+        dyn.run(steps)
+        out.append(steps / (time.time() - t0))
+    return out
 
 
 def measure_baseline(eng, model, system, cache="bench_baseline.json"):
@@ -183,20 +194,60 @@ def measure_baseline(eng, model, system, cache="bench_baseline.json"):
     return val, True
 
 
+def mfu(flops, steps_per_sec):
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    if peak is None or flops is None:
+        return None
+    return flops * steps_per_sec / peak
+
+
 def main():
-    eng, model, system = build_workload()
-    ours = measure_ours_device_md(eng, model, system)
+    eng, model = build_workload()
+
+    system = make_system(NATOMS_REPS)
+    fl = flops_per_step(eng, model, system)
+    runs = measure_device_md(eng, model, system)
+    ours = float(np.mean(runs))
+    std = float(np.std(runs))
+
+    scale = None
+    try:
+        big = make_system(REPS_10K)
+        fl10 = flops_per_step(eng, model, big)
+        runs10 = measure_device_md(eng, model, big, steps=100, warmup=50)
+        v10 = float(np.mean(runs10))
+        scale = {
+            "natoms": len(big),
+            "steps_per_sec": round(v10, 3),
+            "std_steps_per_sec": round(float(np.std(runs10)), 3),
+            "ms_per_step": round(1000.0 / v10, 3),
+            "est_mfu": round(mfu(fl10, v10), 4) if mfu(fl10, v10) else None,
+            "flops_per_step": fl10,
+        }
+    except Exception as err:
+        scale = {"error": repr(err)}
+
     try:
         base, fresh = measure_baseline(eng, model, system)
         vs = ours / base
     except Exception:
         base, vs = None, None
+
+    est = mfu(fl, ours)
     out = {
         "metric": f"Langevin MD steps/sec, {len(system)} atoms, m={model.m} "
                   "(SGPR SOAP, device-resident MD)",
         "value": round(ours, 3),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "ms_per_step": round(1000.0 / ours, 3),
+        "std_steps_per_sec": round(std, 3),
+        "est_mfu": round(est, 4) if est else None,
+        "flops_per_step": fl,
+        "natoms": len(system),
+        "device": jax.devices()[0].device_kind,
+        "scale_10k": scale,
     }
     print(json.dumps(out))
 

@@ -1,19 +1,34 @@
-"""Sharded predict == single-device predict, for several mesh shapes."""
+"""Sharded paths == single-device paths, for several mesh shapes and every
+kernel configuration (default / pair terms / chemical / rbf kind) — the
+TPU analog of the reference's uniform MPI kernel coverage
+(theforce/similarity/similarity.py:17-31)."""
 
 import jax
 import numpy as np
 import pytest
 
 from autoforce_tpu.engine import Engine
-from autoforce_tpu.parallel.mesh import make_mesh, sharded_inputs_from, sharded_predict
+from autoforce_tpu.parallel.mesh import make_mesh
 from autoforce_tpu.regression.sgpr import SgprModel
 from autoforce_tpu.system import bulk_fcc
 
 from test_engine import env_from_system, make_engine, make_system
 
 
-def build_state():
+def build_state(variant="default"):
     eng = make_engine()
+    if variant == "pair":
+        from autoforce_tpu.pairkernels import PairTerm
+
+        eng.pair_terms = (
+            PairTerm(a=29, b=29, rc=eng.params.rc, factor="polycut"),
+        )
+    elif variant == "chemical":
+        eng.chemical = "rbf"
+    elif variant == "rbf":
+        eng.kernel_kind = "rbf"
+    elif variant == "normed":
+        eng.kernel_kind = "normed"
     model = SgprModel(eng)
     for seed in range(5):
         model.add_inducing(env_from_system(eng, make_system(seed=seed), seed % 4),
@@ -29,25 +44,65 @@ def build_state():
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
-def test_matches_single_device(shape):
+@pytest.mark.parametrize("variant", ["default", "pair", "chemical", "rbf"])
+def test_predict_matches_single_device(shape, variant):
     assert len(jax.devices()) >= 8
-    eng, model, s = build_state()
+    eng, model, s = build_state(variant)
     cfg = eng.make_config(s)
     ma = model.full_model_arrays()
     vs = np.ones(cfg.npad)
     e0, f0, w0, cov0, b0 = eng.predict(cfg, ma, vs)
 
-    mesh = make_mesh(n_data=shape[0], n_model=shape[1])
-    args = sharded_inputs_from(cfg, ma, eng.radii_table(), vs, mesh)
-    e, f, w, beta, cov = sharded_predict(*args, mesh=mesh, params=eng.params,
-                                    exponent=eng.exponent)
+    eng.mesh = make_mesh(n_data=shape[0], n_model=shape[1])
+    e, f, w, cov, beta = eng.predict(cfg, ma, vs)
     np.testing.assert_allclose(float(e), float(e0), rtol=1e-10)
     n = len(s)
     np.testing.assert_allclose(np.asarray(f)[:n], np.asarray(f0)[:n], atol=1e-10)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w0), atol=1e-10)
     np.testing.assert_allclose(
+        np.asarray(cov)[:n], np.asarray(cov0)[:n], atol=1e-10
+    )
+    np.testing.assert_allclose(
         np.asarray(beta)[:n], np.asarray(b0)[:n], atol=1e-10
     )
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("variant", ["default", "pair"])
+def test_kernel_block_matches_single_device(shape, variant):
+    """Sharded training covariance (method_forker analog) == replicated."""
+    eng, model, s = build_state(variant)
+    cfg = eng.make_config(s)
+    ma = model.full_model_arrays()
+    ke0, kf0, kv0 = eng.kernel_block(cfg, ma, method="vjp")
+
+    eng.mesh = make_mesh(n_data=shape[0], n_model=shape[1])
+    ke, kf, kv = eng.kernel_block(cfg, ma)
+    np.testing.assert_allclose(np.asarray(ke), np.asarray(ke0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(kf), np.asarray(kf0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(kv0), atol=1e-10)
+
+
+def test_sharded_training_step_matches(tmp_path, monkeypatch):
+    """A full train step (add_data rows + host solve) over the mesh gives
+    the same mu/choli as the single-device step."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.regression.sgpr import DataRecord
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+
+    results = {}
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        eng, model, s = build_state()
+        eng.mesh = mesh
+        s.calc = lj
+        model.add_data(DataRecord.from_system(s), remake=False)
+        model.make_munu(optimize=True, noise_f=0.01)
+        results[mesh is None] = (model.mu.copy(), model.choli.copy(),
+                                 model.Ke.copy(), model.Kf.copy())
+    for a, b in zip(results[True], results[False]):
+        np.testing.assert_allclose(a, b, atol=1e-10)
 
 
 def test_active_calculator_with_mesh(tmp_path, monkeypatch):

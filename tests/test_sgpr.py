@@ -9,7 +9,7 @@ from autoforce_tpu.regression import solver
 from autoforce_tpu.regression.sgpr import DataRecord, InducingEnv, SgprModel
 from autoforce_tpu.system import bulk_fcc
 
-from test_engine import env_from_system
+from test_engine import env_from_system, make_engine, make_system
 
 
 def test_jitter_cholesky():
@@ -117,3 +117,41 @@ def test_add_pop_roundtrip():
     model.pop_1inducing()
     np.testing.assert_allclose(model.M, M0, atol=1e-12)
     np.testing.assert_allclose(model.mu, mu0, atol=1e-9)
+
+
+def test_add_inducing_column_batched_consistency(monkeypatch):
+    """The batched column path (one vmapped dispatch per shape bucket) must
+    match per-record kernel_col exactly, and add_inducing must issue O(1)
+    dispatches regardless of ndata (VERDICT r1 weak #3)."""
+    from autoforce_tpu import engine as engine_mod
+    from autoforce_tpu.calculator.oracles import LennardJones
+
+    eng = make_engine()
+    model = SgprModel(eng)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.0)
+    for seed in range(5):
+        s = make_system(seed=seed)
+        s.calc = lj
+        model.add_data(DataRecord.from_system(s), remake=False)
+    env = env_from_system(eng, make_system(seed=9), 2)
+    model.stage_env(env)
+
+    # reference: per-record kernel_col
+    cols = []
+    for rec in model.data:
+        ke, kf, kv = eng.kernel_col(rec.cfg, env.desc, env.number, env.lone)
+        cols.append((float(ke), np.asarray(kf)[: rec.natoms].reshape(-1)))
+
+    calls = {"n": 0}
+    orig = engine_mod.kernel_col_batch_fn
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(engine_mod, "kernel_col_batch_fn", counting)
+    ke_col, kf_col, kv_col = model._column_blocks(env, None, None)
+    assert calls["n"] == 1  # same bucket -> one dispatch for all 5 records
+    for i, (ke0, kf0) in enumerate(cols):
+        np.testing.assert_allclose(ke_col[i], ke0, atol=1e-12)
+        np.testing.assert_allclose(kf_col[i], kf0, atol=1e-12)
