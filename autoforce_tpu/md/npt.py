@@ -48,13 +48,16 @@ class BerendsenNPT(BerendsenNVT):
         pressure_GPa=0.0,
         taut=None,
         taup=None,
-        compressibility=4.57e-5,  # 1/bar-ish water default, in 1/GPa: ~0.046
+        compressibility=4.57e-5,  # in 1/bar (ASE NPTBerendsen convention);
+        # water's value — pass ~1/(B[GPa] * 1e4) for a solid of bulk
+        # modulus B.  Converted to internal 1/(eV/A^3) below: the barostat
+        # strength is beta * (dt/taup) * (P - P0) with P in eV/A^3.
         isotropic=True,
     ):
         super().__init__(system, dt, temperature_K, taut)
         self.pressure = float(pressure_GPa) * units.GPa
         self.taup = float(taup) if taup else 1000.0 * dt
-        self.compressibility = float(compressibility)
+        self.compressibility = float(compressibility) / units.bar
         self.isotropic = isotropic
 
     def step(self):

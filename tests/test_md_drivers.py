@@ -45,7 +45,7 @@ def test_berendsen_npt_relaxes_pressure():
     p0 = -np.mean(s.get_stress()[:3])
     dyn = BerendsenNPT(
         s, 2 * units.fs, temperature_K=100, pressure_GPa=0.0,
-        taut=50 * units.fs, taup=200 * units.fs, compressibility=0.05,
+        taut=50 * units.fs, taup=200 * units.fs,  # default beta (1/bar)
     )
     dyn.run(150)
     p1 = -np.mean(s.get_stress()[:3])
@@ -125,3 +125,106 @@ def test_socket_active_learning(tmp_path, monkeypatch):
     assert calc.size[0] >= 1 and calc.size[1] >= 1
     sc.close()
     t.join(timeout=5)
+
+
+def test_nose_hoover_nvt_canonical():
+    """NHC must give <T>=target AND canonical fluctuations
+    Var(T)/<T>^2 ~ 2/dof (Berendsen suppresses them) — VERDICT r1 #6."""
+    from autoforce_tpu.md import NoseHooverNVT
+
+    s = bulk_fcc("Ar", 5.26).repeat((3, 3, 3))  # 108 atoms
+    s.calc = LennardJones(epsilon=0.0104, sigma=3.4, rc=8.0)
+    maxwell_boltzmann_velocities(s, 60, seed=0)
+    dyn = NoseHooverNVT(s, 4 * units.fs, temperature_K=60, tdamp=80 * units.fs)
+    Ts, Es = [], []
+    for _ in range(150):
+        dyn.run(10)
+        Ts.append(s.get_temperature())
+        Es.append(dyn.conserved())
+    Ts = np.array(Ts[30:])
+    dof = 3 * len(s)
+    assert abs(Ts.mean() - 60) < 5, Ts.mean()
+    rel = Ts.std() / Ts.mean()
+    canonical = np.sqrt(2.0 / dof)
+    assert 0.5 * canonical < rel < 2.0 * canonical, (rel, canonical)
+    # conserved quantity must be conserved (not with Berendsen-style decay)
+    assert abs(Es[-1] - Es[0]) < 5e-3, (Es[0], Es[-1])
+
+
+def test_mtk_npt_pressure_and_temperature():
+    """MTK NPT: <P> -> target pressure, <T> -> target with canonical
+    fluctuations, volume responds to pressure (VERDICT r1 'Real NPT')."""
+    from autoforce_tpu.md import MTKNPT
+
+    vols = {}
+    for P in (0.0, 0.05):
+        s = bulk_fcc("Ar", 5.26).repeat((3, 3, 3))
+        s.calc = LennardJones(epsilon=0.0104, sigma=3.4, rc=8.0)
+        maxwell_boltzmann_velocities(s, 60, seed=1)
+        dyn = MTKNPT(s, 4 * units.fs, temperature_K=60, pressure_GPa=P,
+                     tdamp=80 * units.fs, pdamp=400 * units.fs)
+        Ps, Ts, Vs = [], [], []
+        for _ in range(200):
+            dyn.run(10)
+            st = s.get_stress()
+            m = s.get_masses()[:, None]
+            v = s.get_velocities()
+            pk = (m * v * v).sum() / 3.0 / s.volume
+            Ps.append(-(st[0] + st[1] + st[2]) / 3.0 + pk)
+            Ts.append(s.get_temperature())
+            Vs.append(s.volume)
+        Ps = np.array(Ps[70:]) / units.GPa
+        Ts = np.array(Ts[70:])
+        assert abs(Ps.mean() - P) < 0.02, (P, Ps.mean())
+        assert abs(Ts.mean() - 60) < 6, Ts.mean()
+        rel = Ts.std() / Ts.mean()
+        canonical = np.sqrt(2.0 / (3 * len(s)))
+        assert 0.4 * canonical < rel < 2.5 * canonical, (rel, canonical)
+        vols[P] = np.mean(Vs[70:])
+    assert vols[0.05] < vols[0.0]  # higher pressure -> smaller volume
+
+
+def test_mtk_npt_mask_and_iso():
+    """mask freezes strain components (reference ase NPT mask parity)."""
+    from autoforce_tpu.md import MTKNPT
+
+    s = bulk_fcc("Ar", 5.2).repeat((2, 2, 2))
+    s.calc = LennardJones(epsilon=0.0104, sigma=3.4, rc=7.0)
+    maxwell_boltzmann_velocities(s, 40, seed=2)
+    cell0 = np.asarray(s.cell).copy()
+    dyn = MTKNPT(s, 4 * units.fs, temperature_K=40, pressure_GPa=0.0,
+                 tdamp=80 * units.fs, pdamp=300 * units.fs,
+                 mask=np.array([1, 1, 0]))
+    dyn.run(300)
+    cell1 = np.asarray(s.cell)
+    # z-axis frozen, x/y moved
+    np.testing.assert_allclose(cell1[2], cell0[2], atol=1e-12)
+    assert abs(cell1[0, 0] - cell0[0, 0]) > 1e-3
+
+
+def test_cl_md_manual_steps_and_nh(tmp_path, monkeypatch):
+    """cl.md manual warmup primes the model (rattle + cell scaling single
+    points, reference cl/md.py:175-194) and the NPT path runs MTK."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import cl as cline
+    from autoforce_tpu.cl.md import md
+    from autoforce_tpu.system import bulk_fcc as bfcc
+
+    (tmp_path / "ARGS").write_text(
+        "calculator = 'LJ'\n"
+        "kernel_kw = dict(cutoff=4.0, lmax=2, nmax=2)\n"
+        "ediff = 0.1\n"
+        "fdiff = 0.2\n"
+        "logfile = 'active.log'\n"
+        "pckl = None\n"
+        "tape = None\n"
+    )
+    cline.refresh()
+    s = bfcc("Cu", 3.6).repeat((2, 2, 1))
+    md(s, dynamics="NPT", tem=200.0, picos=-8, bulk_modulus=140.0,
+       dt=2.0, ml_filter=0.0, eps_pos=0.03, eps_cell=0.03,
+       trajectory="md.extxyz", loginterval=4)
+    log = open("active.log").read()
+    assert "manual steps:" in log
+    assert "scale cell: 1.03" in log
+    assert (tmp_path / "md.extxyz").exists()
