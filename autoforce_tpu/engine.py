@@ -28,6 +28,7 @@ import numpy as np
 
 from .descriptor.radial import as_radii
 from .descriptor.soap import SoapParams, sesoap_descriptors
+from .kernelalgebra import KernelExpr
 from .kernels import covloss_beta, gram
 from .neighbors import neighbor_table, round_up
 from .pairkernels import (
@@ -146,7 +147,13 @@ def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
     p = _chem_mix(p, mixL, nsp)
     cov = gram(p, cfg.numbers, lone, X_desc, X_num, X_lone, exponent,
                chem=None if chem_z is None else chem_z, kind=kind)
-    if mixL is None and kind != "rbf":
+    if isinstance(kind, KernelExpr):
+        # alpha = k(x,x) = expr on the self-dot, plus the White
+        # same-environment variance (the true diagonal)
+        alpha = kind.value((p * p).sum(axis=-1)) + kind.white_diag()
+        alpha = jnp.where(lone, alpha + 1.0, alpha)
+        alpha = jnp.maximum(alpha, 1e-12)
+    elif mixL is None and kind != "rbf":
         alpha = jnp.ones(nrows, dtype=posd.dtype)
     elif kind == "rbf":
         alpha = jnp.ones(nrows, dtype=posd.dtype)
@@ -211,6 +218,9 @@ def gram_self_fn(cfg: ConfigArrays, radii, params, exponent, znum=None,
     p = _chem_mix(p, mixL, radii.shape[0])
     k = gram(p, cfg.numbers, lone, p, cfg.numbers, lone, exponent, chem=chem_z,
              kind=kind)
+    if isinstance(kind, KernelExpr):
+        # same-environment White variance belongs on the true diagonal
+        k = k + kind.white_diag() * jnp.eye(k.shape[0], dtype=k.dtype)
     if pair_terms:
         rvec = _env_rvec(cfg.positions, cfg.cell, cfg)
         d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
@@ -443,7 +453,7 @@ class Engine:
 
     def __init__(self, params: SoapParams = None, exponent=4, radii=None,
                  species=None, dtype=None, pair_terms=(), chemical=None,
-                 mesh=None):
+                 mesh=None, kernel=None):
         self.params = params or SoapParams()
         self.exponent = int(exponent)
         self.radii = as_radii(radii if radii is not None else 1.0)
@@ -454,8 +464,10 @@ class Engine:
         # None -> Dirac delta; 'rbf' -> element-embedding RBF
         self.chemical = chemical
         # base kernel on descriptors: 'dot' (DotProd**zeta, default),
-        # 'rbf' (RBF on unit-norm descriptors), 'normed' (plain dot)
-        self.kernel_kind = "dot"
+        # 'rbf' (RBF on unit-norm descriptors), 'normed' (plain dot), or
+        # any composable KernelExpr (kernelalgebra.py — the reference's
+        # full Add/Mul/Pow/Exp/White algebra, regression/kernel.py)
+        self.kernel_kind = kernel if kernel is not None else "dot"
         # ('data', 'model') device mesh; when set, predict and the training
         # covariance blocks run SPMD (parallel/mesh.py) instead of
         # single-device — the reference's MPI layer (SURVEY.md §2.1/2.2)

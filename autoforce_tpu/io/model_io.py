@@ -23,6 +23,24 @@ from ..system import SinglePointCalculator
 from .xyz import read_xyz, write_xyz
 
 
+def _kernel_state(kind):
+    """Serialize the base kernel: plain string kinds as-is, KernelExpr as
+    its eval-able state string (reference `gp` state files)."""
+    from ..kernelalgebra import KernelExpr
+
+    if isinstance(kind, KernelExpr):
+        return {"expr": kind.state}
+    return kind
+
+
+def _kernel_from_state(st):
+    if isinstance(st, dict) and "expr" in st:
+        from ..kernelalgebra import from_state
+
+        return from_state(st["expr"])
+    return st if st is not None else "dot"
+
+
 def _radii_state(radii):
     if isinstance(radii, UniformRadii):
         return {"type": "uniform", "value": radii.value}
@@ -61,6 +79,7 @@ def save_model(model: SgprModel, folder):
         "radii": _radii_state(eng.radii),
         "pair_terms": [vars(t) for t in eng.pair_terms],
         "chemical": eng.chemical,
+        "kernel_kind": _kernel_state(eng.kernel_kind),
         "noise_state": {str(k): float(v) for k, v in model.noise_state.items()},
         "scaled_noise": {str(k): float(v) for k, v in model.scaled_noise.items()},
         "mean_weights": {str(k): float(v) for k, v in model.mean_weights.items()},
@@ -119,6 +138,7 @@ def load_model(folder) -> SgprModel:
         species=meta["species"],
         pair_terms=tuple(PairTerm(**t) for t in meta.get("pair_terms", [])),
         chemical=meta.get("chemical"),
+        kernel=_kernel_from_state(meta.get("kernel_kind")),
     )
     model = SgprModel(engine)
     arr = np.load(os.path.join(folder, "arrays.npz"))

@@ -15,12 +15,18 @@ a mask, not control flow.
 
 import jax.numpy as jnp
 
+from .kernelalgebra import KernelExpr
+
 
 def base_kernel(dot, exponent, kind="dot", lengthscale=1.0):
     """Base-kernel algebra on normalized-descriptor dot products
     (reference regression/kernel.py): 'dot' -> (p.q)^zeta (DotProd**zeta),
     'rbf' -> exp((p.q - 1)/l^2)  (= RBF on unit-norm descriptors, since
-    ||p-q||^2 = 2 - 2 p.q), 'normed' -> plain p.q (Normed/DotProd)."""
+    ||p-q||^2 = 2 - 2 p.q), 'normed' -> plain p.q (Normed/DotProd) — or
+    any composable :class:`~autoforce_tpu.kernelalgebra.KernelExpr`
+    (e.g. ``DotProd()**4 + 0.01*White()``), the full reference algebra."""
+    if isinstance(kind, KernelExpr):
+        return kind.value(dot)
     if kind == "dot":
         return dot**exponent
     if kind == "rbf":

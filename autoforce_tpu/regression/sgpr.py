@@ -148,6 +148,10 @@ class SgprModel:
 
     def _base_kernel(self, dot):
         kind = getattr(self.engine, "kernel_kind", "dot")
+        from ..kernelalgebra import KernelExpr
+
+        if isinstance(kind, KernelExpr):
+            return np.asarray(kind.value(dot, xp=np))
         if kind == "rbf":
             return np.exp(dot - 1.0)
         if kind == "normed":
@@ -156,10 +160,16 @@ class SgprModel:
 
     def kern_env_env(self, a: InducingEnv, b: InducingEnv):
         """Host kernel between two staged environments."""
+        from ..kernelalgebra import KernelExpr
+
         c = self._central(a.number, b.number)
         k = c * self._base_kernel(float(np.dot(a.desc, b.desc)))
         if a.lone and b.lone and a.number == b.number:
             k += 1.0
+        kind = getattr(self.engine, "kernel_kind", "dot")
+        if a is b and isinstance(kind, KernelExpr):
+            # same-environment White variance (true diagonal only)
+            k += float(kind.white_diag(xp=np))
         if self.engine.pair_terms:
             from ..pairkernels import pair_kernel_envs_np
 
