@@ -19,7 +19,7 @@ import os
 import numpy as np
 
 from ..regression.sgpr import SgprModel
-from .active import ActiveCalculator, default_kernel_engine
+from .active import ActiveCalculator
 
 
 class BCMActiveCalculator(ActiveCalculator):
@@ -53,11 +53,16 @@ class BCMActiveCalculator(ActiveCalculator):
             max_inducing=max_inducing,
             **kw,
         )
-        # all experts must share the species table of the active engine
+        # all experts must share the species table of the active engine —
+        # including NEIGHBOR species: an expert env whose neighbors are
+        # absent from the table would restage with those neighbors
+        # silently masked out (species_index -> -1), corrupting its
+        # kernel values (same rule as include_tape/build)
         for ex in self.experts.values():
-            self.engine.ensure_species(
-                [z for x in ex.X for z in [x.number]]
-            )
+            for x in ex.X:
+                self.engine.ensure_species(
+                    np.concatenate([[x.number], x.numbers])
+                )
 
     def _key(self, k):
         return f"{self.pckl_head}_{k}"
@@ -66,8 +71,10 @@ class BCMActiveCalculator(ActiveCalculator):
         return self._key(k) + ".pckl"
 
     # ----------------------------------------------------------- prediction
-    def _expert_predict(self, model):
-        n = len(self.system)
+    def _expert_dispatch(self, model):
+        """Launch one expert's fused predict; returns device arrays
+        WITHOUT blocking (jax dispatch is async — the committee's device
+        calls overlap; fetch later)."""
         # experts keep their own engines; share our config by restaging on
         # our engine's species table (kernel values are table-invariant)
         if model.engine is not self.engine:
@@ -79,34 +86,43 @@ class BCMActiveCalculator(ActiveCalculator):
                 model.restage()
         ma = model.full_model_arrays()
         vs = model.vscale_for(np.asarray(self.cfg.numbers))
-        e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
-        return (
-            float(e) + model.mean_energy(self.system.numbers),
-            np.asarray(f)[:n],
-            np.asarray(w),
-            np.asarray(cov)[:n, : model.m],
-            np.asarray(beta)[:n],
-        )
+        return self.engine.predict(self.cfg, ma, vs)
 
     def _predict(self):
         n = len(self.system)
+        models = [
+            m
+            for m in [*self.experts.values(), self.model]
+            if m.m > 0 and len(m.mu) == m.m
+        ]
+        if not models:
+            # untrained: fall back to the base implementation
+            return super()._predict()
+        # phase 1: dispatch every expert (async device calls, no blocking
+        # host fetch in between — active_bcm.py:589-633's loop, concurrent)
+        pending = [(m, self._expert_dispatch(m)) for m in models]
+        # phase 2: fetch + combine with weights ~ -log(covmax)/covmax
         parts = []
-        self._expert_betas = []
-        for model in [*self.experts.values(), self.model]:
-            if model.m == 0 or len(model.mu) != model.m:
-                continue
-            e, f, w, cov, beta = self._expert_predict(model)
+        expert_floor = None
+        for model, (e, f, w, cov, beta) in pending:
+            beta = np.asarray(beta)[:n]
             covmax = float(beta.max()) if len(beta) else 1.0
             covmax = min(max(covmax, 1e-12), 1.0)
             scale = (-np.log(covmax) if covmax < 1.0 else 0.0) / covmax
-            parts.append((scale, e, f, w))
-            self._expert_betas.append(beta)
+            energy = float(e) + model.mean_energy(self.system.numbers)
+            parts.append((scale, energy, np.asarray(f)[:n], np.asarray(w)))
             if model is self.model:
-                self._cov = cov
+                self._cov = np.asarray(cov)[:n, : model.m]
                 self._desc = None
-        if not parts:
-            # untrained: fall back to the base implementation
-            return super()._predict()
+            else:
+                expert_floor = (
+                    beta
+                    if expert_floor is None
+                    else np.minimum(expert_floor, beta)
+                )
+        # frozen experts never change inside a step: cache their beta
+        # floor so the sampling loop only re-evaluates the live model
+        self._expert_beta_floor = expert_floor
         tot = sum(p[0] for p in parts)
         if tot <= 0:
             tot = len(parts)
@@ -125,13 +141,13 @@ class BCMActiveCalculator(ActiveCalculator):
         return self.results
 
     def _host_beta(self):
-        """min covloss over the committee (active_bcm.py:885-894)."""
+        """min covloss over the committee (active_bcm.py:885-894).  The
+        frozen experts' floor comes from the cached _predict dispatch; only
+        the live model's beta is recomputed inside the sampling loop."""
         beta = super()._host_beta()
-        for model in self.experts.values():
-            if model.m == 0:
-                continue
-            _, _, _, cov, b = self._expert_predict(model)
-            beta = np.minimum(beta, b)
+        floor = getattr(self, "_expert_beta_floor", None)
+        if floor is not None:
+            beta = np.minimum(beta, floor[: len(beta)])
         return beta
 
     # ------------------------------------------------------------- spawning
@@ -161,9 +177,7 @@ class BCMActiveCalculator(ActiveCalculator):
             from ..io.tape import SgprTape
 
             self.tape = SgprTape(self._key(self.pckl_id) + ".sgpr")
-        eng = default_kernel_engine()
-        eng.params = self.engine.params
-        eng.exponent = self.engine.exponent
-        eng.radii = self.engine.radii
-        eng.species = list(self.engine.species)
-        self.model = SgprModel(eng)
+        # full-config clone: pair terms, chemical similarity, base kernel
+        # and mesh must survive the expert freeze (a fresh default engine
+        # would silently change the committee's kernel)
+        self.model = SgprModel(self.engine.clone_config())

@@ -1,20 +1,27 @@
 """LAMMPS-driven MLMD via fix external pf/callback
-(counterpart of theforce/cl/lmp.py).
+(counterpart of theforce/cl/lmp.py:42-113).
 
 The LAMMPS input script must contain
     #AutoForce atomic_numbers={1: 29, ...}
     fix AutoForce all external pf/callback 1 1
 LAMMPS calls back into python each step; positions are gathered, the ML
 calculator predicts, and energy/forces/virial are pushed back.  Gated on
-the ``lammps`` python module being importable.
+the ``lammps`` python module being importable (the driver itself is
+testable with a mocked module, tests/test_lmp.py).
 """
 
 from __future__ import annotations
+
+import ast
+import re
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from ..system import System
 
+# pressure conversion: LAMMPS "nktv2p" per unit system (pressure unit
+# per energy/volume unit) — virial pushed back must be in P*V units
 NKTV2P = {
     "lj": 1.0,
     "real": 68568.415,
@@ -26,39 +33,68 @@ NKTV2P = {
     "nano": 1.0,
 }
 
-# unit conversion factors LAMMPS-unit-system -> eV/Angstrom
+# unit conversion factors LAMMPS-unit-system -> internal (eV / Angstrom)
 _DIST = {"metal": 1.0, "real": 1.0}
 _ENERGY = {"metal": 1.0, "real": 0.0433641}  # kcal/mol -> eV
 _FORCE = {"metal": 1.0, "real": 0.0433641}
 
 
+@dataclass
+class LammpsScript:
+    """Parsed LAMMPS input: the command list plus the AutoForce hooks."""
+
+    commands: list = field(default_factory=list)
+    units: str = "metal"
+    atomic_numbers: dict = None
+    fix_id: str = None
+    fix_index: int = None  # position of the fix command in `commands`
+
+    @classmethod
+    def parse(cls, path):
+        script = cls()
+        directive = re.compile(r"atomic_numbers\s*=\s*(\{[^}]*\})")
+        for raw in open(path):
+            if raw.lstrip().lower().startswith("#autoforce"):
+                m = directive.search(raw)
+                if m:
+                    table = ast.literal_eval(m.group(1))
+                    script.atomic_numbers = {
+                        int(k): int(v) for k, v in table.items()
+                    }
+                continue
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            tokens = line.split()
+            if tokens[0] == "units" and len(tokens) > 1:
+                script.units = tokens[1]
+            if (
+                tokens[0].lower() == "fix"
+                and len(tokens) > 2
+                and tokens[1].lower() == "autoforce"
+            ):
+                script.fix_id = tokens[1]
+                script.fix_index = len(script.commands)
+            script.commands.append(" ".join(tokens))
+        if script.fix_id is None:
+            raise RuntimeError("no 'fix AutoForce ... external' in the input script")
+        if script.atomic_numbers is None:
+            raise RuntimeError(
+                "missing '#AutoForce atomic_numbers={type: Z, ...}' directive"
+            )
+        return script
+
+
 def read_lammps_file(file):
-    commands = []
-    units = "metal"
-    fixID = None
-    fixIndex = None
-    scope = {}
-    for line in open(file):
-        if line.lower().startswith("#autoforce"):
-            exec(line[10:].strip(), scope)  # noqa: S102 (reference convention)
-            continue
-        if "#" in line:
-            line = line[: line.index("#")]
-        line = " ".join(line.split())
-        if not line:
-            continue
-        if line.startswith("units"):
-            units = line.split()[1]
-        if line.lower().startswith("fix autoforce"):
-            fixID = line.split()[1]
-            fixIndex = len(commands)
-        commands.append(line)
-    if fixID is None:
-        raise RuntimeError("no fix AutoForce in the input script!")
-    return units, scope["atomic_numbers"], fixID, fixIndex, commands
+    """Back-compat tuple view of :meth:`LammpsScript.parse`."""
+    s = LammpsScript.parse(file)
+    return s.units, s.atomic_numbers, s.fix_id, s.fix_index, s.commands
 
 
 class LammpsDriver:
+    """fix-external callback: gather LAMMPS state -> predict -> push
+    energy/forces/virial back in LAMMPS units."""
+
     def __init__(self, lmp, calc, units, map_numbers, fixID):
         self.lmp = lmp
         self.calc = calc
@@ -118,13 +154,15 @@ def main():
     parser = argparse.ArgumentParser(description="MLMD driven by LAMMPS")
     parser.add_argument("-i", "--input", default="in.lammps")
     args = parser.parse_args()
-    units, map_numbers, fixID, fixIndex, commands = read_lammps_file(args.input)
+    script = LammpsScript.parse(args.input)
     lmp = lammps()
     calc = cline.gen_active_calc()
-    driver = LammpsDriver(lmp, calc, units, map_numbers, fixID)
-    lmp.commands_list(commands[: fixIndex + 1])
-    lmp.set_fix_external_callback(fixID, driver)
-    lmp.commands_list(commands[fixIndex + 1 :])
+    driver = LammpsDriver(
+        lmp, calc, script.units, script.atomic_numbers, script.fix_id
+    )
+    lmp.commands_list(script.commands[: script.fix_index + 1])
+    lmp.set_fix_external_callback(script.fix_id, driver)
+    lmp.commands_list(script.commands[script.fix_index + 1 :])
 
 
 if __name__ == "__main__":

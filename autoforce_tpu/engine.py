@@ -476,6 +476,25 @@ class Engine:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
 
+    def clone_config(self):
+        """A fresh Engine with the SAME kernel configuration (params,
+        exponent, radii, species, pair terms, chemical, base kernel,
+        mesh) — used when BCM spawns a new expert so the committee keeps
+        learning with the kernel it started with."""
+        eng = Engine(
+            params=self.params,
+            exponent=self.exponent,
+            radii=self.radii,
+            species=list(self.species),
+            dtype=self.dtype,
+            pair_terms=self.pair_terms,
+            chemical=self.chemical,
+            mesh=self.mesh,
+            kernel=self.kernel_kind if self.kernel_kind != "dot" else None,
+        )
+        eng.pair_kx = self.pair_kx
+        return eng
+
     def chem_args(self):
         """(chem_z table, per-table mixing cholesky) or (None, None)."""
         if not self.chemical:
