@@ -154,46 +154,72 @@ class DeviceMD:
         done = 0
         first = True
         need_host = True
+        # device-resident chain state between chunks: while no skin breach
+        # or uncertainty trip occurs, positions/velocities never visit the
+        # host (each boundary then costs ~1 RTT for the step counter
+        # instead of a full state round-trip + re-upload — measured 36% of
+        # wall at 1008 atoms over the remote-TPU tunnel)
+        pos_dev = vel_dev = None
+        chain = None  # (cfg, ma, radii, znum, vs, masses, pos0, consts)
         while done < steps:
-            if first or (self.check_beta and need_host):
-                # full ActiveCalculator semantics (predict + maybe sample +
-                # log) at the boundary
-                system.calc = calc
-                system.get_potential_energy()
-                first = False
+            if pos_dev is None or need_host or chain is None:
+                if pos_dev is not None:
+                    system.set_positions(np.asarray(pos_dev)[: len(system)])
+                    system.set_velocities(np.asarray(vel_dev)[: len(system)])
+                    pos_dev = vel_dev = None
+                if first or (self.check_beta and need_host):
+                    # full ActiveCalculator semantics (predict + maybe
+                    # sample + log) at the boundary
+                    system.calc = calc
+                    system.get_potential_energy()
+                    first = False
+                else:
+                    # skin-only rebuild (uncertainty stayed below
+                    # threshold): refresh the neighbor table / device config
+                    calc.system = system
+                    calc._make_cfg(system)
+                model = calc.model
+                ma = model.full_model_arrays()
+                cfg = calc.cfg
+                dtype = cfg.positions.dtype
+                vs = model.vscale_for(np.asarray(cfg.numbers))
+                vs = np.where(np.isfinite(vs), vs, 0.0)
+                npad = cfg.npad
+                vel = np.zeros((npad, 3))
+                vel[: len(system)] = system.get_velocities()
+                masses = np.ones((npad, 1))
+                masses[: len(system), 0] = system.get_masses()
+                pos0 = np.zeros((npad, 3))
+                pos0[: len(system)] = calc._nlcache._pos
+                beta_thresh = calc.ediff if self.check_beta else np.inf
+                chain = dict(
+                    cfg=cfg,
+                    ma=ma,
+                    radii=eng.radii_table(),
+                    znum=eng.znum_table(),
+                    vs=jnp.asarray(vs, dtype=dtype),
+                    vel=jnp.asarray(vel, dtype=dtype),
+                    masses=jnp.asarray(masses, dtype=dtype),
+                    pos0=jnp.asarray(pos0, dtype=dtype),
+                    dt=jnp.asarray(self.dt, dtype=dtype),
+                    kT=jnp.asarray(self.kT, dtype=dtype),
+                    fric=jnp.asarray(self.friction, dtype=dtype),
+                    skin=jnp.asarray(0.5 * calc._nlcache.skin, dtype=dtype),
+                    bthr=jnp.asarray(beta_thresh, dtype=dtype),
+                    beta_thresh=beta_thresh,
+                )
             else:
-                # skin-only rebuild (uncertainty stayed below threshold):
-                # just refresh the neighbor table / device config
-                calc.system = system
-                calc._make_cfg(system)
-            model = calc.model
-            ma = model.full_model_arrays()
-            cfg = calc.cfg
-            dtype = cfg.positions.dtype
-            vs = model.vscale_for(np.asarray(cfg.numbers))
-            vs = np.where(np.isfinite(vs), vs, 0.0)
-            npad = cfg.npad
-            vel = np.zeros((npad, 3))
-            vel[: len(system)] = system.get_velocities()
-            masses = np.ones((npad, 1))
-            masses[: len(system), 0] = system.get_masses()
-            pos0 = np.zeros((npad, 3))
-            pos0[: len(system)] = calc._nlcache._pos
-            beta_thresh = calc.ediff if self.check_beta else np.inf
+                # continue on-device: new positions/velocities, same
+                # neighbor table / pos0 / model state (no host transfer)
+                chain["cfg"] = chain["cfg"]._replace(positions=pos_dev)
+                chain["vel"] = vel_dev
 
             n = min(self.chunk, steps - done)
             pos, vel, self.key, f, e, beta_max, i = md_chunk(
-                cfg, ma, eng.radii_table(), eng.znum_table(),
-                jnp.asarray(vs, dtype=dtype),
-                jnp.asarray(vel, dtype=dtype),
-                jnp.asarray(masses, dtype=dtype),
-                jnp.asarray(pos0, dtype=dtype),
-                self.key,
-                jnp.asarray(self.dt, dtype=dtype),
-                jnp.asarray(self.kT, dtype=dtype),
-                jnp.asarray(self.friction, dtype=dtype),
-                jnp.asarray(0.5 * calc._nlcache.skin, dtype=dtype),
-                jnp.asarray(beta_thresh, dtype=dtype),
+                chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
+                chain["vs"], chain["vel"], chain["masses"], chain["pos0"],
+                self.key, chain["dt"], chain["kT"], chain["fric"],
+                chain["skin"], chain["bthr"],
                 jnp.asarray(n, dtype=jnp.int32),
                 *eng.chem_args(),
                 params=eng.params,
@@ -204,17 +230,24 @@ class DeviceMD:
                 kind=eng.kernel_kind,
             )
             ndone = int(i)
+            pos_dev, vel_dev = pos, vel
             # host attention only needed if the uncertainty tripped (the
             # chunk then stopped at the exact step sampling is due)
-            need_host = self.check_beta and float(beta_max) >= beta_thresh
-            system.set_positions(np.asarray(pos)[: len(system)])
-            system.set_velocities(np.asarray(vel)[: len(system)])
+            need_host = (
+                self.check_beta and float(beta_max) >= chain["beta_thresh"]
+            )
+            if ndone < n and not need_host:
+                chain = None  # skin breach: rebuild neighbors next round
             if ndone == 0:
                 # stuck at a trigger the host must resolve (sampling or
                 # rebuild); advance one step through the host path
                 from .langevin import Langevin
                 from .verlet import VelocityVerlet
 
+                system.set_positions(np.asarray(pos_dev)[: len(system)])
+                system.set_velocities(np.asarray(vel_dev)[: len(system)])
+                pos_dev = vel_dev = None
+                chain = None
                 if self.kT > 0:
                     drv = Langevin(system, self.dt, self.kT / units.kB,
                                    self.friction)
@@ -224,4 +257,8 @@ class DeviceMD:
                 ndone = 1
             done += ndone
             self.nsteps += ndone
+        # final host sync so callers observe the end-of-run state
+        if pos_dev is not None:
+            system.set_positions(np.asarray(pos_dev)[: len(system)])
+            system.set_velocities(np.asarray(vel_dev)[: len(system)])
         return True
