@@ -302,8 +302,13 @@ class ActiveCalculator:
         if rebuilt or self.cfg is None or key != self._cfg_key:
             self._npad = max(self._npad, round_up(len(system), 16))
             # headroom on the neighbor axis: thermal fluctuations must not
-            # nudge the bucket (each growth is a full recompile)
-            self._kpad = max(self._kpad, round_up(int(table.kmax * 1.4) + 8, 32))
+            # nudge the bucket (each growth is a full recompile) — but the
+            # per-step cost scales ~linearly with kpad (10k-atom sweep:
+            # 144/160/192/224 slots -> 24.6/26.2/31.3/35.8 ms/step), so
+            # keep the margin tight: +20% rounded to 16 (kmax at rc+skin
+            # fluctuates only a few % in condensed phases; the bucket is
+            # sticky-max so a breach costs one recompile, not thrash)
+            self._kpad = max(self._kpad, round_up(int(table.kmax * 1.2) + 4, 16))
             self.cfg = self.engine.make_config(
                 system,
                 npad=self._npad,

@@ -210,7 +210,7 @@ def main():
     # chunk = traced upper bound per device call; the skin-breach early
     # exit keeps it adaptive (sweep r2: 100 -> 237, 400 -> 254, 800 -> 263
     # steps/s at 1008 atoms; at 10k the breach interval caps it, keep 100)
-    runs = measure_device_md(eng, model, system, chunk=800)
+    runs = measure_device_md(eng, model, system, steps=600, chunk=800)
     ours = float(np.mean(runs))
     std = float(np.std(runs))
 
