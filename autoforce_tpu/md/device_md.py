@@ -127,8 +127,9 @@ class DeviceMD:
     """
 
     def __init__(self, system, calc, dt, temperature_K=None, friction=0.01,
-                 chunk=50, seed=0, check_beta=None):
+                 chunk=50, seed=0, check_beta=None, device_rebuild=True):
         from ..calculator.bcm import BCMActiveCalculator
+        from ..neighbors_device import device_rebuild_ok
 
         if isinstance(calc, BCMActiveCalculator) and calc.experts:
             raise NotImplementedError(
@@ -146,6 +147,45 @@ class DeviceMD:
         self.check_beta = (
             check_beta if check_beta is not None else calc.active
         )
+        # on-device neighbor rebuild at skin breaches (liquids/diffusive
+        # systems never pay the host table + upload); valid when the MIC
+        # condition holds for this (fixed NVT) box
+        self.device_rebuild = device_rebuild and device_rebuild_ok(
+            system.cell, system.pbc,
+            calc.engine.params.rc + calc._nlcache.skin,
+        )
+
+    def _rebuild_on_device(self, chain, pos_dev):
+        """Rebuild the chain's neighbor table from the device positions
+        (one scalar fetch for the overflow check); returns False when the
+        K bucket overflowed — caller falls back to the host path, which
+        will grow the bucket."""
+        from ..neighbors_device import device_neighbor_table
+
+        cfg = chain["cfg"]
+        kpad = cfg.nbr_idx.shape[1]
+        cutoff = self.calc.engine.params.rc + self.calc._nlcache.skin
+        idx, off, mask, kmax = device_neighbor_table(
+            pos_dev, cfg.cell, cfg.atom_mask,
+            jnp.asarray(cutoff, dtype=pos_dev.dtype), kpad,
+        )
+        if int(kmax) > kpad:
+            return False
+        if chain.get("sidx_atom") is None:
+            sidx = self.calc.engine.species_index(np.asarray(cfg.numbers))
+            chain["sidx_atom"] = jnp.asarray(
+                np.maximum(sidx, 0).astype(np.int32)
+            )
+            chain["sidx_ok"] = jnp.asarray(sidx >= 0)
+        nbr_sidx = chain["sidx_atom"][idx]
+        mask = mask & chain["sidx_ok"][idx]
+        if cfg.nbr_off.dtype != off.dtype:
+            off = off.astype(cfg.nbr_off.dtype)
+        chain["cfg"] = cfg._replace(
+            nbr_idx=idx, nbr_off=off, nbr_sidx=nbr_sidx, nbr_mask=mask
+        )
+        chain["pos0"] = pos_dev
+        return True
 
     def run(self, steps):
         calc = self.calc
@@ -237,7 +277,15 @@ class DeviceMD:
                 self.check_beta and float(beta_max) >= chain["beta_thresh"]
             )
             if ndone < n and not need_host:
-                chain = None  # skin breach: rebuild neighbors next round
+                # skin breach: rebuild the neighbor table — on device when
+                # the MIC condition holds (no host sync, no upload), else
+                # through the host path next round
+                if self.device_rebuild and not self._rebuild_on_device(
+                    chain, pos_dev
+                ):
+                    chain = None
+                elif not self.device_rebuild:
+                    chain = None
             if ndone == 0:
                 # stuck at a trigger the host must resolve (sampling or
                 # rebuild); advance one step through the host path

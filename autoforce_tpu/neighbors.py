@@ -85,6 +85,25 @@ def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8, k_guess=64):
         e = np.zeros((0, 0), dtype=np.int32)
         return NeighborTable(e, e.reshape(0, 0, 3), e.astype(bool), cutoff)
 
+    # wrap drifted (unwrapped) positions into the box and correct the
+    # offsets afterwards: the image cloud below only spans +-reps cells,
+    # so an atom that diffused a full box length away would silently
+    # lose pairs (long liquid runs never wrap MD positions)
+    if pbc.any() and abs(np.linalg.det(cell)) > 1e-12:
+        frac = np.linalg.solve(cell.T, positions.T).T
+        wraps = np.where(pbc[None, :], np.floor(frac), 0.0)
+        if wraps.any():
+            table = neighbor_table(
+                positions - wraps @ cell, cell, pbc, cutoff,
+                kpad_multiple=kpad_multiple, k_guess=k_guess,
+            )
+            w = wraps.astype(np.int32)
+            # rvec = pos_j + OFF@cell - pos_i with raw positions:
+            # OFF = off_wrapped - w_j + w_i
+            off = table.off - w[table.idx] + w[:, None, :]
+            off = np.where(table.mask[..., None], off, 0)
+            return NeighborTable(table.idx, off, table.mask, cutoff)
+
     if pbc.any():
         h = _cell_heights(cell)
         reps = [

@@ -1,0 +1,134 @@
+"""On-device neighbor rebuild: set-equality with the host table (incl.
+unwrapped drifted positions), overflow reporting, MIC gating, and
+DeviceMD trajectory equivalence with/without device rebuilds."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from autoforce_tpu.neighbors import neighbor_table
+from autoforce_tpu.neighbors_device import (
+    device_neighbor_table,
+    device_rebuild_ok,
+)
+from autoforce_tpu.system import bulk_fcc
+
+
+def pair_sets(idx, off, mask):
+    out = []
+    for i in range(idx.shape[0]):
+        out.append(
+            {
+                (int(j), tuple(int(x) for x in o))
+                for j, o in zip(idx[i][mask[i]], off[i][mask[i]])
+            }
+        )
+    return out
+
+
+def test_matches_host_table():
+    s = bulk_fcc("Cu", 3.6).repeat((3, 3, 3))
+    s.rattle(0.3, seed=0)
+    # unwrapped drift: atoms that diffused whole boxes away
+    s.positions[5] += 2 * s.cell[0] + s.cell[1]
+    s.positions[50] -= 3 * s.cell[2]
+    rc = 5.0
+    ht = neighbor_table(s.positions, s.cell, s.pbc, rc)
+    n = len(s)
+    kpad = int(ht.mask.sum(axis=1).max()) + 8
+    idx, off, mask, kmax = device_neighbor_table(
+        jnp.asarray(s.positions), jnp.asarray(s.cell), jnp.ones(n, bool),
+        jnp.asarray(rc), kpad,
+    )
+    idx, off, mask = np.asarray(idx), np.asarray(off), np.asarray(mask)
+    assert int(kmax) == int(ht.mask.sum(axis=1).max())
+    a = pair_sets(ht.idx, ht.off, ht.mask)
+    b = pair_sets(idx, off, mask)
+    assert a == b
+
+
+def test_padded_atoms_excluded():
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    n = len(s)
+    npad = n + 7
+    pos = np.zeros((npad, 3))
+    pos[:n] = s.positions
+    amask = np.zeros(npad, bool)
+    amask[:n] = True
+    idx, off, mask, kmax = device_neighbor_table(
+        jnp.asarray(pos), jnp.asarray(s.cell), jnp.asarray(amask),
+        jnp.asarray(4.5), 64,
+    )
+    mask = np.asarray(mask)
+    idx = np.asarray(idx)
+    assert not mask[n:].any()  # padded rows have no pairs
+    assert (idx[mask] < n).all()  # and are never anyone's neighbor
+
+
+def test_overflow_reported():
+    s = bulk_fcc("Cu", 3.6).repeat((3, 3, 3))
+    rc = 5.0
+    ht = neighbor_table(s.positions, s.cell, s.pbc, rc)
+    true_kmax = int(ht.mask.sum(axis=1).max())
+    idx, off, mask, kmax = device_neighbor_table(
+        jnp.asarray(s.positions), jnp.asarray(s.cell),
+        jnp.ones(len(s), bool), jnp.asarray(rc), true_kmax - 4,
+    )
+    assert int(kmax) == true_kmax  # reported even though slots overflowed
+
+
+def test_rebuild_ok_gate():
+    s = bulk_fcc("Cu", 3.6).repeat((3, 3, 3))
+    assert device_rebuild_ok(s.cell, s.pbc, 5.0)
+    assert not device_rebuild_ok(s.cell, s.pbc, 6.0)  # box < 2*cutoff
+    assert not device_rebuild_ok(s.cell, [True, True, False], 5.0)
+
+
+def test_device_md_rebuild_equivalence(tmp_path, monkeypatch):
+    """DeviceMD trajectories with on-device rebuilds == host rebuilds
+    (tiny skin forces several breaches)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.md.device_md import DeviceMD
+    from autoforce_tpu.regression.sgpr import DataRecord
+    from autoforce_tpu.regression.sgpr import SgprModel
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    from test_engine import env_from_system, make_engine
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+
+    def fresh_model():
+        eng = make_engine()
+        model = SgprModel(eng)
+        for seed in range(3):
+            s = bulk_fcc("Cu", 3.6)
+            s.rattle(0.08, seed=seed)
+            model.add_inducing(env_from_system(eng, s, seed % 4), remake=False)
+        for seed in (7, 8):
+            s = bulk_fcc("Cu", 3.6)
+            s.rattle(0.08, seed=seed)
+            s.calc = lj
+            model.add_data(DataRecord.from_system(s), remake=False)
+        model.make_munu(optimize=True, noise_f=0.01)
+        return model
+
+    results = {}
+    for dev in (False, True):
+        model = fresh_model()
+        calc = ActiveCalculator(covariance=model, calculator=None,
+                                logfile=None, pckl=None, tape=None, skin=0.10)
+        s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        s.rattle(0.04, seed=1)
+        s.calc = calc
+        maxwell_boltzmann_velocities(s, 400, seed=2)
+        dyn = DeviceMD(s, calc, dt=2 * units.fs, temperature_K=400,
+                       friction=0.02, chunk=25, check_beta=False,
+                       device_rebuild=dev)
+        if dev:
+            assert dyn.device_rebuild  # the MIC gate must accept this box
+        dyn.run(120)
+        results[dev] = (s.positions.copy(), s.get_velocities().copy())
+    np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-8)
+    np.testing.assert_allclose(results[True][1], results[False][1], atol=1e-8)
