@@ -118,6 +118,79 @@ def make_system(reps):
     return s
 
 
+def make_ms_system(reps, rattle=0.02):
+    """4-species mixture (Li/Ge/P/S numbers) on an fcc host — the
+    species-count regime of the reference's flagship Li10GeP2S12 config
+    (reference cost grows 'often exponentially' with species,
+    README.md:95-96; here it is ~linear in S^2 via the descriptor dim)."""
+    from autoforce_tpu.system import bulk_fcc
+
+    s = bulk_fcc("Cu", 3.7).repeat(reps)
+    rng = np.random.default_rng(0)
+    s.numbers[:] = rng.choice(
+        [3, 32, 15, 16], size=len(s), p=[0.4, 0.04, 0.08, 0.48]
+    )
+    s.rattle(rattle, seed=1)
+    return s
+
+
+def build_ms_workload(
+    cache_dir=os.path.join(HERE, "baselines", "bench_model_ms.pckl"),
+):
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.descriptor.soap import SoapParams
+    from autoforce_tpu.engine import Engine
+    from autoforce_tpu.neighbors import displacements, neighbor_table
+    from autoforce_tpu.regression.sgpr import DataRecord, InducingEnv, SgprModel
+
+    if cache_dir and os.path.isdir(cache_dir):
+        from autoforce_tpu.io.model_io import load_model
+
+        model = load_model(cache_dir)
+        if model.m == M_INDUCING:
+            return model.engine, model
+
+    eng = Engine(params=SoapParams(lmax=LMAX, nmax=NMAX, rc=RC), exponent=4,
+                 species=[3, 15, 16, 32])
+    model = SgprModel(eng)
+    small = make_ms_system((2, 2, 2))
+    rng = np.random.default_rng(0)
+    envs = []
+    for seed in range(M_INDUCING):
+        s = small.copy()
+        s.positions = s.positions + rng.normal(0, 0.08, s.positions.shape)
+        t = neighbor_table(s.positions, s.cell, s.pbc, RC)
+        r = displacements(s.positions, s.cell, t)
+        i = seed % len(s)
+        m = t.mask[i]
+        envs.append(
+            InducingEnv.from_arrays(
+                s.numbers[i], r[i][m], s.numbers[t.idx[i][m]]
+            )
+        )
+    ev = eng.make_envs([(e.rvec, e.numbers) for e in envs])
+    p, lone = eng.env_descriptors(ev)
+    p = np.asarray(p, dtype=np.float64)
+    zs = np.array([e.number for e in envs])
+    for i, e in enumerate(envs):
+        e.desc = p[i]
+        e.lone = bool(np.asarray(lone)[i])
+        model.X.append(e)
+    model.M = (p @ p.T) ** eng.exponent * (zs[:, None] == zs[None, :])
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=RC)
+    for k in range(4):
+        s = small.copy()
+        s.rattle(0.06, seed=50 + k)
+        s.calc = lj
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu(optimize=True, noise_f=0.01)
+    if cache_dir:
+        from autoforce_tpu.io.model_io import save_model
+
+        save_model(model, cache_dir)
+    return eng, model
+
+
 def flops_per_step(eng, model, system):
     """XLA-reported FLOPs of the fused predict step (fwd + VJP) — the
     per-MD-step device work (integrator adds O(N) negligible flops)."""
@@ -143,7 +216,7 @@ def flops_per_step(eng, model, system):
 
 
 def measure_device_md(eng, model, system, steps=300, chunk=100, repeats=3,
-                      warmup=150):
+                      warmup=150, temperature_K=300):
     """Headline: real Langevin MD with the device-resident integrator
     (forces + thermostat + integration on-chip; host re-entry only for
     Verlet-skin neighbor rebuilds).  Returns per-repeat steps/sec."""
@@ -158,8 +231,8 @@ def measure_device_md(eng, model, system, steps=300, chunk=100, repeats=3,
     )
     system = system.copy()
     system.calc = calc
-    maxwell_boltzmann_velocities(system, 300, seed=3)
-    dyn = DeviceMD(system, calc, dt=2 * units.fs, temperature_K=300,
+    maxwell_boltzmann_velocities(system, temperature_K, seed=3)
+    dyn = DeviceMD(system, calc, dt=2 * units.fs, temperature_K=temperature_K,
                    friction=0.02, chunk=chunk, check_beta=False)
     dyn.run(warmup)  # compile + let the neighbor bucket settle
     out = []
@@ -231,6 +304,25 @@ def main():
     except Exception as err:
         scale = {"error": repr(err)}
 
+    # 4-species (LGPS-like species count) diffusive point: exercises the
+    # S^2 descriptor blocks and the on-device neighbor rebuild path
+    ms = None
+    try:
+        eng_ms, model_ms = build_ms_workload()
+        big_ms = make_ms_system(NATOMS_REPS)
+        runs_ms = measure_device_md(eng_ms, model_ms, big_ms, steps=300,
+                                    chunk=400, warmup=150, temperature_K=100)
+        vms = float(np.mean(runs_ms))
+        ms = {
+            "natoms": len(big_ms),
+            "nspecies": 4,
+            "steps_per_sec": round(vms, 3),
+            "std_steps_per_sec": round(float(np.std(runs_ms)), 3),
+            "ms_per_step": round(1000.0 / vms, 3),
+        }
+    except Exception as err:
+        ms = {"error": repr(err)}
+
     try:
         base, fresh = measure_baseline(eng, model, system)
         vs = ours / base
@@ -251,6 +343,7 @@ def main():
         "natoms": len(system),
         "device": jax.devices()[0].device_kind,
         "scale_10k": scale,
+        "multispecies_1k": ms,
     }
     print(json.dumps(out))
 
