@@ -31,18 +31,20 @@ from ..kernels import gram
 from . import solver
 
 
-@partial(jax.jit, static_argnames=("params", "exponent"))
+@partial(jax.jit, static_argnames=("params", "exponent", "kind"))
 def cross_kernel_blocks(cfg1: ConfigArrays, cfg2: ConfigArrays, radii, params,
-                        exponent):
+                        exponent, kind="dot"):
     """(ee, ef, fe, ff) covariance blocks between two configurations.
 
     ee: scalar; ef: (N2, 3); fe: (N1, 3); ff: (N1, 3, N2, 3).
+    ``kind`` accepts the composable kernel algebra too (kernelalgebra.py).
     """
 
     def g(pos1, pos2):
         p1, lone1 = _config_descriptors(pos1, cfg1.cell, cfg1, radii, params)
         p2, lone2 = _config_descriptors(pos2, cfg2.cell, cfg2, radii, params)
-        cov = gram(p1, cfg1.numbers, lone1, p2, cfg2.numbers, lone2, exponent)
+        cov = gram(p1, cfg1.numbers, lone1, p2, cfg2.numbers, lone2, exponent,
+                   kind=kind)
         cov = cov * (cfg1.atom_mask[:, None] & cfg2.atom_mask[None, :])
         return cov.sum()
 
@@ -76,7 +78,8 @@ class ExactGP:
     def _blocks(self, cfg1, cfg2):
         eng = self.engine
         ee, ef, fe, ff = cross_kernel_blocks(
-            cfg1, cfg2, eng.radii_table(), eng.params, eng.exponent
+            cfg1, cfg2, eng.radii_table(), eng.params, eng.exponent,
+            kind=getattr(eng, "kernel_kind", "dot"),
         )
         return (np.asarray(ee), np.asarray(ef), np.asarray(fe), np.asarray(ff))
 

@@ -184,3 +184,34 @@ def test_veto(otf_run):
         assert calc.veto() is True
     calc._veto = {}
     assert calc.veto() is False
+
+
+def test_pimd_first_bead_sampling(tmp_path, monkeypatch):
+    """nbeads > 1: only the first bead of each ring-polymer step triggers
+    sampling (reference active.py:477-491)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.system import bulk_fcc
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    calls = {"n": 0}
+
+    class Counting(ActiveCalculator):
+        def update(self, **kw):
+            calls["n"] += 1
+            return super().update(**kw)
+
+    calc = Counting(
+        covariance=None, calculator=lj, logfile=None, pckl=None, tape=None,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2), nbeads=4, seed=0,
+    )
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.04, seed=1)
+    rng = np.random.default_rng(2)
+    for k in range(8):  # 8 "bead" evaluations = 2 ring-polymer steps
+        t = s.copy()
+        t.positions = t.positions + rng.normal(0, 0.01, t.positions.shape)
+        calc.calculate(t)
+    # beads 1, 5 are first beads (step+1) % 4 == 1 -> 2 update calls
+    assert calls["n"] == 2, calls

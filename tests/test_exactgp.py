@@ -83,3 +83,31 @@ def test_exact_gp_learns_lj():
     # held-out structure: good interpolation
     e, f = gp.predict(systems[3])
     assert np.abs(f - systems[3].get_forces()).mean() < 0.15
+
+
+def test_exactgp_with_kernel_expr():
+    """ExactGP honors the composable kernel algebra: DotProd()**zeta
+    reproduces the built-in 'dot' path exactly."""
+    from autoforce_tpu.kernelalgebra import DotProd
+
+    eng = make_engine()
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    recs = []
+    for seed in (0, 1):
+        s = make_system(seed=seed)
+        s.calc = lj
+        recs.append(DataRecord.from_system(s))
+
+    gp1 = ExactGP(eng, noise_e=1e-3, noise_f=1e-3)
+    for r in recs:
+        gp1.add_data(r)
+    C1 = gp1.covariance()
+
+    eng2 = make_engine()
+    eng2.kernel_kind = DotProd() ** eng2.exponent
+    gp2 = ExactGP(eng2, noise_e=1e-3, noise_f=1e-3)
+    for r in recs:
+        gp2.add_data(DataRecord.from_system(r.system.copy(), energy=r.e,
+                                            forces=r.f, stress=r.s))
+    C2 = gp2.covariance()
+    np.testing.assert_allclose(C1, C2, atol=1e-12)
