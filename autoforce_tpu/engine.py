@@ -703,19 +703,37 @@ class Engine:
     def kernel_block(self, cfg: ConfigArrays, model: ModelArrays, batch_size=16,
                      method="auto"):
         if self.mesh is not None:
-            from .parallel.mesh import mesh_pad, sharded_kernel_block
+            from .parallel.mesh import (
+                mesh_pad,
+                sharded_kernel_block,
+                sharded_kernel_block_jac,
+            )
 
             chem_z, mixL = self.chem_args()
             cfg2, model2, oidx, _ = mesh_pad(
                 cfg, model, np.zeros(cfg.npad), self.mesh, dtype=self.dtype
             )
-            ke, kf, kv = sharded_kernel_block(
-                cfg2, model2, self.radii_table(), oidx, mesh=self.mesh,
-                params=self.params, exponent=self.exponent,
-                batch_size=batch_size, znum=self.znum_table(),
-                pair_terms=self.pair_terms, chem_z=chem_z, mixL=mixL,
-                kind=self.kernel_kind,
+            m = int(np.asarray(model.m_mask).sum())
+            use_jac = (
+                method in ("auto", "jac")
+                and not self.pair_terms
+                and not self.chemical
+                and self.kernel_kind == "dot"
+                and (m >= 64 or method == "jac")
             )
+            if use_jac:
+                ke, kf, kv = sharded_kernel_block_jac(
+                    cfg2, model2, self.radii_table(), oidx, mesh=self.mesh,
+                    params=self.params, exponent=self.exponent,
+                )
+            else:
+                ke, kf, kv = sharded_kernel_block(
+                    cfg2, model2, self.radii_table(), oidx, mesh=self.mesh,
+                    params=self.params, exponent=self.exponent,
+                    batch_size=batch_size, znum=self.znum_table(),
+                    pair_terms=self.pair_terms, chem_z=chem_z, mixL=mixL,
+                    kind=self.kernel_kind,
+                )
             npad, mcap = cfg.npad, model.mu.shape[0]
             return ke[:mcap], kf[:npad, :, :mcap], kv[..., :mcap]
         m = int(np.asarray(model.m_mask).sum())

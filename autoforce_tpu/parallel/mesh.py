@@ -36,7 +36,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine import ConfigArrays, ModelArrays, _col_energy, _total_cov
+from ..descriptor.soap import sesoap_descriptors
+from ..engine import (
+    ConfigArrays,
+    ModelArrays,
+    _col_energy,
+    _config_descriptors,
+    _env_rvec,
+    _total_cov,
+)
 
 
 def make_mesh(n_data=None, n_model=1, devices=None):
@@ -255,6 +263,101 @@ def sharded_kernel_block(cfg: ConfigArrays, model: ModelArrays, radii, own_idx,
         ke, kf, kv = jax.lax.psum((ke, kf, kv), "data")
         # ke: (Mb,), kf: (Mb, N, 3), kv: (Mb, 3, 3) per device
         return ke, jnp.moveaxis(kf, 0, -1), jnp.moveaxis(kv, 0, -1)
+
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data")),
+        out_specs=(
+            P("model"),
+            P(None, None, "model"),
+            P(None, None, "model"),
+        ),
+    )
+    return fn(cfg, model, radii, own_idx)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "params", "exponent", "chunk"),
+)
+def sharded_kernel_block_jac(cfg: ConfigArrays, model: ModelArrays, radii,
+                             own_idx, mesh, params, exponent, chunk=128):
+    """MXU variant of :func:`sharded_kernel_block` for the default SOAP
+    kernel: the per-LCE descriptor Jacobian is materialized once per
+    'data' shard and every owned inducing column becomes matmuls +
+    segment-sums (the sharded port of engine.kernel_block_jac_fn, which
+    is ~10-30x faster than the per-column VJP map at large m).
+
+    Same contract: ke (M,), kf (N, 3, M), kv (3, 3, M).
+    """
+
+    def block_fn(cfg_l, model_l, rad, oidx):
+        pos = cfg_l.positions  # global (replicated)
+        cell = cfg_l.cell
+        rvec0 = _env_rvec(pos, cell, cfg_l, oidx)
+        mask = cfg_l.nbr_mask & cfg_l.atom_mask[:, None]
+
+        def p_of(rv, si, mk):
+            return sesoap_descriptors(rv, si, mk, rad, params)
+
+        # per-owned-atom jacobian dp/drvec: (Nb, D, K, 3)
+        jac_fn = jax.vmap(jax.jacfwd(p_of), in_axes=(0, 0, 0))
+        J = jac_fn(rvec0, cfg_l.nbr_sidx, mask)
+        p, lone = _config_descriptors(pos, cell, cfg_l, rad, params, oidx)
+
+        dot = p @ model_l.X_desc.T  # (Nb, Mb)
+        same = (
+            cfg_l.numbers[:, None] == model_l.X_num[None, :]
+        ).astype(p.dtype)
+        valid = (
+            cfg_l.atom_mask[:, None] & model_l.m_mask[None, :]
+        ).astype(p.dtype)
+        ke_mat = (
+            dot**exponent * same
+            + (lone[:, None] & model_l.X_lone[None, :]) * same
+        ) * valid
+        ke = ke_mat.sum(axis=0)
+        W = exponent * dot ** (exponent - 1) * same * valid  # (Nb, Mb)
+
+        nb, k = mask.shape
+        nglob = pos.shape[0]
+        mloc = model_l.mu.shape[0]
+        flat_idx = cfg_l.nbr_idx.reshape(-1)
+        rmask = rvec0 * mask[:, :, None]
+
+        def one_chunk(xw):
+            Xc, Wc = xw  # (C, D), (Nb, C)
+            JXc = jnp.einsum("ndka,cd->nkac", J, Xc)  # (Nb, K, 3, C)
+            Gc = Wc[:, None, None, :] * JXc * mask[:, :, None, None]
+            # dKe_j/d r_ik = Gc[i,k,:,j]; leftgrad: +G at global nbr_idx,
+            # -G at the owned atom's global row
+            plus = jax.ops.segment_sum(
+                Gc.reshape(nb * k, 3, -1), flat_idx, num_segments=nglob
+            )
+            minus = jax.ops.segment_sum(
+                Gc.sum(axis=1), oidx, num_segments=nglob
+            )
+            kf_c = -(plus - minus)  # forces_energy = -leftgrad
+            kv_c = jnp.einsum("nkac,nkb->abc", Gc, rmask)
+            return kf_c, kv_c
+
+        C = min(chunk, mloc)
+        nchunks = -(-mloc // C)
+        pad_m = nchunks * C
+        Xp = jnp.pad(model_l.X_desc, ((0, pad_m - mloc), (0, 0))).reshape(
+            nchunks, C, -1
+        )
+        Wp = jnp.pad(W, ((0, 0), (0, pad_m - mloc))).reshape(nb, nchunks, C)
+        kf_chunks, kv_chunks = jax.lax.map(
+            one_chunk, (Xp, jnp.moveaxis(Wp, 1, 0))
+        )
+        kf = jnp.moveaxis(kf_chunks, 0, -2).reshape(nglob, 3, pad_m)[..., :mloc]
+        kv = jnp.moveaxis(kv_chunks, 0, -2).reshape(3, 3, pad_m)[..., :mloc]
+        kv = 0.5 * (kv + jnp.swapaxes(kv, 0, 1))
+        # reduce the partial row sums over the atom shards
+        ke, kf, kv = jax.lax.psum((ke, kf, kv), "data")
+        return ke, kf, kv
 
     fn = jax.shard_map(
         block_fn,

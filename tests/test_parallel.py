@@ -70,17 +70,20 @@ def test_predict_matches_single_device(shape, variant):
 @pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
 @pytest.mark.parametrize("variant", ["default", "pair"])
 def test_kernel_block_matches_single_device(shape, variant):
-    """Sharded training covariance (method_forker analog) == replicated."""
+    """Sharded training covariance (method_forker analog) == replicated,
+    for both the per-column-VJP path and the MXU (jacobian) path."""
     eng, model, s = build_state(variant)
     cfg = eng.make_config(s)
     ma = model.full_model_arrays()
     ke0, kf0, kv0 = eng.kernel_block(cfg, ma, method="vjp")
 
     eng.mesh = make_mesh(n_data=shape[0], n_model=shape[1])
-    ke, kf, kv = eng.kernel_block(cfg, ma)
-    np.testing.assert_allclose(np.asarray(ke), np.asarray(ke0), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(kf), np.asarray(kf0), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(kv), np.asarray(kv0), atol=1e-10)
+    methods = ["vjp"] if variant == "pair" else ["vjp", "jac"]
+    for method in methods:
+        ke, kf, kv = eng.kernel_block(cfg, ma, method=method)
+        np.testing.assert_allclose(np.asarray(ke), np.asarray(ke0), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(kf), np.asarray(kf0), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(kv), np.asarray(kv0), atol=1e-10)
 
 
 def test_sharded_training_step_matches(tmp_path, monkeypatch):
