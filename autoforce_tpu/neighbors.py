@@ -70,7 +70,8 @@ def round_up(x, m):
     return int(-(-x // m) * m)
 
 
-def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8, k_guess=64):
+def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8, k_guess=64,
+                   _wrap=True):
     """Build the full (bothways) neighbor table within ``cutoff``.
 
     Matches the reference's bothways NeighborList with skin=0
@@ -89,13 +90,16 @@ def neighbor_table(positions, cell, pbc, cutoff, kpad_multiple=8, k_guess=64):
     # offsets afterwards: the image cloud below only spans +-reps cells,
     # so an atom that diffused a full box length away would silently
     # lose pairs (long liquid runs never wrap MD positions)
-    if pbc.any() and abs(np.linalg.det(cell)) > 1e-12:
+    if _wrap and pbc.any() and abs(np.linalg.det(cell)) > 1e-12:
         frac = np.linalg.solve(cell.T, positions.T).T
         wraps = np.where(pbc[None, :], np.floor(frac), 0.0)
         if wraps.any():
+            # single level: boundary roundoff can leave a residual frac of
+            # -1e-18 after wrapping (harmless — the +-1 image cloud covers
+            # it), so never re-enter
             table = neighbor_table(
                 positions - wraps @ cell, cell, pbc, cutoff,
-                kpad_multiple=kpad_multiple, k_guess=k_guess,
+                kpad_multiple=kpad_multiple, k_guess=k_guess, _wrap=False,
             )
             w = wraps.astype(np.int32)
             # rvec = pos_j + OFF@cell - pos_i with raw positions:
