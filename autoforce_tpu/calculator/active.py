@@ -355,10 +355,19 @@ class ActiveCalculator:
         changes descriptor norms (pair-term diagonals are handled on the
         device path; the host sampling loop treats them as 1, which only
         makes sampling slightly conservative)."""
+        from ..kernelalgebra import KernelExpr
+
+        kind = getattr(self.engine, "kernel_kind", "dot")
+        if isinstance(kind, KernelExpr):
+            p = self._get_desc()
+            a = np.asarray(kind.value((p * p).sum(axis=1), xp=np))
+            a = a + float(kind.white_diag(xp=np))
+            a = np.where(self._lone, a + 1.0, a)
+            return np.maximum(a, 1e-12)
         if getattr(self.engine, "chemical", None):
             p = self._get_desc()
             a = (p * p).sum(axis=1)
-            if self.engine.kernel_kind == "dot":
+            if kind == "dot":
                 a = a**self.engine.exponent
             a = np.where(self._lone, a + 1.0, a)
             return np.maximum(a, 1e-12)

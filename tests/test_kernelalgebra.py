@@ -152,3 +152,34 @@ def test_composite_kernel_learns_lj(tmp_path, monkeypatch):
     )
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-10)
+
+
+def test_active_learning_with_expr_kernel(tmp_path, monkeypatch):
+    """Full on-the-fly learning with a composite kernel (incl. White):
+    exercises the host beta normalization (_host_alpha) and the
+    normalized duplicate guard for unnormalized k(x,x) != 1 kernels."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.md import Langevin
+    from autoforce_tpu.system import bulk_fcc, maxwell_boltzmann_velocities
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    calc = ActiveCalculator(
+        covariance=None, calculator=lj, logfile=None, pckl=None, tape=None,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        ediff=0.02, ediff_tot=0.05, fdiff=0.08, seed=0,
+    )
+    calc.engine.kernel_kind = DotProd() ** 4 + 0.01 * White()
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 1))
+    s.rattle(0.05, seed=1)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 300, seed=2)
+    Langevin(s, 2 * units.fs, 300, friction=0.02, seed=3).run(25)
+    assert calc.size[0] >= 1 and calc.size[1] >= 2, calc.size
+    res = calc.calculate(s)
+    tmp = s.copy()
+    tmp.calc = lj
+    f_mae = np.abs(res["forces"] - tmp.get_forces()).mean()
+    assert f_mae < 0.2, f_mae
