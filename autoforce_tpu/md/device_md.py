@@ -28,10 +28,51 @@ from ..engine import ConfigArrays, ModelArrays, _total_cov
 from ..kernels import covloss_beta
 
 
+_W3 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+_SY3 = (_W3, 1.0 - 2.0 * _W3, _W3)
+
+
+def _nhc_half(KE2, vxi, xi, Q, kT, dof, dt, nc=2):
+    """Device Nose-Hoover chain half-step (M=3, Suzuki-Yoshida; the exact
+    math of md/nose_hoover.NHChain.half_step, loops unrolled at trace
+    time).  Returns (velocity scale, KE2, vxi, xi)."""
+    scale = jnp.ones((), dtype=KE2.dtype)
+    for _ in range(nc):
+        for w in _SY3:
+            wdt = w * (0.5 * dt) / nc
+            vxi = vxi.at[2].add(
+                0.25 * wdt * (Q[1] * vxi[1] ** 2 - kT) / Q[2]
+            )
+            for j in (1, 0):
+                ef = jnp.exp(-0.125 * wdt * vxi[j + 1])
+                G = (
+                    (KE2 - dof * kT) / Q[0]
+                    if j == 0
+                    else (Q[0] * vxi[0] ** 2 - kT) / Q[1]
+                )
+                vxi = vxi.at[j].set((vxi[j] * ef + 0.25 * wdt * G) * ef)
+            sc = jnp.exp(-0.5 * wdt * vxi[0])
+            scale = scale * sc
+            KE2 = KE2 * sc * sc
+            xi = xi + 0.5 * wdt * vxi
+            for j in (0, 1):
+                ef = jnp.exp(-0.125 * wdt * vxi[j + 1])
+                G = (
+                    (KE2 - dof * kT) / Q[0]
+                    if j == 0
+                    else (Q[0] * vxi[0] ** 2 - kT) / Q[1]
+                )
+                vxi = vxi.at[j].set((vxi[j] * ef + 0.25 * wdt * G) * ef)
+            vxi = vxi.at[2].add(
+                0.25 * wdt * (Q[1] * vxi[1] ** 2 - kT) / Q[2]
+            )
+    return scale, KE2, vxi, xi
+
+
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "langevin", "kind"),
+                     "thermostat", "kind"),
 )
 def md_chunk(
     cfg: ConfigArrays,
@@ -51,15 +92,20 @@ def md_chunk(
     nsteps=20,  # traced upper bound -> one compilation for any chunk size
     chem_z=None,
     mixL=None,
+    nhc_Q=None,  # (3,) chain masses (thermostat="nhc")
+    nhc_dof=None,  # scalar: 3 * n_real
+    nhc_vxi=None,  # (3,) chain velocities (carried across chunks)
+    nhc_xi=None,  # (3,) chain positions
     params=None,
     exponent=4,
     pair_terms=(),
     check_beta=True,
-    langevin=True,
+    thermostat="langevin",  # "langevin" | "nhc" | "none"
     kind="dot",
 ):
     """Run up to ``nsteps`` MD steps on device; early-exit on skin breach
-    or uncertainty threshold.  Returns (pos, vel, key, ndone, beta_max, e)."""
+    or uncertainty threshold.
+    Returns (pos, vel, key, f, e, beta_max, ndone, nhc_vxi, nhc_xi)."""
 
     def forces_fn(pos):
         def energy(p):
@@ -83,11 +129,32 @@ def md_chunk(
         return e, f, beta_max
 
     c1 = jnp.exp(-friction * dt)
+    dtype = cfg.positions.dtype
+    if nhc_vxi is None:
+        nhc_vxi = jnp.zeros(3, dtype=dtype)
+        nhc_xi = jnp.zeros(3, dtype=dtype)
+        nhc_Q = jnp.ones(3, dtype=dtype)
+        nhc_dof = jnp.ones((), dtype=dtype)
+    amask = cfg.atom_mask[:, None]
 
-    def step(pos, vel, key, f):
+    def ke2(vel):
+        return (masses * vel * vel * amask).sum()
+
+    def step(pos, vel, key, f, vxi, xi):
+        if thermostat == "nhc":
+            # chain-half, B, drift, B, chain-half (md/nose_hoover.py step)
+            s, _, vxi, xi = _nhc_half(ke2(vel), vxi, xi, nhc_Q, kT, nhc_dof, dt)
+            vel = vel * s
+            vel = vel + 0.5 * dt * f / masses
+            pos = pos + dt * vel
+            e, f, beta_max = forces_fn(pos)
+            vel = vel + 0.5 * dt * f / masses
+            s, _, vxi, xi = _nhc_half(ke2(vel), vxi, xi, nhc_Q, kT, nhc_dof, dt)
+            vel = vel * s
+            return pos, vel, key, f, e, beta_max, vxi, xi
         vel = vel + 0.5 * dt * f / masses  # B
         pos = pos + 0.5 * dt * vel  # A
-        if langevin:
+        if thermostat == "langevin":
             key, sub = jax.random.split(key)
             noise = jax.random.normal(sub, vel.shape, dtype=vel.dtype)
             c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / masses)
@@ -95,26 +162,29 @@ def md_chunk(
         pos = pos + 0.5 * dt * vel  # A
         e, f, beta_max = forces_fn(pos)
         vel = vel + 0.5 * dt * f / masses  # B
-        return pos, vel, key, f, e, beta_max
+        return pos, vel, key, f, e, beta_max, vxi, xi
 
     e0, f0, b0 = forces_fn(cfg.positions)
 
     def cond(state):
-        pos, vel, key, f, e, beta_max, i = state
-        disp2 = ((pos - pos0) ** 2 * cfg.atom_mask[:, None]).sum(-1).max()
+        pos, vel, key, f, e, beta_max, vxi, xi, i = state
+        disp2 = ((pos - pos0) ** 2 * amask).sum(-1).max()
         ok = disp2 < skin_half**2
         if check_beta:
             ok = ok & (beta_max < beta_thresh)
         return (i < nsteps) & ok
 
     def body(state):
-        pos, vel, key, f, e, beta_max, i = state
-        pos, vel, key, f, e, beta_max = step(pos, vel, key, f)
-        return pos, vel, key, f, e, beta_max, i + 1
+        pos, vel, key, f, e, beta_max, vxi, xi, i = state
+        pos, vel, key, f, e, beta_max, vxi, xi = step(pos, vel, key, f, vxi, xi)
+        return pos, vel, key, f, e, beta_max, vxi, xi, i + 1
 
-    init = (cfg.positions, velocities, key, f0, e0, b0, jnp.zeros((), jnp.int32))
-    pos, vel, key, f, e, beta_max, i = jax.lax.while_loop(cond, body, init)
-    return pos, vel, key, f, e, beta_max, i
+    init = (cfg.positions, velocities, key, f0, e0, b0, nhc_vxi, nhc_xi,
+            jnp.zeros((), jnp.int32))
+    pos, vel, key, f, e, beta_max, vxi, xi, i = jax.lax.while_loop(
+        cond, body, init
+    )
+    return pos, vel, key, f, e, beta_max, i, vxi, xi
 
 
 class DeviceMD:
@@ -127,7 +197,8 @@ class DeviceMD:
     """
 
     def __init__(self, system, calc, dt, temperature_K=None, friction=0.01,
-                 chunk=50, seed=0, check_beta=None, device_rebuild=True):
+                 chunk=50, seed=0, check_beta=None, device_rebuild=True,
+                 thermostat="auto", tdamp=None):
         from ..calculator.bcm import BCMActiveCalculator
         from ..neighbors_device import device_rebuild_ok
 
@@ -147,6 +218,15 @@ class DeviceMD:
         self.check_beta = (
             check_beta if check_beta is not None else calc.active
         )
+        # thermostat: "auto" = BAOAB Langevin when a temperature is given,
+        # NVE otherwise; "nhc" = on-device Nose-Hoover chain (canonical,
+        # deterministic — the device counterpart of md/nose_hoover.py)
+        if thermostat == "auto":
+            thermostat = "langevin" if self.kT > 0 else "none"
+        self.thermostat = thermostat
+        self.tdamp = float(tdamp) if tdamp else 100.0 * self.dt
+        self.nhc_vxi = np.zeros(3)
+        self.nhc_xi = np.zeros(3)
         # on-device neighbor rebuild at skin breaches (liquids/diffusive
         # systems never pay the host table + upload); valid when the MIC
         # condition holds for this (fixed NVT) box
@@ -255,7 +335,19 @@ class DeviceMD:
                 chain["vel"] = vel_dev
 
             n = min(self.chunk, steps - done)
-            pos, vel, self.key, f, e, beta_max, i = md_chunk(
+            dtype = chain["cfg"].positions.dtype
+            if self.thermostat == "nhc":
+                Q = np.full(3, self.kT * self.tdamp**2)
+                Q[0] *= 3.0 * len(system)
+                nhc_kw = dict(
+                    nhc_Q=jnp.asarray(Q, dtype=dtype),
+                    nhc_dof=jnp.asarray(3.0 * len(system), dtype=dtype),
+                    nhc_vxi=jnp.asarray(self.nhc_vxi, dtype=dtype),
+                    nhc_xi=jnp.asarray(self.nhc_xi, dtype=dtype),
+                )
+            else:
+                nhc_kw = {}
+            pos, vel, self.key, f, e, beta_max, i, vxi, xi = md_chunk(
                 chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
                 chain["vs"], chain["vel"], chain["masses"], chain["pos0"],
                 self.key, chain["dt"], chain["kT"], chain["fric"],
@@ -266,9 +358,13 @@ class DeviceMD:
                 exponent=eng.exponent,
                 pair_terms=eng.pair_terms,
                 check_beta=self.check_beta,
-                langevin=self.kT > 0,
+                thermostat=self.thermostat,
                 kind=eng.kernel_kind,
+                **nhc_kw,
             )
+            if self.thermostat == "nhc":
+                self.nhc_vxi = np.asarray(vxi)
+                self.nhc_xi = np.asarray(xi)
             ndone = int(i)
             pos_dev, vel_dev = pos, vel
             # host attention only needed if the uncertainty tripped (the

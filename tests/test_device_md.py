@@ -69,3 +69,56 @@ def test_device_langevin_stable(trained):
     assert 50 < T < 900, T
     assert np.isfinite(s.positions).all()
     calc._calc = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
+
+
+def test_device_nhc_matches_host_nose_hoover(tmp_path, monkeypatch):
+    """DeviceMD(thermostat='nhc') integrates the exact NHC math of the
+    host NoseHooverNVT driver: identical trajectories."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.md.device_md import DeviceMD
+    from autoforce_tpu.md.nose_hoover import NoseHooverNVT
+    from autoforce_tpu.regression.sgpr import DataRecord, SgprModel
+    from autoforce_tpu.system import bulk_fcc, maxwell_boltzmann_velocities
+
+    from test_engine import env_from_system, make_engine
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+
+    def fresh():
+        eng = make_engine()
+        model = SgprModel(eng)
+        for seed in range(3):
+            s = bulk_fcc("Cu", 3.6)
+            s.rattle(0.08, seed=seed)
+            model.add_inducing(env_from_system(eng, s, seed), remake=False)
+        for seed in (7, 8):
+            s = bulk_fcc("Cu", 3.6)
+            s.rattle(0.08, seed=seed)
+            s.calc = lj
+            model.add_data(DataRecord.from_system(s), remake=False)
+        model.make_munu(optimize=True, noise_f=0.01)
+        calc = ActiveCalculator(covariance=model, calculator=None,
+                                logfile=None, pckl=None, tape=None, skin=0.6)
+        s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        s.rattle(0.03, seed=1)
+        s.calc = calc
+        maxwell_boltzmann_velocities(s, 300, seed=2)
+        return calc, s
+
+    tdamp = 60 * units.fs
+    calc1, s1 = fresh()
+    DeviceMD(s1, calc1, dt=2 * units.fs, temperature_K=300, chunk=25,
+             check_beta=False, thermostat="nhc", tdamp=tdamp).run(50)
+
+    calc2, s2 = fresh()
+    NoseHooverNVT(s2, 2 * units.fs, temperature_K=300, tdamp=tdamp).run(50)
+
+    np.testing.assert_allclose(s1.positions, s2.positions, atol=1e-8)
+    np.testing.assert_allclose(
+        s1.get_velocities(), s2.get_velocities(), atol=1e-8
+    )
