@@ -21,6 +21,9 @@ atoms.rattle(0.05)
 calc = ActiveCalculator(
     calculator=LennardJones(epsilon=0.15, sigma=2.3, rc=6.0),
     kernel_kw=dict(cutoff=6.0, lmax=3, nmax=3),
+    # production caps (reference cl/README.md): bound the model size so
+    # update latency stays flat; eviction keeps the newest physics
+    max_data=16, max_inducing=512,
     stdout=True,
 )
 atoms.calc = calc
