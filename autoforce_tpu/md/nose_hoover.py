@@ -147,7 +147,10 @@ def _as_mask(mask):
     mask = np.asarray(mask, dtype=float)
     if mask.shape == (3,):
         return np.diag(mask)
-    return mask.reshape(3, 3)
+    mask = mask.reshape(3, 3)
+    # the strain rate vg must stay symmetric (cell propagation uses a
+    # symmetric eigendecomposition): symmetrize a lopsided user mask
+    return ((mask + mask.T) > 0).astype(float)
 
 
 class MTKNPT(Dynamics):
