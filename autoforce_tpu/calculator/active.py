@@ -323,6 +323,9 @@ class ActiveCalculator:
         n = len(self.system)
         ma = self.model.full_model_arrays()
         vs = self.model.vscale_for(np.asarray(self.cfg.numbers))
+        # vs can be inf for species without a vscale yet; the device beta
+        # below is advisory only — every sampling decision recomputes beta
+        # on host (_host_beta) where inf propagates exactly
         e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
         energy = float(e) + self.model.mean_energy(self.system.numbers)
         forces = np.asarray(f)[:n]
@@ -517,9 +520,7 @@ class ActiveCalculator:
                     col = model.kern_X_env(env)
                 if len(col):
                     a_env = model.kern_env_env(env, env)
-                    diag = np.array(
-                        [model.kern_env_env(x, x) for x in model.X]
-                    )
+                    diag = model.kern_X_diag()  # cached until X changes
                     sim = col / np.sqrt(np.maximum(diag * a_env, 1e-24))
                     kmax = float(sim.max())
                 else:

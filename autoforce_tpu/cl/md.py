@@ -70,6 +70,7 @@ def md(
     ml_filter=0.8,
     eps_pos=0.05,
     eps_cell=0.05,
+    thermostat="auto",
 ):
     """MD with on-the-fly learning (reference cl/md.py:15-112 semantics).
 
@@ -82,8 +83,7 @@ def md(
     """
     calc = cline.gen_active_calc()
     atoms.calc = calc
-    is_npt = dynamics.upper() == "NPT" and bulk_modulus is not None
-    if is_npt or dynamics.upper() == "NPT":
+    if dynamics.upper() == "NPT":
         configure_cell(atoms)
     if calc.active:
         manual_steps(atoms, calc, eps_pos, eps_cell, npt=bool(bulk_modulus))
@@ -140,7 +140,7 @@ def md(
             from .device_wrap import run_device_md
 
             run_device_md(atoms, calc, dt, T, friction, picos, write_frame,
-                          loginterval)
+                          loginterval, thermostat=thermostat, tdamp=tdamp)
             continue
         elif kind == "BERENDSEN" and bulk_modulus is not None:
             dyn = BerendsenNPT(

@@ -39,7 +39,7 @@ def _nhc_half(KE2, vxi, xi, Q, kT, dof, dt, nc=2):
     scale = jnp.ones((), dtype=KE2.dtype)
     for _ in range(nc):
         for w in _SY3:
-            wdt = w * (0.5 * dt) / nc
+            wdt = w * dt / nc  # see md/nose_hoover.py NHChain.half_step
             vxi = vxi.at[2].add(
                 0.25 * wdt * (Q[1] * vxi[1] ** 2 - kT) / Q[2]
             )
@@ -245,11 +245,11 @@ class DeviceMD:
         cfg = chain["cfg"]
         kpad = cfg.nbr_idx.shape[1]
         cutoff = self.calc.engine.params.rc + self.calc._nlcache.skin
-        idx, off, mask, kmax = device_neighbor_table(
+        idx, off, mask, kmax, off_over = device_neighbor_table(
             pos_dev, cfg.cell, cfg.atom_mask,
             jnp.asarray(cutoff, dtype=pos_dev.dtype), kpad,
         )
-        if int(kmax) > kpad:
+        if int(kmax) > kpad or bool(off_over):
             return False
         if chain.get("sidx_atom") is None:
             sidx = self.calc.engine.species_index(np.asarray(cfg.numbers))
@@ -375,30 +375,42 @@ class DeviceMD:
             if ndone < n and not need_host:
                 # skin breach: rebuild the neighbor table — on device when
                 # the MIC condition holds (no host sync, no upload), else
-                # through the host path next round
-                if self.device_rebuild and not self._rebuild_on_device(
+                # through the host path next round.  A successful device
+                # rebuild resets the displacement bound, so the retry makes
+                # progress — no fallback needed even at ndone == 0.
+                if self.device_rebuild and self._rebuild_on_device(
                     chain, pos_dev
                 ):
-                    chain = None
-                elif not self.device_rebuild:
-                    chain = None
-            if ndone == 0:
-                # stuck at a trigger the host must resolve (sampling or
-                # rebuild); advance one step through the host path
-                from .langevin import Langevin
-                from .verlet import VelocityVerlet
-
-                system.set_positions(np.asarray(pos_dev)[: len(system)])
-                system.set_velocities(np.asarray(vel_dev)[: len(system)])
-                pos_dev = vel_dev = None
+                    self._stall = 0
+                    done += ndone
+                    self.nsteps += ndone
+                    continue
                 chain = None
-                if self.kT > 0:
-                    drv = Langevin(system, self.dt, self.kT / units.kB,
-                                   self.friction)
-                else:
-                    drv = VelocityVerlet(system, self.dt)
-                drv.step()
-                ndone = 1
+            if ndone == 0:
+                # no progress: a host round-trip (rebuild or sampling)
+                # should resolve it — force one step only if a full host
+                # visit already failed to unstick the loop (e.g. sampling
+                # vetoed while beta stays above threshold)
+                self._stall = getattr(self, "_stall", 0) + 1
+                if self._stall >= 2:
+                    from .langevin import Langevin
+                    from .verlet import VelocityVerlet
+
+                    system.set_positions(np.asarray(pos_dev)[: len(system)])
+                    system.set_velocities(np.asarray(vel_dev)[: len(system)])
+                    pos_dev = vel_dev = None
+                    chain = None
+                    if self.thermostat == "langevin" and self.kT > 0:
+                        drv = Langevin(system, self.dt, self.kT / units.kB,
+                                       self.friction)
+                    else:
+                        # NHC/NVE chains stay deterministic: plain Verlet
+                        drv = VelocityVerlet(system, self.dt)
+                    drv.step()
+                    ndone = 1
+                    self._stall = 0
+            else:
+                self._stall = 0
             done += ndone
             self.nsteps += ndone
         # final host sync so callers observe the end-of-run state

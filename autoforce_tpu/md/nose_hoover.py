@@ -37,17 +37,20 @@ class NHChain:
     def __init__(self, kT, dof, tdamp, length=3, nc=2):
         self.kT = float(kT)
         self.dof = float(dof)
-        self.M = int(length)
+        # the half_step recursion needs at least two links (vxi[M-2] with
+        # M=1 would wrap around); a single-link "chain" is plain NH, which
+        # is not ergodic anyway — clamp up
+        self.M = max(2, int(length))
         self.nc = int(nc)
-        self.Q = np.full(self.M, kT * tdamp**2)
+        self._tdamp2 = float(tdamp) ** 2
+        self.Q = np.full(self.M, kT * self._tdamp2)
         self.Q[0] *= self.dof
         self.vxi = np.zeros(self.M)
         self.xi = np.zeros(self.M)
 
     def set_kT(self, kT):
-        tdamp2 = self.Q[-1] / self.kT
         self.kT = float(kT)
-        self.Q = np.full(self.M, kT * tdamp2)
+        self.Q = np.full(self.M, self.kT * self._tdamp2)
         self.Q[0] *= self.dof
 
     def energy(self):
@@ -64,7 +67,11 @@ class NHChain:
         scale = 1.0
         for _ in range(self.nc):
             for w in SY3:
-                wdt = w * (0.5 * dt) / self.nc
+                # segment length: the 1/4 (chain), 1/8 (coupling), 1/2
+                # (scale) coefficients below already realize HALF a
+                # segment of chain time wdt, so two half_step calls per
+                # MD step propagate the chain for the full dt
+                wdt = w * dt / self.nc
                 # update chain tail -> head
                 vxi[M - 1] += 0.25 * wdt * (
                     (Q[M - 2] * vxi[M - 2] ** 2 - kT) / Q[M - 1]

@@ -64,9 +64,11 @@ def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
         block: static row-block size.
     Returns:
         (idx (N, kpad) i32, off (N, kpad, 3) i8, mask (N, kpad) bool,
-         kmax (scalar i32)) — callers must check kmax <= kpad on host and
-        fall back if the bucket overflowed (slots beyond kpad are
-        silently dropped in that case).
+         kmax (scalar i32), off_over (scalar bool)) — callers must check
+        kmax <= kpad AND not off_over on host and fall back otherwise
+        (bucket overflow drops slots silently; off_over means some image
+        offset exceeded the int8 range — positions drifted >127 boxes
+        apart, host path wraps and handles it).
     """
     N = positions.shape[0]
     dtype = positions.dtype
@@ -99,6 +101,7 @@ def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
         # are dropped (overflow is reported through the returned count)
         slot = jnp.cumsum(valid, axis=1) - 1  # (B, N)
         count = valid.sum(axis=1)
+        off_over = (jnp.abs(off) > 127.0).any(-1) & valid
         slot_c = jnp.where(valid & (slot < kpad), slot, kpad)
         brows = jnp.arange(fi.shape[0])[:, None]
         j = jnp.broadcast_to(rows[None, :N], valid.shape).astype(jnp.int32)
@@ -110,14 +113,16 @@ def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
         msk_b = msk_b.at[brows, slot_c].set(True, mode="drop")
         idx_b = jnp.where(msk_b, idx_b, ri[:, None])
         off_b = jnp.where(msk_b[..., None], off_b, 0)
-        return idx_b, off_b, msk_b, count
+        return idx_b, off_b, msk_b, count, off_over.any()
 
     fblk = fpad.reshape(nblk, block, 3)
     rblk = rows.reshape(nblk, block)
     mblk = mpad.reshape(nblk, block)
-    idx, off, mask, count = jax.lax.map(one_block, (fblk, rblk, mblk))
+    idx, off, mask, count, off_over = jax.lax.map(
+        one_block, (fblk, rblk, mblk)
+    )
     idx = idx.reshape(npad, kpad)[:N]
     off = off.reshape(npad, kpad, 3)[:N]
     mask = mask.reshape(npad, kpad)[:N]
     kmax = count.reshape(npad)[:N].max()
-    return idx, off, mask, kmax
+    return idx, off, mask, kmax, off_over.any()

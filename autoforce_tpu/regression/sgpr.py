@@ -87,6 +87,7 @@ class SgprModel:
         self.stats = None
         self._model_arrays = None
         self._pair_stage = None
+        self._xdiag = None
         self._mcap = 0
 
     # ------------------------------------------------------------ properties
@@ -129,6 +130,7 @@ class SgprModel:
             rec.cfg = self.engine.make_config(rec.system)
         self._model_arrays = None
         self._pair_stage = None
+        self._xdiag = None
 
     def stage_env(self, env: InducingEnv):
         envs = self.engine.make_envs([(env.rvec, env.numbers)])
@@ -195,6 +197,16 @@ class SgprModel:
                 mm[:, i] = mi
             self._pair_stage = (d, mm)
         return self._pair_stage
+
+    def kern_X_diag(self):
+        """(m,) self-kernel k(x, x) of each inducing env, cached
+        (invalidated with _pair_stage whenever X changes); used to
+        normalize the near-duplicate guard for unnormalized kernels."""
+        if self._xdiag is None or len(self._xdiag) != self.m:
+            self._xdiag = np.array(
+                [self.kern_env_env(x, x) for x in self.X]
+            )
+        return self._xdiag
 
     def kern_X_env(self, env: InducingEnv):
         """(m,) kernel column of env against the inducing set."""
@@ -283,6 +295,7 @@ class SgprModel:
         self.X.append(env)
         self._model_arrays = None
         self._pair_stage = None
+        self._xdiag = None
         if remake:
             self.make_munu()
 
@@ -343,6 +356,7 @@ class SgprModel:
         self.X.pop(0 if first else -1)
         self._model_arrays = None
         self._pair_stage = None
+        self._xdiag = None
         if remake:
             self.make_munu()
 
@@ -355,6 +369,7 @@ class SgprModel:
         self.X = [self.X[j] for j in i]
         self._model_arrays = None
         self._pair_stage = None
+        self._xdiag = None
         if remake:
             self.make_munu()
 

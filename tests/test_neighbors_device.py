@@ -35,7 +35,7 @@ def test_matches_host_table():
     ht = neighbor_table(s.positions, s.cell, s.pbc, rc)
     n = len(s)
     kpad = int(ht.mask.sum(axis=1).max()) + 8
-    idx, off, mask, kmax = device_neighbor_table(
+    idx, off, mask, kmax, off_over = device_neighbor_table(
         jnp.asarray(s.positions), jnp.asarray(s.cell), jnp.ones(n, bool),
         jnp.asarray(rc), kpad,
     )
@@ -54,7 +54,7 @@ def test_padded_atoms_excluded():
     pos[:n] = s.positions
     amask = np.zeros(npad, bool)
     amask[:n] = True
-    idx, off, mask, kmax = device_neighbor_table(
+    idx, off, mask, kmax, off_over = device_neighbor_table(
         jnp.asarray(pos), jnp.asarray(s.cell), jnp.asarray(amask),
         jnp.asarray(4.5), 64,
     )
@@ -69,7 +69,7 @@ def test_overflow_reported():
     rc = 5.0
     ht = neighbor_table(s.positions, s.cell, s.pbc, rc)
     true_kmax = int(ht.mask.sum(axis=1).max())
-    idx, off, mask, kmax = device_neighbor_table(
+    idx, off, mask, kmax, off_over = device_neighbor_table(
         jnp.asarray(s.positions), jnp.asarray(s.cell),
         jnp.ones(len(s), bool), jnp.asarray(rc), true_kmax - 4,
     )
