@@ -99,20 +99,34 @@ def solve_sgpr(
     scale = float(np.diag(M).mean()) * max_noise
 
     K_fv = np.concatenate([Kf, Kv], axis=0)
-    Y_fv = np.concatenate([forces_flat, virials_flat, np.zeros(m)])
+    Y_fv = np.concatenate([forces_flat, virials_flat])
 
     state = dict(noise_state)
     if "all" not in state:
         state["all"] = logit(0.01)
 
+    # Seeded QR: factor the big (3N_tot + 6n) x m force/virial block ONCE;
+    # every sigma (and the final energy-including solve) then reduces to a
+    # small stacked QR of [<= n + m; R1; sigma L^T] — exactly the same
+    # least-squares solution (||K x - Y||^2 = ||R1 x - Q1^T Y||^2 + const),
+    # but the noise-optimization loop goes from O(n m^2) per iteration to
+    # O(m^3) (the reference re-factors the full matrix each time,
+    # gppotential.py:1261-1263).
+    if K_fv.shape[0]:
+        Q1, R1 = np.linalg.qr(K_fv)
+        z1 = Q1.T @ Y_fv
+    else:
+        R1 = np.zeros((0, m))
+        z1 = np.zeros(0)
+
     def make_mu(s, with_energies=None):
         sigma = sigmoid(s) * scale
         if with_energies is None:
-            A = np.concatenate([K_fv, sigma * L.T], axis=0)
-            Y = Y_fv
+            A = np.concatenate([R1, sigma * L.T], axis=0)
+            Y = np.concatenate([z1, np.zeros(m)])
         else:
-            A = np.concatenate([Ke, K_fv, sigma * L.T], axis=0)
-            Y = np.concatenate([with_energies, Y_fv])
+            A = np.concatenate([Ke, R1, sigma * L.T], axis=0)
+            Y = np.concatenate([with_energies, z1, np.zeros(m)])
         return qr_solve(A, Y)
 
     if optimize:
