@@ -714,12 +714,18 @@ class Engine:
                 cfg, model, np.zeros(cfg.npad), self.mesh, dtype=self.dtype
             )
             m = int(np.asarray(model.m_mask).sum())
+            # per-'data'-shard Jacobian memory (see the single-device guard)
+            jac_bytes = (
+                cfg.npad * self.dim * cfg.nbr_idx.shape[1] * 3 * 4
+                / self.mesh.shape["data"]
+            )
             use_jac = (
                 method in ("auto", "jac")
                 and not self.pair_terms
                 and not self.chemical
                 and self.kernel_kind == "dot"
                 and (m >= 64 or method == "jac")
+                and (jac_bytes < 2e9 or method == "jac")
             )
             if use_jac:
                 ke, kf, kv = sharded_kernel_block_jac(
@@ -738,10 +744,18 @@ class Engine:
             return ke[:mcap], kf[:npad, :, :mcap], kv[..., :mcap]
         m = int(np.asarray(model.m_mask).sum())
         if method == "auto":
+            # the jac path materializes J = dp/drvec: (N, D, K, 3) floats;
+            # cap it at ~2 GB (multi-species D blows it up: S=4, 10k atoms
+            # would be >20 GB) — beyond that the chunked VJP map wins on
+            # memory and is competitive
+            jac_bytes = (
+                cfg.npad * self.dim * cfg.nbr_idx.shape[1] * 3 * 4
+            )
             method = (
                 "jac"
                 if not self.pair_terms and not self.chemical
                 and self.kernel_kind == "dot" and m >= 64
+                and jac_bytes < 2e9
                 else "vjp"
             )
         if method == "jac":
