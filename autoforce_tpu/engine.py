@@ -725,7 +725,7 @@ class Engine:
                 and not self.chemical
                 and self.kernel_kind == "dot"
                 and (m >= 64 or method == "jac")
-                and (jac_bytes < 2e9 or method == "jac")
+                and (jac_bytes < 6e9 or method == "jac")
             )
             if use_jac:
                 ke, kf, kv = sharded_kernel_block_jac(
@@ -745,9 +745,9 @@ class Engine:
         m = int(np.asarray(model.m_mask).sum())
         if method == "auto":
             # the jac path materializes J = dp/drvec: (N, D, K, 3) floats;
-            # cap it at ~2 GB (multi-species D blows it up: S=4, 10k atoms
-            # would be >20 GB) — beyond that the chunked VJP map wins on
-            # memory and is competitive
+            # cap it at ~6 GB of the 16 GB HBM (multi-species D blows it
+            # up: S=4, 10k atoms would be >20 GB) — beyond that the
+            # chunked VJP map wins on memory and is competitive
             jac_bytes = (
                 cfg.npad * self.dim * cfg.nbr_idx.shape[1] * 3 * 4
             )
@@ -755,7 +755,7 @@ class Engine:
                 "jac"
                 if not self.pair_terms and not self.chemical
                 and self.kernel_kind == "dot" and m >= 64
-                and jac_bytes < 2e9
+                and jac_bytes < 6e9
                 else "vjp"
             )
         if method == "jac":
