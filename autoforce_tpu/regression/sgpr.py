@@ -88,6 +88,7 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._fvqr = None
         self._mcap = 0
 
     # ------------------------------------------------------------ properties
@@ -131,6 +132,7 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._fvqr = None
 
     def stage_env(self, env: InducingEnv):
         envs = self.engine.make_envs([(env.rvec, env.numbers)])
@@ -197,6 +199,75 @@ class SgprModel:
                 mm[:, i] = mi
             self._pair_stage = (d, mm)
         return self._pair_stage
+
+    # ------------------------------------------------ incremental QR cache
+    # economy QR of the stacked force/virial block K_fv = [Kf; Kv]
+    # (Q (n, m), R (m, m), z = Q^T Y_fv), maintained across inducing
+    # column appends/pops so mid-sampling-loop solves skip the O(n m^2)
+    # refactorization entirely (reference refactors per make_munu,
+    # gppotential.py:1261-1263).  Invalidation: target fingerprint (row
+    # changes, mutated targets) checked in make_munu.
+    _QR_MAX_ELEMS = 5e7  # Q memory guard (~400 MB f64)
+
+    def _fv_targets(self):
+        _, forces, virials = self.targets()
+        return np.concatenate([forces, virials])
+
+    @staticmethod
+    def _fv_fingerprint(y):
+        return (len(y), float(y.sum()), float(np.abs(y).sum()))
+
+    def _fvqr_build(self, K_fv, y):
+        n = K_fv.shape[0]
+        if n < self.m or n * max(self.m, 1) > self._QR_MAX_ELEMS:
+            self._fvqr = None
+            return None
+        Q, R = np.linalg.qr(K_fv)
+        self._fvqr = dict(
+            Q=Q, R=R, z=Q.T @ y, y=y, fp=self._fv_fingerprint(y)
+        )
+        return self._fvqr
+
+    def _fvqr_append_col(self, c):
+        """Gram-Schmidt (CGS2) column append; drops the cache on
+        degeneracy (new column already in the span)."""
+        qr = self._fvqr
+        if qr is None:
+            return
+        Q = qr["Q"]
+        if len(c) != Q.shape[0]:
+            self._fvqr = None
+            return
+        r = Q.T @ c
+        q = c - Q @ r
+        r2 = Q.T @ q  # re-orthogonalize (CGS2)
+        q = q - Q @ r2
+        r = r + r2
+        rho = float(np.linalg.norm(q))
+        if rho < 1e-10 * max(float(np.linalg.norm(c)), 1.0):
+            self._fvqr = None
+            return
+        qn = q / rho
+        m_old = qr["R"].shape[1]
+        Rn = np.zeros((m_old + 1, m_old + 1))
+        Rn[:m_old, :m_old] = qr["R"]
+        Rn[:m_old, m_old] = r
+        Rn[m_old, m_old] = rho
+        qr["Q"] = np.concatenate([Q, qn[:, None]], axis=1)
+        qr["R"] = Rn
+        qr["z"] = np.concatenate([qr["z"], [float(qn @ qr["y"])]])
+
+    def _fvqr_pop_col(self):
+        """Exact inverse of append (last column only)."""
+        qr = self._fvqr
+        if qr is None:
+            return
+        if qr["R"].shape[1] < 1:
+            self._fvqr = None
+            return
+        qr["Q"] = qr["Q"][:, :-1]
+        qr["R"] = qr["R"][:-1, :-1]
+        qr["z"] = qr["z"][:-1]
 
     def kern_X_diag(self):
         """(m,) self-kernel k(x, x) of each inducing env, cached
@@ -288,6 +359,9 @@ class SgprModel:
             self.Ke = np.concatenate([self.Ke.reshape(self.ndata, m), ke_col], axis=1)
             self.Kf = np.concatenate([self.Kf.reshape(kf_col.shape[0], m), kf_col], axis=1)
             self.Kv = np.concatenate([self.Kv.reshape(kv_col.shape[0], m), kv_col], axis=1)
+            self._fvqr_append_col(
+                np.concatenate([kf_col[:, 0], kv_col[:, 0]])
+            )
         else:
             self.Ke = np.zeros((0, m + 1))
             self.Kf = np.zeros((0, m + 1))
@@ -324,6 +398,7 @@ class SgprModel:
         self.Kv = np.concatenate([self.Kv.reshape(nv, m), kv], axis=0)
         self.data.append(rec)
         self._model_arrays = None
+        self._fvqr = None
         if remake:
             self.make_munu()
 
@@ -336,18 +411,24 @@ class SgprModel:
             self.Kf = self.Kf[3 * n0:]
             self.Kv = self.Kv[6:]
             self.data.pop(0)
+            self._fvqr = None
         else:
             n0 = self.data[-1].natoms
             self.Ke = self.Ke[:-1]
             self.Kf = self.Kf[: self.Kf.shape[0] - 3 * n0]
             self.Kv = self.Kv[:-6]
             self.data.pop()
+        self._fvqr = None
         if remake:
             self.make_munu()
 
     def pop_1inducing(self, remake=True, first=False):
         if not self.X:
             return
+        if first:
+            self._fvqr = None
+        else:
+            self._fvqr_pop_col()
         sl = slice(1, None) if first else slice(None, -1)
         self.Ke = self.Ke[:, sl]
         self.Kf = self.Kf[:, sl]
@@ -370,6 +451,7 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._fvqr = None
         if remake:
             self.make_munu()
 
@@ -433,11 +515,23 @@ class SgprModel:
         energies, forces, virials = self.targets()
         zlist, C = self.species_count_matrix()
         natoms = np.array([rec.natoms for rec in self.data])
+        # incremental QR: reuse/maintain the big-block factorization when
+        # targets are unchanged and the column count matches (kept in sync
+        # by add_inducing / pop_1inducing); otherwise rebuild it here
+        y_fv = np.concatenate([forces, virials])
+        fp = self._fv_fingerprint(y_fv)
+        qr = self._fvqr
+        if not (qr is not None and qr["fp"] == fp
+                and qr["R"].shape[1] == self.m):
+            qr = self._fvqr_build(
+                np.concatenate([self.Kf, self.Kv], axis=0), y_fv
+            )
+        seed = (qr["R"], qr["z"]) if qr is not None else None
         res = solver.solve_sgpr(
             self.M, self.Ke, self.Kf, self.Kv,
             energies, forces, virials, natoms, C,
             self.noise_state, self.mean_weights,
-            optimize=optimize, noise_f=noise_f,
+            optimize=optimize, noise_f=noise_f, qr_seed=seed,
         )
         self.mu = res.mu
         self.choli = res.choli

@@ -79,6 +79,7 @@ def solve_sgpr(
     optimize=False,
     noise_f=0.0,
     max_noise=0.99,
+    qr_seed=None,
 ):
     """Full solve; returns SolveResult with mu, choli, ridge, sigma, weights.
 
@@ -112,7 +113,12 @@ def solve_sgpr(
     # but the noise-optimization loop goes from O(n m^2) per iteration to
     # O(m^3) (the reference re-factors the full matrix each time,
     # gppotential.py:1261-1263).
-    if K_fv.shape[0]:
+    # qr_seed: (R1, z1) maintained incrementally by the caller across
+    # inducing-column appends/pops (SgprModel._fvqr) — the sampling loop
+    # then never refactors the big block at all
+    if qr_seed is not None:
+        R1, z1 = qr_seed
+    elif K_fv.shape[0]:
         Q1, R1 = np.linalg.qr(K_fv)
         z1 = Q1.T @ Y_fv
     else:

@@ -155,3 +155,42 @@ def test_add_inducing_column_batched_consistency(monkeypatch):
     for i, (ke0, kf0) in enumerate(cols):
         np.testing.assert_allclose(ke_col[i], ke0, atol=1e-12)
         np.testing.assert_allclose(kf_col[i], kf0, atol=1e-12)
+
+
+def test_incremental_qr_cache_matches_fresh_solve():
+    """make_munu via the incrementally-maintained QR (column appends/pops
+    during sampling) == a fresh factorization, through a realistic
+    add/pop/add sequence."""
+    eng, lj, model, systems = lj_setup(nstruct=6)
+    for k in range(3):
+        model.add_inducing(env_from_system(eng, systems[k], k), remake=False)
+    for s in systems[:3]:
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu()  # builds the cache
+    assert model._fvqr is not None
+
+    # sampling-like sequence: add, solve, add, pop, solve
+    for step, i in enumerate([3, 0, 1]):
+        env = env_from_system(eng, systems[3 + step % 3], i)
+        model.add_inducing(env, remake=True)
+        assert model._fvqr is not None  # stayed incremental
+    model.pop_1inducing(remake=True)
+    mu_inc = model.mu.copy()
+    choli_inc = model.choli.copy()
+
+    # fresh reference: drop the cache and re-solve from scratch
+    model._fvqr = None
+    model.make_munu()
+    np.testing.assert_allclose(mu_inc, model.mu, atol=1e-9)
+    np.testing.assert_allclose(choli_inc, model.choli, atol=1e-9)
+
+    # data changes invalidate the cache (targets fingerprint)
+    s = systems[5]
+    s.calc = lj
+    model.add_data(DataRecord.from_system(s), remake=False)
+    assert model._fvqr is None
+    model.make_munu()
+    mu_after = model.mu.copy()
+    model._fvqr = None
+    model.make_munu()
+    np.testing.assert_allclose(mu_after, model.mu, atol=1e-9)
