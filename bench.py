@@ -310,8 +310,8 @@ def main():
     try:
         eng_ms, model_ms = build_ms_workload()
         big_ms = make_ms_system(NATOMS_REPS)
-        runs_ms = measure_device_md(eng_ms, model_ms, big_ms, steps=300,
-                                    chunk=400, warmup=150, temperature_K=100)
+        runs_ms = measure_device_md(eng_ms, model_ms, big_ms, steps=400,
+                                    chunk=400, warmup=400, temperature_K=100)
         vms = float(np.mean(runs_ms))
         ms = {
             "natoms": len(big_ms),
