@@ -19,6 +19,23 @@ import jax as _jax
 # elementwise descriptor work).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: on the remote-compile TPU backend a fresh
+# process otherwise re-pays ~30-60 s per jitted shape; growing models
+# (inducing-capacity buckets 32 -> 64 -> ... ) hit many shapes.  Opt out
+# with AUTOFORCE_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("AUTOFORCE_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "AUTOFORCE_COMPILE_CACHE", _os.path.expanduser("~/.cache/jax_comp")
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from . import units
 from .system import System, SinglePointCalculator
 
