@@ -113,13 +113,37 @@ class Server:
 _imported = {}
 
 
+def _dotted_name(script):
+    """Dotted module name when ``script`` lives inside this package (the
+    file-location loader cannot resolve those modules' relative imports);
+    None for arbitrary user scripts."""
+    import autoforce_tpu
+
+    pkg_dir = os.path.dirname(os.path.abspath(autoforce_tpu.__file__))
+    path = os.path.abspath(script)
+    if not path.startswith(pkg_dir + os.sep):
+        return None
+    rel = os.path.relpath(path, os.path.dirname(pkg_dir))
+    if not rel.endswith(".py"):
+        return None
+    return rel[: -len(".py")].replace(os.sep, ".")
+
+
 def get_scope(script):
     """Load {'calc', 'preprocess_atoms'?, 'postprocess_atoms'?} from a
     python script (module-import cache, calc_server.py:37-53)."""
     if script not in _imported:
-        spec = importlib.util.spec_from_file_location("_oracle_import", script)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        name = _dotted_name(script)
+        if name is not None:
+            # package adapters (vasp.py, gaussian.py, scripts/*.py) use
+            # relative imports — import them as real modules
+            mod = importlib.import_module(name)
+        else:
+            spec = importlib.util.spec_from_file_location(
+                "_oracle_import", script
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
         _imported[script] = mod
     mod = _imported[script]
     scope = {"calc": mod.calc}

@@ -17,6 +17,10 @@ import os
 
 from ..calculator.active import ActiveCalculator
 
+# unit names available inside ARGS expressions (the reference imports
+# kcal_mol into its cl namespace for exactly this, theforce/cl/__init__.py:16)
+from ..units import GPa, bar, fs, kB, kcal_mol  # noqa: F401
+
 
 def strip(line):
     if "#" in line:
@@ -51,6 +55,10 @@ def _calc_script(name):
         from ..calculator import vasp
 
         return vasp.__file__
+    if caps == "GAUSSIAN":
+        from ..calculator import gaussian
+
+        return gaussian.__file__
     raise RuntimeError(f"calculator {caps} is not implemented")
 
 

@@ -32,6 +32,25 @@ def test_poscar_roundtrip(in_tmp):
     np.testing.assert_allclose(s2.cell, s.cell, atol=1e-10)
 
 
+def test_args_units_and_calculator_names(in_tmp):
+    """ARGS expressions may use unit names (reference imports kcal_mol into
+    its cl namespace, theforce/cl/__init__.py:16); 'GAUSSIAN' resolves to
+    the gaussian adapter like 'VASP' (reference cl/__init__.py:31-55)."""
+    import autoforce_tpu.cl as cline
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.gaussian import GaussianCalculator
+
+    with open(os.path.join(in_tmp, "ARGS"), "w") as f:
+        f.write("calculator = 'GAUSSIAN'\n")
+        f.write("ediff = 1.5 * kcal_mol   # unit name in an expression\n")
+        f.write("fdiff = 2 * kcal_mol\n")
+    cline.refresh()
+    assert cline.ARGS["ediff"] == pytest.approx(1.5 * units.kcal_mol)
+    assert isinstance(cline.ARGS["calculator"], GaussianCalculator)
+    os.remove(os.path.join(in_tmp, "ARGS"))
+    cline.refresh()
+
+
 def test_args_and_md(in_tmp):
     import autoforce_tpu.cl as cline
 
