@@ -52,6 +52,9 @@ class ConfigArrays(NamedTuple):
     nbr_off: jax.Array  # (N, K, 3) int32
     nbr_sidx: jax.Array  # (N, K) int32 species-table index of neighbor
     nbr_mask: jax.Array  # (N, K) bool
+    # flat reverse slot (i*K + k) of each table entry, -1 if masked
+    # (neighbors_device.reverse_slots); None disables the fast force VJP
+    nbr_rev: jax.Array = None  # (N, K) int32 or None
 
     @property
     def npad(self):
@@ -84,21 +87,77 @@ class EnvArrays(NamedTuple):
 # --------------------------------------------------------------------------
 
 
-def _env_rvec(positions, cell, cfg: ConfigArrays, oidx=None):
+def precise_sum(x, axis=None):
+    """Sum that defeats XLA's reduce-of-dot rewrite on TPU.
+
+    ``(cov @ mu).sum()`` gets algebraically folded by XLA into a single
+    synthesized contraction that IGNORES the session matmul-precision
+    override and accumulates in bfloat16: measured 0.69 abs error at
+    |E| ~ 190 eV (1008 atoms, f32) vs 0.009 for matvec + true f32 reduce;
+    ``jnp.einsum(precision='highest')`` still loses 0.19.  The
+    optimization barrier materializes the operand, so the reduce that
+    follows is a real f32 reduction (plain f32 vector sums measured exact
+    to 5e-6).  Apply to every reduction whose operand is (elementwise of)
+    a matmul product and whose result carries physics (energies, Ke).
+    """
+    return jax.lax.optimization_barrier(x).sum(axis=axis)
+
+
+@jax.custom_vjp
+def _nbr_gather_rev(positions, nbr_idx, nbr_rev, nbr_mask):
+    """``positions[nbr_idx]`` whose VJP is a reverse-slot GATHER instead of
+    a scatter-add.
+
+    XLA lowers the scatter-add transpose of a gather very poorly on TPU
+    (measured ~4x the cost of the gather itself; it is the single most
+    expensive op of the MD step).  Neighbor tables are symmetric, so the
+    cotangent sum over all slots pointing at atom j equals the sum over
+    row j's reverse slots (neighbors_device.reverse_slots) — a gather +
+    row reduction.  Masked-slot cotangents are zeroed explicitly (they
+    are analytically zero: every consumer masks before any nonlinearity).
+    First-order only: custom_vjp blocks forward-mode, so callers that
+    need jacfwd (exactgp gradgrad) use the plain indexing path.
+    """
+    return positions[nbr_idx]
+
+
+def _nbr_gather_rev_fwd(positions, nbr_idx, nbr_rev, nbr_mask):
+    return positions[nbr_idx], (nbr_idx, nbr_rev, nbr_mask)
+
+
+def _nbr_gather_rev_bwd(res, ct):
+    nbr_idx, nbr_rev, nbr_mask, = res
+    ct = jnp.where(nbr_mask[..., None], ct, 0.0)
+    flat = ct.reshape(-1, ct.shape[-1])
+    good = nbr_rev >= 0
+    taken = flat[jnp.clip(nbr_rev, 0, flat.shape[0] - 1)]
+    dpos = jnp.where(good[..., None], taken, 0.0).sum(axis=1)
+    return dpos, None, None, None
+
+
+_nbr_gather_rev.defvjp(_nbr_gather_rev_fwd, _nbr_gather_rev_bwd)
+
+
+def _env_rvec(positions, cell, cfg: ConfigArrays, oidx=None, use_rev=False):
     """Neighbor displacement vectors.
 
     ``oidx`` maps table rows to global position rows: under the mesh the
     per-atom tables are sharded over 'data' while positions stay global
     (neighbors cross shard boundaries), so row i of the local table refers
     to atom ``oidx[i]``.  None means rows and positions are aligned.
+
+    ``use_rev``: route the neighbor gather through the reverse-slot
+    custom VJP (first-order callers only — the MD/predict hot paths).
     """
     dtype = positions.dtype
     own = positions if oidx is None else positions[oidx]
-    rvec = (
-        positions[cfg.nbr_idx]
-        - own[:, None, :]
-        + cfg.nbr_off.astype(dtype) @ cell
-    )
+    if use_rev and cfg.nbr_rev is not None and oidx is None:
+        nbrs = _nbr_gather_rev(
+            positions, cfg.nbr_idx, cfg.nbr_rev, cfg.nbr_mask
+        )
+    else:
+        nbrs = positions[cfg.nbr_idx]
+    rvec = nbrs - own[:, None, :] + cfg.nbr_off.astype(dtype) @ cell
     return rvec
 
 
@@ -120,8 +179,9 @@ def _central_factor(z1, z2, chem_z, dtype):
     return chem_z[z1[:, None], z2[None, :]].astype(dtype)
 
 
-def _config_descriptors(positions, cell, cfg, radii, params, oidx=None):
-    rvec = _env_rvec(positions, cell, cfg, oidx)
+def _config_descriptors(positions, cell, cfg, radii, params, oidx=None,
+                        use_rev=False):
+    rvec = _env_rvec(positions, cell, cfg, oidx, use_rev=use_rev)
     mask = cfg.nbr_mask & cfg.atom_mask[:, None]
     p = sesoap_descriptors(rvec, cfg.nbr_sidx, mask, radii, params)
     # neighbor tables may carry skin-buffered pairs beyond rc (inert in the
@@ -134,14 +194,16 @@ def _config_descriptors(positions, cell, cfg, radii, params, oidx=None):
 
 def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
                exponent, pair_terms, pair_d, pair_mask, chem_z=None,
-               mixL=None, kind="dot", oidx=None):
+               mixL=None, kind="dot", oidx=None, use_rev=False):
     """SOAP covariance block + optional 2-body pair-kernel contributions
     (EnergyForceKernel.base_kerns sums kernels, gppotential.py:81-84).
 
     Returns (cov, lone, alpha) with alpha = per-LCE kernel diagonal (needed
     for covloss normalization when pair terms or alchemical mixing break
-    k(x,x)=1).  ``oidx``: see :func:`_env_rvec` (sharded row blocks)."""
-    p, lone = _config_descriptors(posd, celld, cfg, radii, params, oidx)
+    k(x,x)=1).  ``oidx``: see :func:`_env_rvec` (sharded row blocks);
+    ``use_rev``: fast reverse-slot force VJP (first-order callers)."""
+    p, lone = _config_descriptors(posd, celld, cfg, radii, params, oidx,
+                                  use_rev=use_rev)
     nrows = cfg.nbr_mask.shape[0]
     nsp = radii.shape[0]
     p = _chem_mix(p, mixL, nsp)
@@ -162,7 +224,7 @@ def _total_cov(posd, celld, cfg, X_desc, X_num, X_lone, radii, znum, params,
         alpha = jnp.where(lone, alpha + 1.0, alpha)
         alpha = jnp.maximum(alpha, 1e-12)
     if pair_terms:
-        rvec = _env_rvec(posd, celld, cfg, oidx)
+        rvec = _env_rvec(posd, celld, cfg, oidx, use_rev=use_rev)
         d = jnp.sqrt((rvec * rvec).sum(-1) + 1e-30)
         nbrz = znum[jnp.clip(cfg.nbr_sidx, 0, znum.shape[0] - 1)]
         mask = cfg.nbr_mask & cfg.atom_mask[:, None]
@@ -188,10 +250,10 @@ def predict_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom, params
             posd, celld, cfg, model.X_desc, model.X_num, model.X_lone,
             radii, znum, params, exponent, pair_terms,
             model.pair_d, model.pair_mask, chem_z=chem_z, mixL=mixL,
-            kind=kind,
+            kind=kind, use_rev=True,
         )
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
-        e = (cov @ model.mu).sum()
+        e = precise_sum(cov @ model.mu)
         return e, (cov, alpha)
 
     eps0 = jnp.zeros((3, 3), dtype=cfg.positions.dtype)
@@ -245,9 +307,10 @@ def _col_energy(pos, eps, cfg, x_desc, x_num, x_lone, radii, params, exponent,
         posd, celld, cfg, x_desc[None], x_num[None], x_lone[None],
         radii, znum, params, exponent, pair_terms, pd, pm,
         chem_z=chem_z, mixL=mixL, kind=kind, oidx=oidx,
+        use_rev=psum_axes is None,
     )
     col = col[:, 0] * cfg.atom_mask
-    s = col.sum()
+    s = precise_sum(col)
     if psum_axes is not None:
         # sharded row block: sum partial Ke over the 'data' axis; the VJP of
         # this psum makes dpos/deps come out globally reduced as well
@@ -369,22 +432,31 @@ def kernel_block_jac_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
     valid = (cfg.atom_mask[:, None] & model.m_mask[None, :]).astype(p.dtype)
     ke_mat = (dot**exponent * same
               + (lone[:, None] & model.X_lone[None, :]) * same) * valid
-    ke = ke_mat.sum(axis=0)
+    ke = precise_sum(ke_mat, axis=0)
     W = exponent * dot ** (exponent - 1) * same * valid  # (N, M)
 
     n, k = mask.shape
     mcap = model.mu.shape[0]
     flat_idx = cfg.nbr_idx.reshape(-1)
     rmask = rvec0 * mask[:, :, None]
+    rev = cfg.nbr_rev
 
     def one_chunk(xw):
         Xc, Wc = xw  # (C, D), (N, C)
         JXc = jnp.einsum("ndka,cd->nkac", J, Xc)  # (N, K, 3, C)
         Gc = Wc[:, None, None, :] * JXc * mask[:, :, None, None]
         # dKe_j/d r_ik = Gc[i,k,:,j]; leftgrad: +G at atom idx[i,k], -G at i
-        plus = jax.ops.segment_sum(
-            Gc.reshape(n * k, 3, -1), flat_idx, num_segments=n
-        )
+        if rev is not None:
+            # reverse-slot gather instead of scatter-add (same trick as
+            # _nbr_gather_rev; Gc is already zero on masked slots)
+            taken = Gc.reshape(n * k, 3, -1)[jnp.clip(rev, 0, n * k - 1)]
+            plus = jnp.where(
+                (rev >= 0)[:, :, None, None], taken, 0.0
+            ).sum(axis=1)
+        else:
+            plus = jax.ops.segment_sum(
+                Gc.reshape(n * k, 3, -1), flat_idx, num_segments=n
+            )
         minus = Gc.sum(axis=1)  # (N, 3, C)
         kf_c = -(plus - minus)  # forces_energy = -leftgrad
         kv_c = jnp.einsum("nkac,nkb->abc", Gc, rmask)
@@ -413,7 +485,8 @@ def meta_covloss_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
     and its position gradient (reference ActiveMeta, active.py:1170-1186)."""
 
     def energy(pos):
-        p, lone = _config_descriptors(pos, cfg.cell, cfg, radii, params)
+        p, lone = _config_descriptors(pos, cfg.cell, cfg, radii, params,
+                                      use_rev=True)
         cov = gram(p, cfg.numbers, lone, model.X_desc, model.X_num, model.X_lone,
                    exponent)
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
@@ -573,15 +646,21 @@ class Engine:
             nbr_off = nbr_off.astype(np.int8)
         nbr_sidx = pad(np.maximum(nbr_sidx, 0).astype(np.int32))
         nbr_mask = pad(nbr_mask)
+        from .neighbors_device import reverse_slots
+
+        idx_j = jnp.asarray(nbr_idx)
+        off_j = jnp.asarray(nbr_off)
+        mask_j = jnp.asarray(nbr_mask)
         return ConfigArrays(
             positions=jnp.asarray(positions, dtype=self.dtype),
             cell=jnp.asarray(system.cell, dtype=self.dtype),
             numbers=jnp.asarray(numbers),
             atom_mask=jnp.asarray(atom_mask),
-            nbr_idx=jnp.asarray(nbr_idx),
-            nbr_off=jnp.asarray(nbr_off),
+            nbr_idx=idx_j,
+            nbr_off=off_j,
             nbr_sidx=jnp.asarray(nbr_sidx),
-            nbr_mask=jnp.asarray(nbr_mask),
+            nbr_mask=mask_j,
+            nbr_rev=reverse_slots(idx_j, off_j, mask_j),
         )
 
     def update_positions(self, cfg: ConfigArrays, system) -> ConfigArrays:

@@ -13,6 +13,7 @@ Everything here is dense-matmul-shaped (MXU-friendly); species selection is
 a mask, not control flow.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .kernelalgebra import KernelExpr
@@ -74,7 +75,10 @@ def covloss_beta(choli, cov, vscale_atom, m_mask, alpha=None):
     alpha is the kernel diagonal k(x_i, x_i); None means normalized (=1).
     """
     b = (choli * m_mask[None, :]) @ (cov * m_mask[None, :]).T  # (M, n)
-    c = (b * b).sum(axis=0)
+    # reduce-of-dot: keep the reduction in true f32 (engine.precise_sum —
+    # beta feeds threshold comparisons, a bf16-folded sum adds a ~0.02
+    # noise floor near c = 1)
+    c = jax.lax.optimization_barrier(b * b).sum(axis=0)
     if alpha is not None:
         c = c / alpha
     beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None))

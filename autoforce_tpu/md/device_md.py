@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import units
-from ..engine import ConfigArrays, ModelArrays, _total_cov
+from ..engine import ConfigArrays, ModelArrays, _total_cov, precise_sum
 from ..kernels import covloss_beta
 
 
@@ -113,10 +113,10 @@ def md_chunk(
                 p, cfg.cell, cfg, model.X_desc, model.X_num, model.X_lone,
                 radii, znum, params, exponent, pair_terms,
                 model.pair_d, model.pair_mask, chem_z=chem_z, mixL=mixL,
-                kind=kind,
+                kind=kind, use_rev=True,
             )
             cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
-            return (cov @ model.mu).sum(), (cov, alpha)
+            return precise_sum(cov @ model.mu), (cov, alpha)
 
         (e, (cov, alpha)), g = jax.value_and_grad(energy, has_aux=True)(pos)
         f = -g * cfg.atom_mask[:, None]
@@ -261,8 +261,14 @@ class DeviceMD:
         mask = mask & chain["sidx_ok"][idx]
         if cfg.nbr_off.dtype != off.dtype:
             off = off.astype(cfg.nbr_off.dtype)
+        rev = None
+        if cfg.nbr_rev is not None:
+            from ..neighbors_device import reverse_slots
+
+            rev = reverse_slots(idx, off, mask)
         chain["cfg"] = cfg._replace(
-            nbr_idx=idx, nbr_off=off, nbr_sidx=nbr_sidx, nbr_mask=mask
+            nbr_idx=idx, nbr_off=off, nbr_sidx=nbr_sidx, nbr_mask=mask,
+            nbr_rev=rev,
         )
         chain["pos0"] = pos_dev
         return True

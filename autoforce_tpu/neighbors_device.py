@@ -126,3 +126,55 @@ def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
     mask = mask.reshape(npad, kpad)[:N]
     kmax = count.reshape(npad)[:N].max()
     return idx, off, mask, kmax, off_over.any()
+
+
+@partial(jax.jit, static_argnames=("block",))
+def reverse_slots(idx, off, mask, block=64):
+    """Reverse-slot table: ``rev[j, k'] = i * K + k`` (flat) such that
+    ``idx[i, k] == j`` and ``off[i, k] == -off[j, k']`` where
+    ``i = idx[j, k']``; ``-1`` on masked slots.
+
+    Neighbor tables are symmetric (every (i, j, off) pair appears as
+    (j, i, -off)), so the transpose of the table is a permutation of its
+    slots.  This turns the scatter-add in the force VJP — the single most
+    expensive op of the MD step on TPU (XLA lowers scatter poorly) — into
+    a plain gather (see engine._nbr_gather_rev); the reference pays
+    neither because torch CPU scatter is cheap (its cost lives in the
+    per-atom python loops instead, atoms.py:405-410).
+
+    Offset matching (not just pair matching) keeps multiple periodic
+    images of the same pair distinct, including self-images i == j.
+    """
+    N, K = idx.shape
+    nblk = -(-N // block)
+    npad = nblk * block
+    idx_p = jnp.pad(idx, ((0, npad - N), (0, 0)))
+    off_p = jnp.pad(off, ((0, npad - N), (0, 0), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, npad - N), (0, 0)))
+    rows = jnp.arange(npad, dtype=jnp.int32)
+
+    def one_block(args):
+        idx_b, off_b, mask_b, rows_b = args  # (B, K), (B, K, 3), (B, K), (B,)
+        i = idx_b  # (B, K) candidate rows
+        cand_idx = idx_p[i]  # (B, K, K)
+        cand_off = off_p[i]  # (B, K, K, 3)
+        cand_mask = mask_p[i]  # (B, K, K)
+        match = (
+            (cand_idx == rows_b[:, None, None])
+            & (cand_off == -off_b[:, :, None, :]).all(-1)
+            & cand_mask
+        )
+        rev_k = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        found = match.any(axis=-1) & mask_b
+        return jnp.where(found, i * K + rev_k, -1)
+
+    rev = jax.lax.map(
+        one_block,
+        (
+            idx_p.reshape(nblk, block, K),
+            off_p.reshape(nblk, block, K, 3),
+            mask_p.reshape(nblk, block, K),
+            rows.reshape(nblk, block),
+        ),
+    )
+    return rev.reshape(npad, K)[:N]

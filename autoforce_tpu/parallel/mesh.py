@@ -44,6 +44,7 @@ from ..engine import (
     _config_descriptors,
     _env_rvec,
     _total_cov,
+    precise_sum,
 )
 
 
@@ -168,7 +169,7 @@ def sharded_predict(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
             cov = cov * (cfg_l.atom_mask[:, None] & model_l.m_mask[None, :])
             # the psum (reference all_reduce) is differentiated through, so
             # gradients of the replicated inputs come out globally reduced
-            e = jax.lax.psum((cov @ model_l.mu).sum(), ("data", "model"))
+            e = jax.lax.psum(precise_sum(cov @ model_l.mu), ("data", "model"))
             return e, (cov, alpha)
 
         eps0 = jnp.zeros((3, 3), dtype=cfg_l.positions.dtype)
@@ -317,7 +318,7 @@ def sharded_kernel_block_jac(cfg: ConfigArrays, model: ModelArrays, radii,
             dot**exponent * same
             + (lone[:, None] & model_l.X_lone[None, :]) * same
         ) * valid
-        ke = ke_mat.sum(axis=0)
+        ke = precise_sum(ke_mat, axis=0)
         W = exponent * dot ** (exponent - 1) * same * valid  # (Nb, Mb)
 
         nb, k = mask.shape

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine import ConfigArrays, _config_descriptors, _env_rvec
+from ..engine import ConfigArrays, _config_descriptors, _env_rvec, precise_sum
 from ..kernels import gram
 from . import solver
 
@@ -46,7 +46,9 @@ def cross_kernel_blocks(cfg1: ConfigArrays, cfg2: ConfigArrays, radii, params,
         cov = gram(p1, cfg1.numbers, lone1, p2, cfg2.numbers, lone2, exponent,
                    kind=kind)
         cov = cov * (cfg1.atom_mask[:, None] & cfg2.atom_mask[None, :])
-        return cov.sum()
+        # reduce-of-dot must not fold into a synthesized bf16 contraction
+        # on TPU (engine.precise_sum)
+        return precise_sum(cov)
 
     ee = g(cfg1.positions, cfg2.positions)
     fe = -jax.grad(g, argnums=0)(cfg1.positions, cfg2.positions)

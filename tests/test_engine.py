@@ -217,3 +217,27 @@ def test_kernel_block_jac_matches_vjp():
     np.testing.assert_allclose(np.asarray(ke2), np.asarray(ke1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(kf2), np.asarray(kf1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(kv2), np.asarray(kv1), atol=1e-9)
+
+
+def test_precise_sum_matches_sum_and_grads():
+    """precise_sum == sum (CPU reference; on TPU it defeats the
+    reduce-of-dot bf16 fold — see engine.precise_sum) and is
+    differentiable in reverse AND forward mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from autoforce_tpu.engine import precise_sum
+
+    x = jnp.asarray(np.linspace(-1, 1, 24).reshape(6, 4))
+    np.testing.assert_allclose(
+        float(precise_sum(x)), float(x.sum()), rtol=1e-15
+    )
+    np.testing.assert_allclose(
+        np.asarray(precise_sum(x, axis=0)), np.asarray(x.sum(axis=0)),
+        rtol=1e-15,
+    )
+    g = jax.grad(lambda y: precise_sum(y * y))(x)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), rtol=1e-12)
+    # forward mode (exactgp's jacfwd-over-grad path goes through it)
+    j = jax.jacfwd(lambda y: precise_sum(y * y))(x)
+    np.testing.assert_allclose(np.asarray(j), 2 * np.asarray(x), rtol=1e-12)

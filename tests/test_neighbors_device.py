@@ -132,3 +132,79 @@ def test_device_md_rebuild_equivalence(tmp_path, monkeypatch):
         results[dev] = (s.positions.copy(), s.get_velocities().copy())
     np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-8)
     np.testing.assert_allclose(results[True][1], results[False][1], atol=1e-8)
+
+
+def test_reverse_slots_transpose_scatter():
+    """rev-gather == scatter-add, on both host and device tables, incl.
+    multiple periodic images of the same pair (small cell, rc > L/2)."""
+    from autoforce_tpu.neighbors_device import reverse_slots
+
+    for reps, rc in (((2, 2, 2), 4.5), ((1, 1, 2), 6.5)):
+        s = bulk_fcc("Cu", 3.6).repeat(reps)
+        s.rattle(0.05, seed=0)
+        t = neighbor_table(s.positions, s.cell, s.pbc, rc)
+        idx, off, mask = t.idx, t.off, t.mask
+        N, K = idx.shape
+        rev = np.asarray(
+            reverse_slots(jnp.asarray(idx), jnp.asarray(off),
+                          jnp.asarray(mask))
+        )
+        assert int((mask & (rev < 0)).sum()) == 0  # symmetric table
+        rng = np.random.default_rng(0)
+        ct = rng.normal(size=(N, K, 3)) * mask[:, :, None]
+        ref = np.zeros((N, 3))
+        np.add.at(ref, idx.reshape(-1), ct.reshape(-1, 3))
+        good = rev >= 0
+        alt = np.where(
+            good[:, :, None], ct.reshape(-1, 3)[np.clip(rev, 0, None)], 0.0
+        ).sum(axis=1)
+        np.testing.assert_allclose(alt, ref, atol=1e-12)
+
+
+def test_rev_vjp_forces_match_plain_path():
+    """predict with the reverse-slot force VJP == plain scatter path."""
+    import jax
+
+    from autoforce_tpu.descriptor.soap import SoapParams
+    from autoforce_tpu.engine import Engine, predict_fn
+
+    eng = Engine(params=SoapParams(lmax=3, nmax=3, rc=4.5), exponent=4,
+                 species=[29])
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.rattle(0.08, seed=1)
+    cfg = eng.make_config(s)
+    assert cfg.nbr_rev is not None
+    # tiny synthetic model
+    rng = np.random.default_rng(0)
+    from autoforce_tpu.regression.sgpr import InducingEnv, SgprModel
+    from autoforce_tpu.neighbors import displacements, neighbor_table as nt
+
+    model = SgprModel(eng)
+    for seed in range(6):
+        ss = bulk_fcc("Cu", 3.6)
+        ss.rattle(0.1, seed=seed)
+        t = nt(ss.positions, ss.cell, ss.pbc, 4.5)
+        r = displacements(ss.positions, ss.cell, t)
+        i = seed % len(ss)
+        m = t.mask[i]
+        model.add_inducing(
+            InducingEnv.from_arrays(29, r[i][m], ss.numbers[t.idx[i][m]]),
+            remake=False,
+        )
+    model.mu = rng.normal(size=model.m)
+    model.choli = np.linalg.inv(
+        np.linalg.cholesky(model.M + 1e-6 * np.eye(model.m))
+    )
+    model._model_arrays = None
+    ma = model.full_model_arrays()
+    vs = jnp.ones(cfg.npad, dtype=cfg.positions.dtype)
+    e1, f1, w1, cov1, b1 = predict_fn(cfg, ma, eng.radii_table(), vs,
+                                      eng.params, eng.exponent,
+                                      znum=eng.znum_table())
+    cfg_plain = cfg._replace(nbr_rev=None)
+    e2, f2, w2, cov2, b2 = predict_fn(cfg_plain, ma, eng.radii_table(), vs,
+                                      eng.params, eng.exponent,
+                                      znum=eng.znum_table())
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-11)
