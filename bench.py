@@ -38,6 +38,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NATOMS_REPS = (6, 6, 7)  # 4 * 252 = 1008 atoms
 REPS_10K = (13, 14, 14)  # 4 * 2548 = 10192 atoms
+REPS_100K = (29, 29, 30)  # 4 * 25230 = 100920 atoms
 M_INDUCING = 256
 RC = 6.0
 LMAX = NMAX = 3
@@ -313,6 +314,23 @@ def main():
     except Exception as err:
         scale = {"error": repr(err)}
 
+    # 100k-atom point: 10x the reference's biggest (BCM+LAMMPS 10k) config,
+    # still on ONE chip.  Short window — this documents scale, not noise.
+    scale100 = None
+    try:
+        huge = make_system(REPS_100K)
+        runs100 = measure_device_md(eng, model, huge, steps=30, chunk=30,
+                                    repeats=2, warmup=15)
+        v100 = float(np.median(runs100))
+        scale100 = {
+            "natoms": len(huge),
+            "steps_per_sec": round(v100, 3),
+            "repeats": [round(float(r), 2) for r in runs100],
+            "ms_per_step": round(1000.0 / v100, 1),
+        }
+    except Exception as err:
+        scale100 = {"error": repr(err)}
+
     # 4-species (LGPS-like species count) diffusive point: exercises the
     # S^2 descriptor blocks and the on-device neighbor rebuild path
     ms = None
@@ -353,6 +371,7 @@ def main():
         "natoms": len(system),
         "device": jax.devices()[0].device_kind,
         "scale_10k": scale,
+        "scale_100k": scale100,
         "multispecies_1k": ms,
     }
     print(json.dumps(out))
