@@ -98,6 +98,7 @@ class ActiveCalculator:
         step0_forced_fp=False,
         mesh=None,
         skin=0.3,
+        kpad_min=0,
         nbeads=1,
         seed=None,
     ):
@@ -139,7 +140,11 @@ class ActiveCalculator:
         self.tune_for_md = True
         self._saved_for_tape = None
         self._npad = 0
-        self._kpad = 0
+        # neighbor-slot bucket floor: every bucket growth mid-run costs a
+        # recompile (or a multi-second cached-executable load over the
+        # remote backend) — runs whose density/temperature still drifts
+        # (melts, NPT) can pre-size the bucket to its stationary value
+        self._kpad = int(kpad_min)
         self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=skin)
         self.nbeads = int(nbeads)
         self.rng = np.random.default_rng(seed)

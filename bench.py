@@ -217,7 +217,7 @@ def flops_per_step(eng, model, system):
 
 
 def measure_device_md(eng, model, system, steps=300, chunk=100, repeats=3,
-                      warmup=150, temperature_K=300):
+                      warmup=150, temperature_K=300, kpad_min=0):
     """Headline: real Langevin MD with the device-resident integrator
     (forces + thermostat + integration on-chip; host re-entry only for
     Verlet-skin neighbor rebuilds).  Returns per-repeat steps/sec.
@@ -237,7 +237,7 @@ def measure_device_md(eng, model, system, steps=300, chunk=100, repeats=3,
 
     calc = ActiveCalculator(
         covariance=model, calculator=None, logfile=None, pckl=None, tape=None,
-        skin=SKIN,
+        skin=SKIN, kpad_min=kpad_min,
     )
     system = system.copy()
     system.calc = calc
@@ -337,9 +337,13 @@ def main():
     try:
         eng_ms, model_ms = build_ms_workload()
         big_ms = make_ms_system(NATOMS_REPS)
+        # kpad_min: the melting mixture's neighbor count drifts up for
+        # thousands of steps; pre-size the bucket at its stationary value
+        # (~224 observed) so no recompile/executable-load lands inside a
+        # measured repeat
         runs_ms = measure_device_md(eng_ms, model_ms, big_ms, steps=400,
                                     chunk=400, warmup=2000, repeats=5,
-                                    temperature_K=100)
+                                    temperature_K=100, kpad_min=256)
         vms = float(np.median(runs_ms))
         ms = {
             "natoms": len(big_ms),
