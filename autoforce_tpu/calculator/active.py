@@ -143,8 +143,10 @@ class ActiveCalculator:
         # neighbor-slot bucket floor: every bucket growth mid-run costs a
         # recompile (or a multi-second cached-executable load over the
         # remote backend) — runs whose density/temperature still drifts
-        # (melts, NPT) can pre-size the bucket to its stationary value
-        self._kpad = int(kpad_min)
+        # (melts, NPT) can pre-size the bucket to its stationary value.
+        # Rounded up to the 16-slot bucket grid so an off-grid floor does
+        # not defeat bucket stickiness with an extra shape.
+        self._kpad = round_up(int(kpad_min), 16) if kpad_min else 0
         self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=skin)
         self.nbeads = int(nbeads)
         self.rng = np.random.default_rng(seed)

@@ -320,7 +320,7 @@ def main():
     try:
         huge = make_system(REPS_100K)
         runs100 = measure_device_md(eng, model, huge, steps=30, chunk=30,
-                                    repeats=2, warmup=15)
+                                    repeats=3, warmup=15, kpad_min=256)
         v100 = float(np.median(runs100))
         scale100 = {
             "natoms": len(huge),
@@ -338,9 +338,11 @@ def main():
         eng_ms, model_ms = build_ms_workload()
         big_ms = make_ms_system(NATOMS_REPS)
         # kpad_min: the melting mixture's neighbor count drifts up for
-        # thousands of steps; pre-size the bucket at its stationary value
-        # (~224 observed) so no recompile/executable-load lands inside a
-        # measured repeat
+        # thousands of steps; the observed stationary bucket is 224, so
+        # pin one bucket above (256) to absorb residual drift — no
+        # recompile/executable-load lands inside a measured repeat
+        # (costs ~10% vs the 224 bucket; repeats went from [23,66,60,22,60]
+        # to [41,55,61,51,63])
         runs_ms = measure_device_md(eng_ms, model_ms, big_ms, steps=400,
                                     chunk=400, warmup=2000, repeats=5,
                                     temperature_K=100, kpad_min=256)

@@ -215,3 +215,17 @@ def test_pimd_first_bead_sampling(tmp_path, monkeypatch):
         calc.calculate(t)
     # beads 1, 5 are first beads (step+1) % 4 == 1 -> 2 update calls
     assert calls["n"] == 2, calls
+
+
+def test_kpad_min_floor(tmp_path):
+    """kpad_min pre-sizes the neighbor bucket (rounded to the 16-slot
+    grid) and the first config honors it — mid-run bucket growth in
+    drift-prone runs costs a recompile, so the floor must stick."""
+    from autoforce_tpu.system import bulk_fcc
+
+    calc, lj = make_calc(str(tmp_path), kpad_min=100)
+    assert calc._kpad == 112  # rounded up to the bucket grid
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.calc = calc
+    s.get_potential_energy()
+    assert calc.cfg.nbr_idx.shape[1] >= 112
