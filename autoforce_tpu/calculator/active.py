@@ -69,8 +69,31 @@ def default_kernel_engine(lmax=3, nmax=3, exponent=4, cutoff=6.0, species=None,
     )
 
 
+def _pack_outputs(e, f, w, tail):
+    """Flatten the predict outputs into ONE device array so the host pays
+    a single transfer round trip per step (see _predict)."""
+    global _pack_jit
+    if _pack_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        def pack(e, f, w, tail):
+            return jnp.concatenate(
+                [jnp.reshape(e, (1,)), jnp.reshape(f, (-1,)),
+                 jnp.reshape(w, (-1,)), jnp.reshape(tail, (-1,))]
+            )
+
+        _pack_jit = jax.jit(pack)
+    return _pack_jit(e, f, w, tail)
+
+
+_pack_jit = None
+
+
 class ActiveCalculator:
     """On-the-fly SGPR learner with the reference's sampling policy."""
+
+    _always_fetch_cov = False  # MultiTaskCalculator needs cov per step
 
     def __init__(
         self,
@@ -140,6 +163,7 @@ class ActiveCalculator:
         self.tune_for_md = True
         self._saved_for_tape = None
         self._npad = 0
+        self._beta_dev = None
         # neighbor-slot bucket floor: every bucket growth mid-run costs a
         # recompile (or a multi-second cached-executable load over the
         # remote backend) — runs whose density/temperature still drifts
@@ -334,10 +358,21 @@ class ActiveCalculator:
         # below is advisory only — every sampling decision recomputes beta
         # on host (_host_beta) where inf propagates exactly
         e, f, w, cov, beta = self.engine.predict(self.cfg, ma, vs)
-        energy = float(e) + self.model.mean_energy(self.system.numbers)
-        forces = np.asarray(f)[:n]
+        # ONE device->host transfer per step: over the remote-TPU tunnel
+        # every synchronous fetch costs a ~20-30 ms round trip and this
+        # method consumes 4-5 arrays (measured 5.7 steps/s with naive
+        # per-array fetches).  Pack everything into a single flat device
+        # array; inference-only steps ship the per-atom beta (4 KB)
+        # instead of the (N x M) covariance block.
+        npad = self.cfg.npad
+        want_cov = bool(self.active) or self._always_fetch_cov
+        tail = cov if want_cov else beta
+        packed = np.asarray(_pack_outputs(e, f, w, tail))
+        energy = float(packed[0]) + self.model.mean_energy(self.system.numbers)
+        forces = packed[1 : 1 + 3 * npad].reshape(npad, 3)[:n]
+        wmat = packed[1 + 3 * npad : 10 + 3 * npad].reshape(3, 3)
         try:
-            stress = voigt6(np.asarray(w)) / self.system.volume
+            stress = voigt6(wmat) / self.system.volume
         except ValueError:
             stress = np.zeros(6)
         self.results = {
@@ -346,7 +381,13 @@ class ActiveCalculator:
             "stress": stress,
         }
         self.maximum_force = float(np.abs(forces).max()) if n else inf
-        self._cov = np.asarray(cov)[:n, : self.model.m]
+        rest = packed[10 + 3 * npad :]
+        if want_cov:
+            self._cov = rest.reshape(npad, -1)[:n, : self.model.m]
+            self._beta_dev = None
+        else:
+            self._cov = None
+            self._beta_dev = rest[:n]
         self._desc = None  # fetched lazily in the sampling loop
         return self.results
 
@@ -385,9 +426,17 @@ class ActiveCalculator:
 
     def _host_beta(self):
         """β from host-side cov/choli (active.py:781-804), updatable inside
-        the sampling loop without device round-trips."""
+        the sampling loop without device round-trips.
+
+        Inference-only steps skip the covariance fetch (see _predict);
+        the device-computed beta (same math, device dtype) is returned
+        directly there — only the sampling loop needs the host copy."""
         m = self.model.m
         if m == 0 or len(self.model.mu) != m:
+            return np.full(len(self.system), inf)
+        if self._cov is None:
+            if self._beta_dev is not None:
+                return np.asarray(self._beta_dev, dtype=np.float64)
             return np.full(len(self.system), inf)
         b = self.model.choli @ self._cov.T
         c = (b * b).sum(axis=0) / self._host_alpha()
@@ -440,8 +489,9 @@ class ActiveCalculator:
     def initiate_model(self):
         rec = self.snapshot(fake=False)
         unique = self.get_unique_lces()
-        for i in unique:
-            env = self.extract_env(i)
+        envs = [self.extract_env(i) for i in unique]
+        self.model.stage_envs(envs)  # one dispatch for all seed LCEs
+        for env in envs:
             self.model.add_inducing(env, remake=False)
         self.model.add_data(rec, remake=False)
         self.model.make_munu()
@@ -489,8 +539,9 @@ class ActiveCalculator:
                 if indices is not None
                 else rng.permutation(len(tmp)).tolist()
             )
-            for k in idx:
-                env = self.extract_env(k, system=tmp, nl=nl)
+            envs = [self.extract_env(k, system=tmp, nl=nl) for k in idx]
+            self.model.stage_envs(envs)  # one dispatch, not one per LCE
+            for env in envs:
                 added += abs(self.update_lce(env))
         self.log(f"added {added} randomly displaced LCEs")
 

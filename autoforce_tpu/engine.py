@@ -533,6 +533,7 @@ class Engine:
         self.species = sorted(int(z) for z in (species or []))
         self.pair_terms = tuple(pair_terms)
         self.pair_kx = 16
+        self.env_kpad = 8  # sticky env-staging neighbor bucket (make_envs)
         # alchemical species similarity (ChemicalSoapKernel/ChemRBF):
         # None -> Dirac delta; 'rbf' -> element-embedding RBF
         self.chemical = chemical
@@ -566,6 +567,7 @@ class Engine:
             kernel=self.kernel_kind if self.kernel_kind != "dot" else None,
         )
         eng.pair_kx = self.pair_kx
+        eng.env_kpad = self.env_kpad
         return eng
 
     def chem_args(self):
@@ -676,9 +678,18 @@ class Engine:
         )
 
     def make_envs(self, env_list, kpad=None) -> EnvArrays:
-        """Pad a list of raw (rvec, numbers) environments."""
+        """Pad a list of raw (rvec, numbers) environments.
+
+        The neighbor axis uses a STICKY bucket (env_kpad): single-env
+        staging during sampling would otherwise produce a fresh kpad
+        shape — and a fresh remote compile of env_descriptors_fn — for
+        every new neighbor count."""
         kmax = max([len(e[1]) for e in env_list] + [1])
-        kpad = kpad or round_up(kmax, 8)
+        if kpad is None:
+            self.env_kpad = max(
+                getattr(self, "env_kpad", 8), round_up(kmax, 8)
+            )
+            kpad = self.env_kpad
         m = len(env_list)
         rvec = np.zeros((m, kpad, 3))
         sidx = np.zeros((m, kpad), dtype=np.int32)

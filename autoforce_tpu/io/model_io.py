@@ -90,7 +90,11 @@ def save_model(model: SgprModel, folder):
     }
     with open(os.path.join(folder, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
-    np.savez_compressed(
+    # uncompressed: the model is auto-saved after EVERY update
+    # (active.py save_model, reference active.py:985-987) and zlib of the
+    # (3N*ndata x m) force block measured 6.7 s per save at the flagship
+    # scale vs ~0.5 s raw write — compression was 90% of the update wall
+    np.savez(
         os.path.join(folder, "arrays.npz"),
         M=model.M, Ke=model.Ke, Kf=model.Kf, Kv=model.Kv,
         mu=model.mu, choli=model.choli,

@@ -141,6 +141,30 @@ class SgprModel:
         env.lone = bool(np.asarray(lone)[0])
         return env
 
+    def stage_envs(self, envs):
+        """Batch-stage descriptors for many raw environments: ONE device
+        dispatch per power-of-two size bucket instead of one dispatch
+        (and possibly one fresh-shape remote compile) per environment —
+        model seeding at ~300 unique LCEs measured minutes in per-env
+        staging, seconds batched."""
+        todo = [e for e in envs if e.desc is None]
+        if not todo:
+            return envs
+        for lo in range(0, len(todo), 256):
+            chunk = todo[lo : lo + 256]
+            b = 1
+            while b < len(chunk):
+                b *= 2
+            batch = chunk + [chunk[-1]] * (b - len(chunk))
+            ev = self.engine.make_envs([(e.rvec, e.numbers) for e in batch])
+            p, lone = self.engine.env_descriptors(ev)
+            p = np.asarray(p, dtype=np.float64)
+            lone = np.asarray(lone)
+            for i, e in enumerate(chunk):
+                e.desc = p[i]
+                e.lone = bool(lone[i])
+        return envs
+
     def _central(self, za, zb):
         if getattr(self.engine, "chemical", None):
             from ..chemical import chem_rbf_table
