@@ -609,6 +609,7 @@ class ActiveCalculator:
         self.blind = False
         n = len(self.system)
         beta = self._host_beta()
+        env_cache = {}  # k -> staged env (top-of-order lookahead batches)
         while len(added_indices) < n:
             beta = self._host_beta()
             order = np.argsort(beta)[::-1]
@@ -621,7 +622,19 @@ class ActiveCalculator:
                 break
             if np.isclose(beta[k], 1.0):
                 self.blind = True
-            env = self.extract_env(k)
+            if k not in env_cache:
+                # stage the next few argmax candidates in ONE dispatch:
+                # accept-heavy phases (young/blind model) walk tens of
+                # candidates per step, one staging round-trip each
+                todo = [
+                    kk for kk in order.tolist()
+                    if kk not in added_indices and kk not in self.ignore
+                    and kk not in env_cache
+                ][:8]
+                for kk in todo:
+                    env_cache[kk] = self.extract_env(kk)
+                self.model.stage_envs([env_cache[kk] for kk in todo])
+            env = env_cache.pop(k)
             added = self.update_lce(env, beta=beta[k])
             if added == 0:
                 break

@@ -623,19 +623,34 @@ class SgprModel:
 
     def add_1inducing(self, env, ediff, remake=True):
         """Accept env into the inducing set if it changes its own prediction
-        by >= ediff (gppotential.py:942-969)."""
+        by >= ediff (gppotential.py:942-969).
+
+        The reject path RESTORES the pre-trial solve state instead of
+        re-solving: pop slices the matrices back exactly, so the saved
+        (mu, choli, stats, ...) are bit-identical to what a fresh
+        make_munu would produce — and trial candidates dominate the
+        sampling-loop wall at large m (one O(m^3) solve each)."""
         if env.desc is None:
             self.stage_env(env)
         if self.m == 0:
             self.add_inducing(env, remake=remake)
             return 1, float("inf")
         e1 = self.env_energy(env)
+        saved = (
+            self.mu, self.choli, self.ridge, dict(self.noise_state),
+            dict(self.scaled_noise), dict(self.mean_weights), self.stats,
+            dict(self.vscale), dict(getattr(self, "indu_counts", {})),
+        )
         self.add_inducing(env, remake=True)
         e2 = self.env_energy(env)
         de = abs(e1 - e2)
         blind = abs(e1) < 1e-8 and abs(e2) < 1e-8
         if (de < ediff and not blind) or self.ridge > 0.0:
-            self.pop_1inducing(remake=remake)
+            self.pop_1inducing(remake=False)
+            (self.mu, self.choli, self.ridge, self.noise_state,
+             self.scaled_noise, self.mean_weights, self.stats,
+             self.vscale, self.indu_counts) = saved
+            self._model_arrays = None
             return 0, de
         return 1, de
 
