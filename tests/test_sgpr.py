@@ -194,3 +194,30 @@ def test_incremental_qr_cache_matches_fresh_solve():
     model._fvqr = None
     model.make_munu()
     np.testing.assert_allclose(mu_after, model.mu, atol=1e-9)
+
+
+def test_downsize_qr_column_deletion_matches_fresh():
+    """downsize eviction updates the QR cache by Givens column deletion
+    (select_inducing -> _fvqr_select); the next solve must equal a fresh
+    refactorization."""
+    eng, lj, model, systems = lj_setup(nstruct=6)
+    for k in range(6):
+        model.add_inducing(
+            env_from_system(eng, systems[k], k % 4), remake=False
+        )
+    for s in systems[:3]:
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu()
+    assert model._fvqr is not None
+
+    model.downsize(max_data=10, max_inducing=3, remake=False)
+    assert model._fvqr is not None  # survived as a column deletion
+    assert model._fvqr["R"].shape[1] == model.m == 3
+    model.make_munu()
+    mu_inc = model.mu.copy()
+    choli_inc = model.choli.copy()
+
+    model._fvqr = None
+    model.make_munu()
+    np.testing.assert_allclose(mu_inc, model.mu, atol=1e-9)
+    np.testing.assert_allclose(choli_inc, model.choli, atol=1e-9)
