@@ -315,7 +315,9 @@ class SgprModel:
             return None
         from scipy.linalg import qr_delete
 
-        Q, R = qr["Q"], qr["R"]
+        # copy once; per-call copies of the (n x m) Q would dominate when
+        # many scattered columns are evicted
+        Q, R = qr["Q"].copy(), qr["R"].copy()
         j = 0
         while j < len(dropped):
             # merge a contiguous descending run into one qr_delete call
@@ -325,7 +327,8 @@ class SgprModel:
                 k += 1
             start = dropped[k]
             count = k - j + 1
-            Q, R = qr_delete(Q, R, start, count, which="col")
+            Q, R = qr_delete(Q, R, start, count, which="col",
+                             overwrite_qr=True)
             j = k + 1
         z = Q.T @ qr["y"]
         return dict(Q=Q, R=R, z=z, y=qr["y"], fp=qr["fp"])
