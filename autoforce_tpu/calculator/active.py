@@ -365,7 +365,12 @@ class ActiveCalculator:
         # array; inference-only steps ship the per-atom beta (4 KB)
         # instead of the (N x M) covariance block.
         npad = self.cfg.npad
-        want_cov = bool(self.active) or self._always_fetch_cov
+        # meta (kernel-space bias reads cov every step) and multitask
+        # (per-task energies) need the covariance block even when inactive
+        want_cov = (
+            bool(self.active) or self._always_fetch_cov
+            or self.meta is not None
+        )
         tail = cov if want_cov else beta
         packed = np.asarray(_pack_outputs(e, f, w, tail))
         energy = float(packed[0]) + self.model.mean_energy(self.system.numbers)
@@ -626,11 +631,13 @@ class ActiveCalculator:
                 # stage the next few argmax candidates in ONE dispatch:
                 # accept-heavy phases (young/blind model) walk tens of
                 # candidates per step, one staging round-trip each
-                todo = [
-                    kk for kk in order.tolist()
-                    if kk not in added_indices and kk not in self.ignore
-                    and kk not in env_cache
-                ][:8]
+                tried = set(added_indices) | set(self.ignore)
+                todo = []
+                for kk in order.tolist():
+                    if kk not in tried and kk not in env_cache:
+                        todo.append(kk)
+                        if len(todo) == 8:
+                            break
                 for kk in todo:
                     env_cache[kk] = self.extract_env(kk)
                 self.model.stage_envs([env_cache[kk] for kk in todo])

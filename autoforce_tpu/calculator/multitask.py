@@ -15,6 +15,10 @@ from .active import ActiveCalculator, default_kernel_engine
 
 
 class MultiTaskCalculator(ActiveCalculator):
+    # per-task energies are computed from the covariance block every step
+    # (predict_task_energies below), including inference-only runs
+    _always_fetch_cov = True
+
     def __init__(self, calculators, weights=None, kernel_kw=None,
                  tasks_kern_optimization=False, niter_tasks=2, **kw):
         self.calcs = list(calculators)

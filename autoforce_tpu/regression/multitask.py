@@ -137,6 +137,22 @@ class MultiTaskSgprModel(SgprModel):
         self._make_multi_stats(targets[:size], pred[:size])
         self._model_arrays = None
 
+    def _solve_state(self):
+        """Extend the trial-addition snapshot with the multi-task solve
+        fields (sgpr.add_1inducing restores on reject; the base tuple
+        alone would leave (m+1)-row mu_tasks against an m-column model)."""
+        return (
+            super()._solve_state(), self.multi_mu,
+            getattr(self, "mu_tasks", None),
+            getattr(self, "shift_tasks", None),
+            self.tasks_kern, self.tasks_kern_L, dict(self.multi_types),
+        )
+
+    def _restore_solve_state(self, saved):
+        (base, self.multi_mu, self.mu_tasks, self.shift_tasks,
+         self.tasks_kern, self.tasks_kern_L, self.multi_types) = saved
+        super()._restore_solve_state(base)
+
     def effective_mu(self, weights):
         """nu[j] = sum_t w_t (W @ mu_j)_t: plugs into the standard device
         predict as mu."""

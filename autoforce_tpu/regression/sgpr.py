@@ -68,6 +68,18 @@ class DataRecord:
                    natoms=len(system))
 
 
+def _pow2_chunks(items, cap):
+    """Yield (chunk, padded) pairs: chunks of at most ``cap`` items, each
+    padded with its last element to a power-of-two length so the set of
+    jit batch shapes stays small (one compile per bucket, not per size)."""
+    for lo in range(0, len(items), cap):
+        chunk = items[lo : lo + cap]
+        b = 1
+        while b < len(chunk):
+            b *= 2
+        yield chunk, chunk + [chunk[-1]] * (b - len(chunk))
+
+
 class SgprModel:
     def __init__(self, engine: Engine, max_data=np.inf, max_inducing=np.inf):
         self.engine = engine
@@ -148,14 +160,7 @@ class SgprModel:
         model seeding at ~300 unique LCEs measured minutes in per-env
         staging, seconds batched."""
         todo = [e for e in envs if e.desc is None]
-        if not todo:
-            return envs
-        for lo in range(0, len(todo), 256):
-            chunk = todo[lo : lo + 256]
-            b = 1
-            while b < len(chunk):
-                b *= 2
-            batch = chunk + [chunk[-1]] * (b - len(chunk))
+        for chunk, batch in _pow2_chunks(todo, cap=256):
             ev = self.engine.make_envs([(e.rvec, e.numbers) for e in batch])
             p, lone = self.engine.env_descriptors(ev)
             p = np.asarray(p, dtype=np.float64)
@@ -380,13 +385,8 @@ class SgprModel:
             key = (rec.cfg.positions.shape, rec.cfg.nbr_idx.shape)
             groups.setdefault(key, []).append(i)
         for idxs in groups.values():
-            for lo in range(0, len(idxs), 32):
-                chunk = idxs[lo : lo + 32]
-                b = 1
-                while b < len(chunk):
-                    b *= 2
-                cfg_list = [self.data[i].cfg for i in chunk]
-                cfg_list += [cfg_list[-1]] * (b - len(chunk))
+            for chunk, padded in _pow2_chunks(idxs, cap=32):
+                cfg_list = [self.data[i].cfg for i in padded]
                 ke, kf, kv = self.engine.kernel_col_batch(
                     cfg_list, env.desc, env.number, env.lone,
                     x_pd=x_pd, x_pm=x_pm,
@@ -679,23 +679,31 @@ class SgprModel:
             self.add_inducing(env, remake=remake)
             return 1, float("inf")
         e1 = self.env_energy(env)
-        saved = (
-            self.mu, self.choli, self.ridge, dict(self.noise_state),
-            dict(self.scaled_noise), dict(self.mean_weights), self.stats,
-            dict(self.vscale), dict(getattr(self, "indu_counts", {})),
-        )
+        saved = self._solve_state()
         self.add_inducing(env, remake=True)
         e2 = self.env_energy(env)
         de = abs(e1 - e2)
         blind = abs(e1) < 1e-8 and abs(e2) < 1e-8
         if (de < ediff and not blind) or self.ridge > 0.0:
             self.pop_1inducing(remake=False)
-            (self.mu, self.choli, self.ridge, self.noise_state,
-             self.scaled_noise, self.mean_weights, self.stats,
-             self.vscale, self.indu_counts) = saved
-            self._model_arrays = None
+            self._restore_solve_state(saved)
             return 0, de
         return 1, de
+
+    def _solve_state(self):
+        """Everything make_munu/make_stats assign — snapshotted before a
+        trial inducing addition, restored on reject (subclasses extend)."""
+        return (
+            self.mu, self.choli, self.ridge, dict(self.noise_state),
+            dict(self.scaled_noise), dict(self.mean_weights), self.stats,
+            dict(self.vscale), dict(getattr(self, "indu_counts", {})),
+        )
+
+    def _restore_solve_state(self, saved):
+        (self.mu, self.choli, self.ridge, self.noise_state,
+         self.scaled_noise, self.mean_weights, self.stats,
+         self.vscale, self.indu_counts) = saved
+        self._model_arrays = None
 
     def vscale_for(self, numbers):
         return np.array(

@@ -150,3 +150,40 @@ def test_bcm_many_experts_restart_and_config(tmp_path, monkeypatch):
     res2 = calc2.calculate(s.copy())
     assert np.isfinite(res2["energy"])
     assert np.isfinite(res2["forces"]).all()
+
+
+def test_multitask_trial_reject_restores_task_state(tmp_path, monkeypatch):
+    """add_1inducing's reject path must restore the MULTI-TASK solve
+    fields too: a stale (m+1)-row mu_tasks against an m-column model
+    breaks effective_mu / predict_task_energies."""
+    monkeypatch.chdir(tmp_path)
+    lj1 = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    lj2 = LennardJones(epsilon=0.30, sigma=2.3, rc=4.0)
+    calc = MultiTaskCalculator(
+        [lj1, lj2], kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        logfile=None, pckl=None, tape=None,
+        ediff=0.02, ediff_tot=0.05, fdiff=0.05,
+    )
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=3)
+    s.calc = calc
+    s.get_potential_energy()  # seed + solve
+    model = calc.model
+    m0 = model.m
+    mu0 = model.mu.copy()
+    mt0 = model.mu_tasks.copy()
+    # force a rejected trial: huge ediff so the delta test always fails
+    from autoforce_tpu.regression.sgpr import InducingEnv
+
+    env = model.X[-1]
+    env2 = InducingEnv.from_arrays(env.number, env.rvec * 1.001, env.numbers)
+    added, _ = model.add_1inducing(env2, ediff=1e9)
+    assert added == 0
+    assert model.m == m0
+    assert model.mu_tasks.shape == mt0.shape
+    np.testing.assert_allclose(model.mu, mu0, atol=1e-12)
+    np.testing.assert_allclose(model.mu_tasks, mt0, atol=1e-12)
+    # device predict still works with consistent shapes
+    res = calc.calculate(s)
+    assert np.isfinite(res["energy"])
+    assert len(res["task_energies"]) == 2
