@@ -24,9 +24,18 @@ calc = ActiveCalculator(
     # production caps (reference cl/README.md): bound the model size so
     # update latency stays flat; eviction keeps the newest physics
     max_data=16, max_inducing=512,
+    # the 4-species melt's covloss plateaus at ~0.085: the default ediff
+    # (2 kcal/mol = 0.086) then samples nearly every step forever.  A
+    # slightly looser threshold lets the model converge and the run
+    # spend its time in on-device MD instead of model updates.
+    ediff=0.12, kpad_min=256,
     stdout=True,
 )
 atoms.calc = calc
 maxwell_boltzmann_velocities(atoms, 600)
-DeviceMD(atoms, calc, dt=1 * units.fs, temperature_K=600, chunk=50).run(2000)
+# 600 steps finishes in ~15 min on one chip including compiles and the
+# learning-heavy start; a chaotic hot mixture keeps sampling near any
+# threshold, so production runs simply continue (model.pckl resumes) and
+# spend an ever-larger fraction in on-device MD as the model saturates.
+DeviceMD(atoms, calc, dt=1 * units.fs, temperature_K=600, chunk=50).run(600)
 print("model size:", calc.size)
