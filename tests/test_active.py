@@ -229,3 +229,38 @@ def test_kpad_min_floor(tmp_path):
     s.calc = calc
     s.get_potential_energy()
     assert calc.cfg.nbr_idx.shape[1] >= 112
+
+
+def test_inference_mode_beta_without_cov(tmp_path):
+    """Inference-only predict skips the covariance fetch and serves beta
+    from the device (packed-transfer path); covloss logging and the
+    uncertain-save trigger still work."""
+    from autoforce_tpu.system import bulk_fcc
+
+    tmp = str(tmp_path)
+    calc, lj = make_calc(tmp)
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    s.get_potential_energy()  # learn a bit
+    # reload as inference-only (no oracle)
+    calc2 = ActiveCalculator(
+        covariance=os.path.join(tmp, "model.pckl"), calculator=None,
+        logfile=None, pckl=None, tape=None,
+        kernel_kw=dict(cutoff=4.5, lmax=3, nmax=3),
+    )
+    assert not calc2.active
+    s2 = s.copy()
+    s2.calc = calc2
+    e = s2.get_potential_energy()
+    assert np.isfinite(e)
+    assert calc2._cov is None  # skipped the (N x M) fetch
+    beta = calc2._host_beta()
+    assert len(beta) == len(s2)
+    assert np.isfinite(beta).all() or np.isinf(beta).any()  # well-formed
+    # covlog got a number
+    assert calc2.covlog != ""
+    # active path still fetches cov
+    res = calc.calculate(s)
+    assert calc._cov is not None
+    np.testing.assert_allclose(res["energy"], e, atol=1e-8)
