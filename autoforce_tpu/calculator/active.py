@@ -366,10 +366,22 @@ class ActiveCalculator:
         # instead of the (N x M) covariance block.
         npad = self.cfg.npad
         # meta (kernel-space bias reads cov every step) and multitask
-        # (per-task energies) need the covariance block even when inactive
+        # (per-task energies) need the covariance block even when
+        # inactive.  The beta shortcut is also only taken for the plain
+        # normalized dot kernel: with pair terms / alchemical mixing /
+        # kernel expressions the device beta normalizes by the true
+        # k(x,x) while the host sampling formula treats alpha as 1
+        # (deliberately conservative, _host_alpha) — mixing the two would
+        # shift the save-uncertain threshold between active and
+        # inference steps of the same trajectory.
+        plain_kernel = (
+            not self.engine.pair_terms
+            and not getattr(self.engine, "chemical", None)
+            and getattr(self.engine, "kernel_kind", "dot") == "dot"
+        )
         want_cov = (
             bool(self.active) or self._always_fetch_cov
-            or self.meta is not None
+            or self.meta is not None or not plain_kernel
         )
         tail = cov if want_cov else beta
         packed = np.asarray(_pack_outputs(e, f, w, tail))

@@ -29,7 +29,7 @@ import numpy as np
 from .descriptor.radial import as_radii
 from .descriptor.soap import SoapParams, sesoap_descriptors
 from .kernelalgebra import KernelExpr
-from .kernels import covloss_beta, gram
+from .kernels import covloss_beta, gram, precise_sum  # noqa: F401 (re-export)
 from .neighbors import neighbor_table, round_up
 from .pairkernels import (
     PairTerm,
@@ -85,22 +85,6 @@ class EnvArrays(NamedTuple):
 # --------------------------------------------------------------------------
 # jitted kernels (shape-specialized via jax's jit cache)
 # --------------------------------------------------------------------------
-
-
-def precise_sum(x, axis=None):
-    """Sum that defeats XLA's reduce-of-dot rewrite on TPU.
-
-    ``(cov @ mu).sum()`` gets algebraically folded by XLA into a single
-    synthesized contraction that IGNORES the session matmul-precision
-    override and accumulates in bfloat16: measured 0.69 abs error at
-    |E| ~ 190 eV (1008 atoms, f32) vs 0.009 for matvec + true f32 reduce;
-    ``jnp.einsum(precision='highest')`` still loses 0.19.  The
-    optimization barrier materializes the operand, so the reduce that
-    follows is a real f32 reduction (plain f32 vector sums measured exact
-    to 5e-6).  Apply to every reduction whose operand is (elementwise of)
-    a matmul product and whose result carries physics (energies, Ke).
-    """
-    return jax.lax.optimization_barrier(x).sum(axis=axis)
 
 
 @jax.custom_vjp
@@ -648,11 +632,17 @@ class Engine:
             nbr_off = nbr_off.astype(np.int8)
         nbr_sidx = pad(np.maximum(nbr_sidx, 0).astype(np.int32))
         nbr_mask = pad(nbr_mask)
-        from .neighbors_device import reverse_slots
-
         idx_j = jnp.asarray(nbr_idx)
         off_j = jnp.asarray(nbr_off)
         mask_j = jnp.asarray(nbr_mask)
+        if self.mesh is None:
+            from .neighbors_device import reverse_slots
+
+            rev = reverse_slots(idx_j, off_j, mask_j)
+        else:
+            # the sharded paths never read nbr_rev (mesh_pad drops it):
+            # skip the O(N*K^2) reverse-table pass under a mesh
+            rev = None
         return ConfigArrays(
             positions=jnp.asarray(positions, dtype=self.dtype),
             cell=jnp.asarray(system.cell, dtype=self.dtype),
@@ -662,7 +652,7 @@ class Engine:
             nbr_off=off_j,
             nbr_sidx=jnp.asarray(nbr_sidx),
             nbr_mask=mask_j,
-            nbr_rev=reverse_slots(idx_j, off_j, mask_j),
+            nbr_rev=rev,
         )
 
     def update_positions(self, cfg: ConfigArrays, system) -> ConfigArrays:
