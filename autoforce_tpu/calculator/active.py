@@ -733,6 +733,7 @@ class ActiveCalculator:
         rec.e = float(energy)
         rec.f = np.asarray(forces).copy()
         rec.s = np.asarray(stress).copy()
+        self.model.touch_targets()  # in-place retarget: QR cache stale
         self.model.make_munu()
 
     def _fast_ef(self):

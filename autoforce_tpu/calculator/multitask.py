@@ -106,6 +106,7 @@ class MultiTaskCalculator(ActiveCalculator):
         rec = self.model.data[-1]
         new = self.snapshot(fake=False)
         rec.e, rec.f, rec.s = new.e, new.f, new.s
+        self.model.touch_targets()
         self.model.make_munu()
 
     def add_1atoms_fast(self, rec):

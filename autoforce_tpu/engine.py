@@ -639,6 +639,19 @@ class Engine:
             from .neighbors_device import reverse_slots
 
             rev = reverse_slots(idx_j, off_j, mask_j)
+            # the reverse-slot force VJP silently drops a pair's cotangent
+            # if its mirror entry is missing; current builders always emit
+            # symmetric tables, but guard against a future asymmetric
+            # producer: fall back to the plain scatter path (one scalar
+            # fetch per rebuild — rebuilds are rare)
+            if bool(jnp.any(mask_j & (rev < 0))):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "asymmetric neighbor table: disabling the reverse-slot "
+                    "force VJP (plain scatter path)"
+                )
+                rev = None
         else:
             # the sharded paths never read nbr_rev (mesh_pad drops it):
             # skip the O(N*K^2) reverse-table pass under a mesh

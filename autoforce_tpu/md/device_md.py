@@ -266,6 +266,11 @@ class DeviceMD:
             from ..neighbors_device import reverse_slots
 
             rev = reverse_slots(idx, off, mask)
+            if bool(jnp.any(mask & (rev < 0))):
+                # asymmetric table (cannot happen for the MIC builder, but
+                # the reverse-slot VJP would silently drop forces): let the
+                # host path rebuild instead
+                return False
         chain["cfg"] = cfg._replace(
             nbr_idx=idx, nbr_off=off, nbr_sidx=nbr_sidx, nbr_mask=mask,
             nbr_rev=rev,

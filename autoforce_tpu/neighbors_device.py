@@ -144,6 +144,12 @@ def reverse_slots(idx, off, mask, block=64):
 
     Offset matching (not just pair matching) keeps multiple periodic
     images of the same pair distinct, including self-images i == j.
+
+    Precondition: the table carries NO duplicate (j, off) entries within a
+    row.  Duplicates would make argmax map two forward slots onto the same
+    reverse slot (one contribution double-counted, one dropped).  Both
+    builders (neighbors.neighbor_table, device_neighbor_table) emit each
+    (pair, image) exactly once, so this holds by construction.
     """
     N, K = idx.shape
     nblk = -(-N // block)

@@ -141,11 +141,15 @@ class MultiTaskSgprModel(SgprModel):
         """Extend the trial-addition snapshot with the multi-task solve
         fields (sgpr.add_1inducing restores on reject; the base tuple
         alone would leave (m+1)-row mu_tasks against an m-column model)."""
+        def cp(a):
+            return None if a is None else np.array(a, copy=True)
+
         return (
-            super()._solve_state(), self.multi_mu,
-            getattr(self, "mu_tasks", None),
-            getattr(self, "shift_tasks", None),
-            self.tasks_kern, self.tasks_kern_L, dict(self.multi_types),
+            super()._solve_state(), cp(self.multi_mu),
+            cp(getattr(self, "mu_tasks", None)),
+            cp(getattr(self, "shift_tasks", None)),
+            cp(self.tasks_kern), cp(self.tasks_kern_L),
+            dict(self.multi_types),
         )
 
     def _restore_solve_state(self, saved):

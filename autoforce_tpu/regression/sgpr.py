@@ -102,6 +102,13 @@ class SgprModel:
         self._xdiag = None
         self._fvqr = None
         self._mcap = 0
+        # monotonic target-vector version: bumped on EVERY mutation of the
+        # regression targets (row append/pop, in-place retarget via
+        # touch_targets).  The QR cache keys its validity on this counter —
+        # a value-based fingerprint (len/sum/abs-sum) could collide for two
+        # different target sets (e.g. a permutation of force rows) and
+        # silently reuse a stale factorization.
+        self.target_version = 0
 
     # ------------------------------------------------------------ properties
     @property
@@ -135,7 +142,7 @@ class SgprModel:
         if self.X:
             envs = self.engine.make_envs([(x.rvec, x.numbers) for x in self.X])
             p, lone = self.engine.env_descriptors(envs)
-            p = np.asarray(p)
+            p = np.asarray(p, dtype=np.float64)
             for i, x in enumerate(self.X):
                 x.desc = p[i]
                 x.lone = bool(np.asarray(lone)[i])
@@ -149,7 +156,9 @@ class SgprModel:
     def stage_env(self, env: InducingEnv):
         envs = self.engine.make_envs([(env.rvec, env.numbers)])
         p, lone = self.engine.env_descriptors(envs)
-        env.desc = np.asarray(p)[0]
+        # float64 like stage_envs: host math (kernel columns, solves) is
+        # f64 by convention, and both staging paths must agree on dtype
+        env.desc = np.asarray(p, dtype=np.float64)[0]
         env.lone = bool(np.asarray(lone)[0])
         return env
 
@@ -242,9 +251,17 @@ class SgprModel:
         _, forces, virials = self.targets()
         return np.concatenate([forces, virials])
 
-    @staticmethod
-    def _fv_fingerprint(y):
-        return (len(y), float(y.sum()), float(np.abs(y).sum()))
+    def _fv_fingerprint(self, y):
+        # version counter + length: structurally collision-free as long as
+        # every target mutation bumps target_version (add_data/pop_1data do;
+        # in-place edits of record targets must call touch_targets)
+        return (self.target_version, len(y))
+
+    def touch_targets(self):
+        """Declare that target values changed in place (e.g. head() swapping
+        fake targets for exact ones): invalidates the incremental QR cache's
+        projected target vector."""
+        self.target_version += 1
 
     def _fvqr_build(self, K_fv, y):
         n = K_fv.shape[0]
@@ -463,6 +480,7 @@ class SgprModel:
         self.data.append(rec)
         self._model_arrays = None
         self._fvqr = None
+        self.target_version += 1
         if remake:
             self.make_munu()
 
@@ -483,6 +501,7 @@ class SgprModel:
             self.Kv = self.Kv[:-6]
             self.data.pop()
         self._fvqr = None
+        self.target_version += 1
         if remake:
             self.make_munu()
 
@@ -692,10 +711,14 @@ class SgprModel:
 
     def _solve_state(self):
         """Everything make_munu/make_stats assign — snapshotted before a
-        trial inducing addition, restored on reject (subclasses extend)."""
+        trial inducing addition, restored on reject (subclasses extend).
+        Arrays/dicts are copied defensively: correctness must not hinge on
+        make_munu/make_stats never mutating them in place."""
         return (
-            self.mu, self.choli, self.ridge, dict(self.noise_state),
-            dict(self.scaled_noise), dict(self.mean_weights), self.stats,
+            np.array(self.mu, copy=True), np.array(self.choli, copy=True),
+            self.ridge, dict(self.noise_state),
+            dict(self.scaled_noise), dict(self.mean_weights),
+            dict(self.stats) if isinstance(self.stats, dict) else self.stats,
             dict(self.vscale), dict(getattr(self, "indu_counts", {})),
         )
 

@@ -196,6 +196,71 @@ def test_incremental_qr_cache_matches_fresh_solve():
     np.testing.assert_allclose(mu_after, model.mu, atol=1e-9)
 
 
+def test_qr_cache_survives_fingerprint_collision():
+    """Two different target vectors with identical (len, sum, abs-sum) —
+    a permutation of the force rows — must NOT reuse the stale projected
+    targets (VERDICT r2 weak #4: the old value-based fingerprint collided
+    here; the monotonic target_version cannot)."""
+    eng, lj, model, systems = lj_setup(nstruct=4)
+    for k in range(3):
+        model.add_inducing(env_from_system(eng, systems[k], k), remake=False)
+    for s in systems[:3]:
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu()
+    assert model._fvqr is not None
+    mu_before = model.mu.copy()
+
+    # permute force rows of one record: len/sum/abs-sum all unchanged,
+    # but the target vector (and the correct solution) differs
+    rec = model.data[0]
+    perm = np.arange(rec.natoms)[::-1]
+    rec.f = rec.f[perm]
+    y_old = model._fvqr["y"]
+    y_new = model._fv_targets()
+    assert len(y_new) == len(y_old)
+    np.testing.assert_allclose(y_new.sum(), y_old.sum(), atol=1e-12)
+    np.testing.assert_allclose(
+        np.abs(y_new).sum(), np.abs(y_old).sum(), atol=1e-12
+    )
+    model.touch_targets()
+    model.make_munu()
+    mu_perm = model.mu.copy()
+    assert not np.allclose(mu_perm, mu_before)  # stale cache would match
+
+    # reference: fresh solve with no cache at all
+    model._fvqr = None
+    model.make_munu()
+    np.testing.assert_allclose(mu_perm, model.mu, atol=1e-9)
+
+
+def test_head_retarget_invalidates_qr_cache(tmp_path, monkeypatch):
+    """ActiveCalculator.head() swaps fake targets for exact ones IN PLACE;
+    the solve after it must reflect the new targets (touch_targets)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.active import ActiveCalculator
+
+    eng, lj, model, systems = lj_setup(nstruct=3)
+    calc = ActiveCalculator(
+        covariance=model, calculator=lj, logfile=None, pckl=None, tape=None,
+        seed=0,
+    )
+    s = systems[0]
+    calc.calculate(s.copy())
+    assert model.ndata > 0
+    v0 = model.target_version
+    # fake snapshot + head: targets mutate in place
+    calc.system = s.copy()
+    calc._make_cfg(calc.system)
+    calc._predict()
+    calc.model.add_data(calc.snapshot(fake=True), remake=True)
+    calc.head()
+    assert model.target_version > v0
+    mu_head = model.mu.copy()
+    model._fvqr = None
+    model.make_munu()
+    np.testing.assert_allclose(mu_head, model.mu, atol=1e-9)
+
+
 def test_downsize_qr_column_deletion_matches_fresh():
     """downsize eviction updates the QR cache by Givens column deletion
     (select_inducing -> _fvqr_select); the next solve must equal a fresh
