@@ -371,3 +371,125 @@ def sharded_kernel_block_jac(cfg: ConfigArrays, model: ModelArrays, radii,
         ),
     )
     return fn(cfg, model, radii, own_idx)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "params", "exponent", "pair_terms",
+                     "check_beta", "thermostat", "kind"),
+)
+def sharded_md_chunk(
+    cfg: ConfigArrays,
+    model: ModelArrays,
+    radii,
+    znum,
+    vscale_atom,  # (N,) sharded over 'data'
+    amask,  # (N, 1) global atom mask, replicated
+    velocities,  # (N, 3) replicated
+    masses,  # (N, 1) replicated
+    pos0,  # (N, 3) positions at table-build time, replicated
+    key,
+    dt,
+    kT,
+    friction,
+    skin_half,
+    beta_thresh,
+    nsteps,
+    own_idx,
+    mesh,
+    chem_z=None,
+    mixL=None,
+    nhc_Q=None,
+    nhc_dof=None,
+    nhc_vxi=None,
+    nhc_xi=None,
+    params=None,
+    exponent=4,
+    pair_terms=(),
+    check_beta=True,
+    thermostat="langevin",
+    kind="dot",
+):
+    """Device-resident MD over the ('data', 'model') mesh: the ENTIRE
+    ``lax.while_loop`` integrator runs inside one ``shard_map``.
+
+    This is the reference's core scaling promise — more ranks for more
+    atoms *during MD* (README.md:89-92; per-rank atom ownership
+    atoms.py:321-341) — applied to the flagship throughput path: each
+    device computes descriptors and covariance rows for its block of
+    atoms (tables sharded over 'data', inducing columns over 'model');
+    forces come out globally reduced because the energy ``psum`` is
+    differentiated through (same idiom as :func:`sharded_predict`), so
+    the replicated position/velocity state steps identically on every
+    device and never leaves the chips between host visits.
+
+    Trajectories match the single-device ``md_chunk`` (same integrator,
+    same PRNG draws on the replicated state; equality-tested in
+    tests/test_parallel.py).
+
+    Returns (pos, vel, key, f, e, beta_max, ndone, nhc_vxi, nhc_xi),
+    every output replicated.
+    """
+    from ..md.device_md import _chunk_loop
+
+    dtype = cfg.positions.dtype
+    if nhc_vxi is None:
+        nhc_vxi = jnp.zeros(3, dtype=dtype)
+        nhc_xi = jnp.zeros(3, dtype=dtype)
+        nhc_Q = jnp.ones(3, dtype=dtype)
+        nhc_dof = jnp.ones((), dtype=dtype)
+
+    def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses, pos0,
+                 key, dt, kT, friction, skin_half, beta_thresh, nsteps,
+                 nhc_Q, nhc_dof, nhc_vxi, nhc_xi):
+        def forces_fn(pos):
+            def energy(p):
+                cov, lone, alpha = _total_cov(
+                    p, cfg_l.cell, cfg_l, model_l.X_desc, model_l.X_num,
+                    model_l.X_lone, rad, znum, params, exponent, pair_terms,
+                    model_l.pair_d, model_l.pair_mask, chem_z=chem_z,
+                    mixL=mixL, kind=kind, oidx=oidx,
+                )
+                cov = cov * (cfg_l.atom_mask[:, None] & model_l.m_mask[None, :])
+                # differentiating through the psum makes the position
+                # gradient come out globally reduced (full forces on
+                # every device)
+                e = jax.lax.psum(
+                    precise_sum(cov @ model_l.mu), ("data", "model")
+                )
+                return e, (cov, alpha)
+
+            (e, (cov, alpha)), g = jax.value_and_grad(
+                energy, has_aux=True
+            )(pos)
+            f = -g * amask
+            if check_beta:
+                cov_full = jax.lax.all_gather(cov, "model", axis=1, tiled=True)
+                cov_full = jax.lax.pmean(cov_full, "model")
+                b = model_l.choli @ cov_full.T
+                c = precise_sum(b * b, axis=0) / alpha
+                beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vs_l)
+                beta = jnp.where(cfg_l.atom_mask, beta, -jnp.inf)
+                beta_max = jax.lax.pmax(jnp.max(beta), "data")
+            else:
+                beta_max = jnp.zeros((), dtype=pos.dtype)
+            return e, f, beta_max
+
+        pos, vel, key, f, e, beta_max, vxi, xi, i = _chunk_loop(
+            forces_fn, cfg_l.positions, amask, vel, masses, key, pos0,
+            dt, kT, friction, skin_half, beta_thresh, nsteps,
+            thermostat, check_beta, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
+        )
+        return pos, vel, key, f, e, beta_max, i, vxi, xi
+
+    rep = (P(),) * 15
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"), P("data"))
+        + rep,
+        out_specs=(P(),) * 9,
+    )
+    return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
+              masses, pos0, key, dt, kT, friction, skin_half, beta_thresh,
+              nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi)
