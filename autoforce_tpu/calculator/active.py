@@ -124,6 +124,7 @@ class ActiveCalculator:
         kpad_min=0,
         nbeads=1,
         seed=None,
+        kernel_hpo=None,
     ):
         self._calc = calculator
         self.pckl = pckl
@@ -172,6 +173,12 @@ class ActiveCalculator:
         # not defeat bucket stickiness with an extra shape.
         self._kpad = round_up(int(kpad_min), 16) if kpad_min else 0
         self._nlcache = VerletNeighborCache(self.engine.params.rc, skin=skin)
+        # kernel-hyperparameter optimization cadence: every k-th model
+        # update, maximize the energy-target marginal likelihood over the
+        # KernelExpr's trainable params and rebuild the covariance blocks
+        # (reference gppotential.py:352-371 train path); None disables
+        self.kernel_hpo = kernel_hpo
+        self._hpo_count = 0
         self.nbeads = int(nbeads)
         self.rng = np.random.default_rng(seed)
         self.cfg = None
@@ -197,6 +204,10 @@ class ActiveCalculator:
     @property
     def size(self):
         return self.model.size
+
+    def _untrained(self):
+        """No servable model (BCM overrides: frozen experts count)."""
+        return self.size[1] == 0
 
     # Switch-able thresholds (reference active.py:378-421)
     @property
@@ -251,7 +262,7 @@ class ActiveCalculator:
     # ------------------------------------------------------------- calculate
     def calculate(self, system) -> dict:
         timings = [time.time()]
-        if self.size[1] == 0 and not self.active:
+        if self._untrained() and not self.active:
             raise RuntimeError("you forgot to assign an oracle calculator!")
         if self.engine.ensure_species(system.numbers):
             self.model.restage()
@@ -824,6 +835,24 @@ class ActiveCalculator:
     def optimize(self):
         self.model.optimize_model_parameters(noise_f=self.noise_f)
 
+    def optimize_kernel(self):
+        """Marginal-likelihood optimization of the composable kernel's
+        trainable hyperparameters + full covariance rebuild
+        (regression/hpo.py; reference gppotential.py:352-371)."""
+        from ..kernelalgebra import KernelExpr
+        from ..regression.hpo import optimize_kernel_params
+
+        if not isinstance(getattr(self.engine, "kernel_kind", None),
+                          KernelExpr):
+            return False
+        moved = optimize_kernel_params(self.model, noise_e=self.noise_f)
+        if moved:
+            self.model.rebuild_kernel_matrices(remake=True)
+            self._cov = None  # host covariance rows are stale too
+            self._beta_dev = None
+            self.log(f"kernel HPO: {self.engine.kernel_kind.state}")
+        return moved
+
     def update(self, inducing=True, data=True):
         """Orchestrate sampling + downsize + HPO (active.py:940-983)."""
         self.updated = False
@@ -857,6 +886,10 @@ class ActiveCalculator:
             )
             self.log(f"noise: {self.model.scaled_noise}")
             self.log(f"mean: {self.model.mean_weights}")
+            if self.kernel_hpo:
+                self._hpo_count += 1
+                if self._hpo_count % self.kernel_hpo == 0:
+                    self.optimize_kernel()
             self.save_model()
             self.updated = True
         self._update_args = {}

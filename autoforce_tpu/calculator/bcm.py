@@ -64,6 +64,13 @@ class BCMActiveCalculator(ActiveCalculator):
                     np.concatenate([[x.number], x.numbers])
                 )
 
+    def _untrained(self):
+        """A committee with solved frozen experts can serve even while the
+        freshly-spawned live model is still empty."""
+        return self.size[1] == 0 and not any(
+            m.m > 0 and len(m.mu) == m.m for m in self.experts.values()
+        )
+
     def _key(self, k):
         return f"{self.pckl_head}_{k}"
 

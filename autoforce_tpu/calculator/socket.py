@@ -95,18 +95,29 @@ class Server:
         resume = True
         while resume:
             c, addr = self.socket.accept()
-            request = c.recv(1024).decode("utf-8").strip()
-            if request == end:
-                resume = False
-            elif request == ping:
-                c.send(b"!")
-            else:
-                try:
-                    self.callback(request, *self.args)
-                    c.send(b"0")
-                except Exception:
-                    c.send(b"-1")
-            c.close()
+            try:
+                request = c.recv(1024).decode("utf-8").strip()
+                if request == end:
+                    resume = False
+                elif request == ping:
+                    c.send(b"!")
+                else:
+                    try:
+                        self.callback(request, *self.args)
+                        c.send(b"0")
+                    except Exception:
+                        # rc -1 to the client (reference util/server.py
+                        # error path); keep the cause visible server-side
+                        import traceback
+
+                        traceback.print_exc()
+                        c.send(b"-1")
+            except OSError:
+                # a client that vanished must not take the server down
+                # (reference server keeps serving across bad requests)
+                pass
+            finally:
+                c.close()
         self.socket.close()
 
 

@@ -515,7 +515,9 @@ class DeviceMD:
             for m in [*calc.experts.values(), calc.model]
             if m.m > 0 and len(m.mu) == m.m
         ]
-        return models if len(models) > 1 else []
+        # with any frozen expert present the committee path serves (even a
+        # single servable model: the live one may be freshly-spawned/empty)
+        return models
 
     def _committee_stack(self, models, cfg):
         """Stack expert model state (common mcap bucket) + per-expert

@@ -561,6 +561,35 @@ class SgprModel:
             self.make_munu()
         return ch1, ch2
 
+    def rebuild_kernel_matrices(self, remake=True):
+        """Re-derive ALL covariance blocks (M, Ke, Kf, Kv) from the stored
+        raw data — the reference's full ``set_data`` build
+        (gppotential.py:485-509).  Needed when the kernel itself changes
+        (hyperparameter optimization, regression/hpo.py): every cached
+        kernel value is stale then."""
+        if self.X:
+            # descriptors are kernel-parameter independent; only the
+            # kernel values need recomputation
+            self._pair_stage = None
+            self._xdiag = None
+            M = np.zeros((self.m, self.m))
+            for j, x in enumerate(self.X):
+                M[:, j] = self.kern_X_env(x)
+                M[j, j] = self.kern_env_env(x, x)
+            self.M = 0.5 * (M + M.T)  # kern_X_env excludes the White diag
+        self._model_arrays = None
+        if self.ndata and self.m:
+            data = self.data
+            self.data = []
+            self.Ke = np.zeros((0, self.m))
+            self.Kf = np.zeros((0, self.m))
+            self.Kv = np.zeros((0, self.m))
+            self._fvqr = None
+            for rec in data:
+                self.add_data(rec, remake=False)
+        if remake:
+            self.make_munu()
+
     # ------------------------------------------------------------- the solve
     def targets(self):
         energies = np.array([rec.e for rec in self.data])

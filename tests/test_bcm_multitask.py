@@ -224,6 +224,96 @@ def test_bcm_device_md_committee_samples(tmp_path, monkeypatch):
     assert calc.size[1] >= 1 or size0[1] >= 1
 
 
+def test_multitask_weights_sampling_and_ti(tmp_path, monkeypatch):
+    """weights_sample jumps the weights to a new one-hot on schedule;
+    thermodynamic integration walks weights_init -> weights_fin
+    (active_multi_task.py:167-194)."""
+    monkeypatch.chdir(tmp_path)
+    lj1 = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    lj2 = LennardJones(epsilon=0.30, sigma=2.3, rc=4.0)
+    calc = MultiTaskCalculator(
+        [lj1, lj2], weights=[1.0, 0.0], weights_sample=4,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        logfile="active.log", pckl=None, tape=None,
+        ediff=0.02, ediff_tot=0.05, fdiff=0.1, seed=0,
+    )
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=3)
+    s.calc = calc
+    seen = set()
+    for _ in range(9):
+        s.get_potential_energy()
+        s.rattle(0.002)
+        seen.add(tuple(np.round(calc.weights, 6)))
+    # the sampler visited more than the initial weight vector, and the
+    # weights stayed one-hot (even sampling over the simplex corners)
+    assert len(seen) >= 2, seen
+    for w in seen:
+        assert abs(sum(w) - 1.0) < 1e-9
+        assert max(w) == 1.0
+
+    # thermodynamic integration endpoint
+    calc2 = MultiTaskCalculator(
+        [lj1, lj2], weights=[1.0, 0.0], weights_fin=[0.0, 1.0], t_tieq=2,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        logfile=None, pckl=None, tape=None,
+        ediff=0.02, ediff_tot=0.05, fdiff=0.1, seed=0,
+    )
+    t = bulk_fcc("Cu", 3.6)
+    t.rattle(0.05, seed=4)
+    t.calc = calc2
+    for _ in range(10):
+        t.get_potential_energy()
+        t.rattle(0.002)
+    # after several t_tieq periods lambda has advanced: weight moved
+    # toward the final vector
+    assert calc2.weights[1] > 0.0
+    log = open("active.log").read()
+    assert "weights sample" in log
+
+
+def test_multitask_bond_restraints(tmp_path, monkeypatch):
+    """QMMM harmonic bond restraint (active_multi_task.py:120-135): the
+    restrained pair feels the extra harmonic energy and pair forces."""
+    monkeypatch.chdir(tmp_path)
+    lj1 = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    lj2 = LennardJones(epsilon=0.30, sigma=2.3, rc=4.0)
+
+    def make(ij):
+        c = MultiTaskCalculator(
+            [lj1, lj2], weights=[1.0, 0.0],
+            kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+            logfile=None, pckl=None, tape=None,
+            ediff=0.02, ediff_tot=0.05, fdiff=0.1, seed=0,
+            ij=ij, k=2.0, d0=2.0,
+        )
+        return c
+
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=5)
+
+    free = s.copy()
+    free.calc = make(None)
+    e_free = free.get_potential_energy()
+    f_free = free.get_forces().copy()
+
+    rest = s.copy()
+    rest.calc = make([(0, 1)])
+    e_rest = rest.get_potential_energy()
+    f_rest = rest.get_forces().copy()
+
+    # the harmonic term: 2 * k * (d - d0)^2 with MIC distance
+    r = rest.calc._mic_vector(0, 1)
+    d = np.linalg.norm(r)
+    expected = 2.0 * 2.0 * (d - 2.0) ** 2
+    np.testing.assert_allclose(e_rest - e_free, expected, atol=1e-8)
+    fpair = -2.0 * 2.0 * (d - 2.0) / d * r
+    np.testing.assert_allclose(f_rest[0] - f_free[0], -fpair, atol=1e-8)
+    np.testing.assert_allclose(f_rest[1] - f_free[1], fpair, atol=1e-8)
+    # untouched atoms unchanged
+    np.testing.assert_allclose(f_rest[2:], f_free[2:], atol=1e-8)
+
+
 def test_multitask_trial_reject_restores_task_state(tmp_path, monkeypatch):
     """add_1inducing's reject path must restore the MULTI-TASK solve
     fields too: a stale (m+1)-row mu_tasks against an m-column model

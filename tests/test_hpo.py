@@ -1,0 +1,144 @@
+"""Kernel hyperparameter optimization: lengthscale recovery, covariance
+rebuild after kernel changes, and the ActiveCalculator hook."""
+
+import numpy as np
+
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.descriptor.soap import SoapParams
+from autoforce_tpu.engine import Engine
+from autoforce_tpu.kernelalgebra import (
+    Const, DotProd, Exp, Mul, Positive, SqD, White, softplus,
+)
+from autoforce_tpu.regression.hpo import (
+    collect_dot_data, make_energy_lml, optimize_expr, optimize_kernel_params,
+)
+from autoforce_tpu.regression.sgpr import DataRecord, InducingEnv, SgprModel
+from autoforce_tpu.system import bulk_fcc
+
+from test_engine import env_from_system
+
+
+def _gamma_expr(g):
+    """exp(-g * ||p-q||^2) with one trainable parameter g."""
+    return Exp(Mul(Const(-1.0), Mul(SqD(), Positive(g))))
+
+
+def test_recovers_known_lengthscale():
+    """Synthetic GP data from exp(-g*SqD) with known g: the marginal
+    likelihood recovers g (reference kernel-param training,
+    gppotential.py:352-371)."""
+    rng = np.random.default_rng(0)
+    S, n, D = 30, 4, 8
+    P = rng.normal(size=(S, n, D))
+    P /= np.linalg.norm(P, axis=-1, keepdims=True)
+    Z = np.full((S, n), 29, dtype=np.int32)
+    mask = np.ones((S, n), dtype=bool)
+    g_true = 1.4
+    noise = 0.05
+    T = np.einsum("and,bmd->abnm", P, P)
+    K = np.exp(-g_true * (2.0 - 2.0 * T))
+    C = K.sum(axis=(2, 3)) + noise**2 * np.eye(S)
+    L = np.linalg.cholesky(C)
+    y = L @ rng.normal(size=S)
+
+    expr0 = _gamma_expr(0.3)
+    new, res = optimize_expr(expr0, P, Z, mask, y, noise_e=noise)
+    g_fit = float(softplus(np.asarray(new.params())[0], np))
+    assert res.success or res.fun < 1e6
+    assert abs(g_fit - g_true) / g_true < 0.35, (g_fit, g_true)
+    # and the optimum beats the start
+    vg = make_energy_lml(expr0, P, Z, mask, y, noise_e=noise)
+    v0, _ = vg(tuple(expr0.params()))
+    v1, _ = vg(tuple(new.params()))
+    assert float(v1) < float(v0)
+
+
+def _expr_model(expr, nstruct=4):
+    eng = Engine(params=SoapParams(lmax=2, nmax=2, rc=3.2), exponent=4,
+                 species=[29], kernel=expr)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    model = SgprModel(eng)
+    systems = []
+    for k in range(nstruct):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=200 + k)
+        s.calc = lj
+        systems.append(s)
+    for k in range(3):
+        model.add_inducing(env_from_system(eng, systems[k], k), remake=False)
+    for s in systems[:3]:
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu()
+    return eng, model, systems
+
+
+def test_rebuild_kernel_matrices_matches_fresh_build():
+    """rebuild after changing kernel params == building the model from
+    scratch with the new kernel."""
+    e1 = _gamma_expr(0.8) + Mul(Const(0.01), White(1.0))
+    e2 = _gamma_expr(2.0) + Mul(Const(0.01), White(1.0))
+
+    eng, model, systems = _expr_model(e1)
+    # rebuild with UNCHANGED kernel must reproduce the incremental build
+    M0, Ke0, Kf0, mu0 = (model.M.copy(), model.Ke.copy(), model.Kf.copy(),
+                         model.mu.copy())
+    model.rebuild_kernel_matrices()
+    np.testing.assert_allclose(model.M, M0, atol=1e-10)
+    np.testing.assert_allclose(model.Ke, Ke0, atol=1e-10)
+    np.testing.assert_allclose(model.Kf, Kf0, atol=1e-10)
+    np.testing.assert_allclose(model.mu, mu0, atol=1e-8)
+
+    # change the kernel, rebuild, compare against a fresh model
+    eng.kernel_kind = e2
+    model.rebuild_kernel_matrices()
+    eng2, model2, _ = _expr_model(e2)
+    np.testing.assert_allclose(model.M, model2.M, atol=1e-10)
+    np.testing.assert_allclose(model.Ke, model2.Ke, atol=1e-8)
+    np.testing.assert_allclose(model.Kf, model2.Kf, atol=1e-8)
+    np.testing.assert_allclose(model.mu, model2.mu, atol=1e-6)
+
+
+def test_optimize_kernel_params_on_model():
+    eng, model, systems = _expr_model(_gamma_expr(0.3), nstruct=6)
+    for s in systems[3:]:
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu()
+    p0 = list(eng.kernel_kind.params())
+    moved = optimize_kernel_params(model, noise_e=0.05)
+    assert moved
+    assert not np.allclose(eng.kernel_kind.params(), p0)
+    # after the rebuild the model still solves and predicts finite values
+    model.rebuild_kernel_matrices()
+    assert np.isfinite(model.mu).all()
+    assert model.stats["r2"] > -1.0
+
+
+def test_active_calculator_kernel_hpo_hook(tmp_path, monkeypatch):
+    """kernel_hpo=1: every update optimizes the kernel and rebuilds; the
+    run keeps producing finite physics with the new hyperparameters."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.md import Langevin
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    expr = _gamma_expr(0.5)
+    eng = Engine(params=SoapParams(lmax=2, nmax=2, rc=4.0), exponent=4,
+                 kernel=expr)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    calc = ActiveCalculator(
+        covariance=SgprModel(eng), calculator=lj, logfile="active.log",
+        pckl=None, tape=None, ediff=0.02, ediff_tot=0.05, fdiff=0.1,
+        kernel_hpo=1, seed=0,
+    )
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=1)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 300, seed=2)
+    Langevin(s, 2 * units.fs, 300, friction=0.02, seed=3).run(10)
+    assert calc.size[1] > 0
+    assert np.isfinite(s.get_potential_energy())
+    # the kernel actually moved at least once (logged)
+    moved = eng.kernel_kind.params() != expr.params()
+    log = open("active.log").read()
+    assert moved or "kernel HPO" in log or calc.size[0] < 3
