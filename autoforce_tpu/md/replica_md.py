@@ -41,7 +41,7 @@ class ReplicaMD:
 
     def __init__(self, systems, calc, dt, temperature_K=None, friction=0.01,
                  chunk=100, seed=0, check_beta=None, thermostat="auto",
-                 tdamp=None):
+                 tdamp=None, device_rebuild=True):
         self.systems = list(systems)
         if not self.systems:
             raise ValueError("need at least one replica")
@@ -66,6 +66,17 @@ class ReplicaMD:
         self.nsteps = 0
         self._npad = 0
         self._kpad = getattr(calc, "_kpad", 0)
+        # on-device rebuild of ALL replica tables at a skin breach: the
+        # lockstep exit fires at the EARLIEST breach over R walkers, so
+        # host rebuilds (R tables + uploads) would dominate wall time —
+        # measured r3: host-rebuild ensembles plateaued at ~260 aggregate
+        # steps/s regardless of R
+        from ..neighbors_device import device_rebuild_ok
+
+        s0 = self.systems[0]
+        self.device_rebuild = device_rebuild and device_rebuild_ok(
+            s0.cell, s0.pbc, calc.engine.params.rc + calc._nlcache.skin
+        )
 
     # ------------------------------------------------------------ internals
     def _build_chain(self):
@@ -117,6 +128,47 @@ class ReplicaMD:
             beta_thresh=beta_thresh,
             dtype=dtype,
         )
+
+    def _rebuild_on_device(self, chain, pos_dev):
+        """Rebuild every replica's neighbor table from device positions
+        (vmapped MIC brute force; one scalar fetch for the overflow
+        check).  False -> caller falls back to the host path."""
+        from ..neighbors_device import device_neighbor_table, reverse_slots
+
+        cfgs = chain["cfgs"]
+        calc = self.calc
+        kpad = cfgs.nbr_idx.shape[-1]
+        cutoff = calc.engine.params.rc + calc._nlcache.skin
+        dtype = pos_dev.dtype
+
+        idx, off, mask, kmax, over = jax.vmap(
+            lambda p, c, m: device_neighbor_table(
+                p, c, m, jnp.asarray(cutoff, dtype=dtype), kpad
+            )
+        )(pos_dev, cfgs.cell, cfgs.atom_mask)
+        if int(jnp.max(kmax)) > kpad or bool(jnp.any(over)):
+            return False
+        if chain.get("sidx_atom") is None:
+            sidx = calc.engine.species_index(
+                np.asarray(cfgs.numbers[0])
+            )
+            chain["sidx_atom"] = jnp.asarray(
+                np.maximum(sidx, 0).astype(np.int32)
+            )
+            chain["sidx_ok"] = jnp.asarray(sidx >= 0)
+        nbr_sidx = chain["sidx_atom"][idx]
+        mask = mask & chain["sidx_ok"][idx]
+        if cfgs.nbr_off.dtype != off.dtype:
+            off = off.astype(cfgs.nbr_off.dtype)
+        rev = None
+        if cfgs.nbr_rev is not None:
+            rev = jax.vmap(reverse_slots)(idx, off, mask)
+        chain["cfgs"] = cfgs._replace(
+            positions=pos_dev, nbr_idx=idx, nbr_off=off, nbr_sidx=nbr_sidx,
+            nbr_mask=mask, nbr_rev=rev,
+        )
+        chain["pos0"] = pos_dev
+        return True
 
     def _sync_host(self, chain, pos_dev, vel_dev):
         n0 = len(self.systems[0])
@@ -172,34 +224,45 @@ class ReplicaMD:
             self.nsteps += ndone
             if ndone < n:
                 bmax_np = np.asarray(bmax)
-                self._sync_host(chain, pos_dev, vel_dev)
-                pos_dev = vel_dev = None
-                if (
+                beta_tripped = (
                     self.check_beta
                     and float(bmax_np.max()) >= chain["beta_thresh"]
-                ):
-                    # uncertainty tripped: give the most-uncertain walker
-                    # full ActiveCalculator semantics (sample + re-solve);
-                    # the updated model then serves the whole ensemble
-                    r = int(bmax_np.argmax())
-                    s = self.systems[r]
-                    s.calc = calc
-                    s.get_potential_energy()
-                    if ndone == 0:
-                        # sampling was vetoed/rejected while beta stays
-                        # above threshold: take one host step on that
-                        # walker to move past the sticking point
-                        from .langevin import Langevin
-                        from .verlet import VelocityVerlet
+                )
+                if not beta_tripped:
+                    # pure skin breach: rebuild ALL tables on device (no
+                    # host sync/upload); fall through to a host rebuild
+                    # only if a bucket overflowed
+                    if self.device_rebuild and self._rebuild_on_device(
+                        chain, pos_dev
+                    ):
+                        continue
+                    self._sync_host(chain, pos_dev, vel_dev)
+                    pos_dev = vel_dev = None
+                    chain = None
+                    continue
+                self._sync_host(chain, pos_dev, vel_dev)
+                pos_dev = vel_dev = None
+                # uncertainty tripped: give the most-uncertain walker
+                # full ActiveCalculator semantics (sample + re-solve);
+                # the updated model then serves the whole ensemble
+                r = int(bmax_np.argmax())
+                s = self.systems[r]
+                s.calc = calc
+                s.get_potential_energy()
+                if ndone == 0:
+                    # sampling was vetoed/rejected while beta stays
+                    # above threshold: take one host step on that
+                    # walker to move past the sticking point
+                    from .langevin import Langevin
+                    from .verlet import VelocityVerlet
 
-                        if self.thermostat == "langevin" and self.kT > 0:
-                            Langevin(s, self.dt, self.kT / units.kB,
-                                     self.friction).step()
-                        else:
-                            VelocityVerlet(s, self.dt).step()
-                        done += 1
-                        self.nsteps += 1
-                # else: skin breach -> plain rebuild (chain rebuilt above)
+                    if self.thermostat == "langevin" and self.kT > 0:
+                        Langevin(s, self.dt, self.kT / units.kB,
+                                 self.friction).step()
+                    else:
+                        VelocityVerlet(s, self.dt).step()
+                    done += 1
+                    self.nsteps += 1
                 chain = None
         if pos_dev is not None:
             self._sync_host(chain, pos_dev, vel_dev)
