@@ -348,12 +348,14 @@ def accuracy_gate(eng, model, system, nve_steps=1000):
     e1 = etot()
     drift = abs(e1 - e0) / n * (1000.0 / nve_steps)
 
-    # thresholds: ~30-70x above the measured-good values (e_err 9e-3 eV,
-    # f_mae ~1e-4, drift 3.1e-5; BASELINE.md r2), far below failure
-    # signatures (bf16 fold: 0.69 eV)
-    ok = e_err < 0.05 and f_mae < 1e-2 and drift < 1e-3
+    # thresholds sit between the measured-good values (e_err ~4e-5
+    # eV/atom, f_mae ~5e-5, drift 2.6e-4; measured r3 on-chip) and the
+    # failure signatures (bf16 reduce-of-dot fold, measured r3 in
+    # isolation: 2.7e-4 eV/atom; r2 in the full path: 6.8e-4)
+    ok = e_err / n < 2e-4 and f_mae < 1e-2 and drift < 1e-3
     return {
         "e_abs_err_vs_f64_eV": round(e_err, 6),
+        "e_abs_err_per_atom": round(e_err / n, 9),
         "f_mae_vs_f64_eV_A": round(f_mae, 8),
         "nve_drift_eV_atom_1ksteps": round(drift, 8),
         "ok": bool(ok),

@@ -215,6 +215,21 @@ def test_device_md_driver_with_mesh(tmp_path, monkeypatch):
     np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-10)
 
 
+def test_mesh_bench_harness(capsys):
+    """The collective-accounting harness runs and the sharded trajectory
+    matches single-device (VERDICT r2 weak #6)."""
+    from autoforce_tpu.parallel.mesh_bench import _worker
+
+    _worker(8, 2, 64, 5, True)
+    out = capsys.readouterr().out
+    assert "mesh_bench: devices=8" in out
+    assert "psum(forces)" in out
+    import re
+
+    err = float(re.search(r"\|dpos\|max vs single: ([0-9.e+-]+)", out).group(1))
+    assert err < 1e-10
+
+
 def test_active_calculator_with_mesh(tmp_path, monkeypatch):
     """ActiveCalculator(mesh=...) learns identically to the replicated path."""
     monkeypatch.chdir(tmp_path)
