@@ -29,3 +29,13 @@ atoms.calc = calc
 maxwell_boltzmann_velocities(atoms, 400)
 Langevin(atoms, 2 * units.fs, temperature_K=400, friction=0.02).run(200)
 print("model size:", calc.size)
+
+# --- flagship path: device-resident MD over the SAME mesh -------------
+# the entire lax.while_loop integrator runs SPMD (sharded_md_chunk);
+# sampling still fires at the exact step the uncertainty trips
+from autoforce_tpu.md.device_md import DeviceMD
+
+dyn = DeviceMD(atoms, calc, dt=2 * units.fs, temperature_K=400,
+               friction=0.02, chunk=100)
+dyn.run(500)
+print("sharded DeviceMD done:", dyn.nsteps, "steps; model size:", calc.size)
