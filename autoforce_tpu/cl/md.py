@@ -71,6 +71,7 @@ def md(
     eps_pos=0.05,
     eps_cell=0.05,
     thermostat="auto",
+    replicas=1,
 ):
     """MD with on-the-fly learning (reference cl/md.py:15-112 semantics).
 
@@ -140,7 +141,8 @@ def md(
             from .device_wrap import run_device_md
 
             run_device_md(atoms, calc, dt, T, friction, picos, write_frame,
-                          loginterval, thermostat=thermostat, tdamp=tdamp)
+                          loginterval, thermostat=thermostat, tdamp=tdamp,
+                          replicas=replicas)
             continue
         elif kind == "BERENDSEN" and bulk_modulus is not None:
             dyn = BerendsenNPT(

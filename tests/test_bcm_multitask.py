@@ -224,6 +224,48 @@ def test_bcm_device_md_committee_samples(tmp_path, monkeypatch):
     assert calc.size[1] >= 1 or size0[1] >= 1
 
 
+def test_bcm_device_md_committee_pair_terms(tmp_path, monkeypatch):
+    """Device committee evaluation with pair terms in the kernel: the
+    committee chunk's step-0 energy/forces match the host weighted
+    combination (pair_d stacking across experts)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.md import VelocityVerlet
+    from autoforce_tpu.md.device_md import DeviceMD
+    from autoforce_tpu.pairkernels import PairTerm
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    calc = BCMActiveCalculator(
+        calculator=lj, pckl="bcmp.pckl", logfile=None,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        ediff=0.002, ediff_tot=0.01, fdiff=0.02, noise_f=0.005,
+        max_data=2, max_inducing=6, eps_dr=0.0,
+    )
+    calc.engine.pair_terms = (PairTerm(a=29, b=29, rc=4.0),)
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 500, seed=1)
+    dyn = Langevin(s, 2 * units.fs, 500, friction=0.02, seed=2)
+    k = 0
+    while len(calc.experts) < 2 and k < 30:
+        dyn.run(5)
+        k += 1
+    assert len(calc.experts) >= 2
+    calc._calc = None  # inference
+
+    host = s.copy()
+    maxwell_boltzmann_velocities(host, 300, seed=9)
+    host.calc = calc
+    VelocityVerlet(host, 2 * units.fs).run(5)
+
+    dev = s.copy()
+    maxwell_boltzmann_velocities(dev, 300, seed=9)
+    dev.calc = calc
+    DeviceMD(dev, calc, dt=2 * units.fs, chunk=2, check_beta=False,
+             thermostat="none", device_rebuild=False).run(5)
+    np.testing.assert_allclose(dev.positions, host.positions, atol=1e-9)
+
+
 def test_multitask_weights_sampling_and_ti(tmp_path, monkeypatch):
     """weights_sample jumps the weights to a new one-hot on schedule;
     thermodynamic integration walks weights_init -> weights_fin

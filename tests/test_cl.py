@@ -219,6 +219,14 @@ def test_md_device_dynamics(in_tmp):
     assert os.path.isfile("mdd.extxyz")
     assert np.isfinite(atoms.positions).all()
 
+    # ensemble variant: replicas=3 drives ReplicaMD through the same CLI
+    atoms2 = bulk_fcc("Cu", 3.6)
+    atoms2.rattle(0.03, seed=2)
+    md(atoms2, dynamics="DEVICE", tem=200.0, dt=2.0, picos=-20,
+       trajectory="mdr.extxyz", ml_filter=0.0, loginterval=10, replicas=3)
+    assert os.path.isfile("mdr.extxyz")
+    assert np.isfinite(atoms2.positions).all()
+
 
 def test_init_model_and_singlepoint(in_tmp):
     import autoforce_tpu.cl as cline

@@ -131,19 +131,31 @@ def make_md_inputs(eng, model, s):
     )
 
 
-@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
-@pytest.mark.parametrize("thermostat", ["langevin", "nhc", "none"])
-def test_sharded_md_chunk_matches_single_device(shape, thermostat):
+@pytest.mark.parametrize("shape,thermostat,variant", [
+    ((8, 1), "langevin", "default"),
+    ((8, 1), "nhc", "default"),
+    ((8, 1), "none", "default"),
+    ((4, 2), "langevin", "default"),
+    ((4, 2), "nhc", "default"),
+    ((4, 2), "none", "default"),
+    ((2, 4), "langevin", "default"),
+    ((2, 4), "nhc", "default"),
+    ((2, 4), "none", "default"),
+    ((4, 2), "langevin", "pair"),
+    ((4, 2), "langevin", "rbf"),
+])
+def test_sharded_md_chunk_matches_single_device(shape, thermostat, variant):
     """The device-resident MD integrator over the mesh produces the SAME
     trajectory as the single-device md_chunk (VERDICT r2 missing #1: the
     reference's 'more ranks for more atoms during MD' promise,
-    README.md:89-92, applied to the flagship path)."""
+    README.md:89-92, applied to the flagship path) — incl. pair-term and
+    rbf kernel configurations."""
     import jax.numpy as jnp
 
     from autoforce_tpu.md.device_md import md_chunk
     from autoforce_tpu.parallel.mesh import mesh_pad, sharded_md_chunk
 
-    eng, model, s = build_state()
+    eng, model, s = build_state(variant)
     a = make_md_inputs(eng, model, s)
     nhc = {}
     if thermostat == "nhc":
@@ -158,21 +170,22 @@ def test_sharded_md_chunk_matches_single_device(shape, thermostat):
         jnp.asarray(a["vs"]), a["vel"], a["masses"], a["pos0"], a["key"],
         a["dt"], a["kT"], a["fric"], a["skin"], a["bthr"], a["nsteps"],
         *eng.chem_args(), params=eng.params, exponent=eng.exponent,
-        pair_terms=(), check_beta=True, thermostat=thermostat, kind="dot",
-        **nhc,
+        pair_terms=eng.pair_terms, check_beta=True, thermostat=thermostat,
+        kind=eng.kernel_kind, **nhc,
     )
     mesh = make_mesh(n_data=shape[0], n_model=shape[1])
     cfg2, ma2, oidx, vs2 = mesh_pad(a["cfg"], a["ma"], a["vs"], mesh)
     amask = jnp.asarray(
         np.asarray(cfg2.atom_mask)[:, None].astype(np.float64)
     )
+    chem_z, mixL = eng.chem_args()
     out1 = sharded_md_chunk(
         cfg2, ma2, eng.radii_table(), eng.znum_table(), vs2, amask,
         a["vel"], a["masses"], a["pos0"], a["key"],
         a["dt"], a["kT"], a["fric"], a["skin"], a["bthr"], a["nsteps"],
-        oidx, mesh=mesh, params=eng.params, exponent=eng.exponent,
-        pair_terms=(), check_beta=True, thermostat=thermostat, kind="dot",
-        **nhc,
+        oidx, mesh=mesh, chem_z=chem_z, mixL=mixL, params=eng.params,
+        exponent=eng.exponent, pair_terms=eng.pair_terms, check_beta=True,
+        thermostat=thermostat, kind=eng.kernel_kind, **nhc,
     )
     assert int(out0[6]) == int(out1[6]) == 5
     for k, name in [(0, "pos"), (1, "vel"), (3, "forces"), (4, "energy"),
