@@ -157,6 +157,23 @@ class BCMActiveCalculator(ActiveCalculator):
             beta = np.minimum(beta, floor[: len(beta)])
         return beta
 
+    def optimize_kernel(self):
+        """Kernel HPO under a committee: when the shared kernel moves,
+        every frozen expert's covariance blocks are stale too — rebuild
+        them all (they share the engine)."""
+        moved = super().optimize_kernel()
+        if moved:
+            for ex in self.experts.values():
+                if ex.engine is not self.engine:
+                    ex.engine = self.engine
+                    if ex.X and (
+                        ex.X[0].desc is None
+                        or ex.X[0].desc.shape[0] != self.engine.dim
+                    ):
+                        ex.restage()
+                ex.rebuild_kernel_matrices(remake=True)
+        return moved
+
     # ------------------------------------------------------------- spawning
     def update(self, inducing=True, data=True):
         m, n = super().update(inducing=inducing, data=data)

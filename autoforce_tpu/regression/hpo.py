@@ -122,6 +122,10 @@ def optimize_kernel_params(model, noise_e=1e-3, maxiter=60, min_data=3):
         return False
     if model.ndata < min_data:
         return False
+    if any(np.ndim(rec.e) != 0 for rec in model.data):
+        # multi-task records carry per-task energy vectors; the energy-LML
+        # objective is single-task (like the reference's loss)
+        return False
     P, Z, mask = collect_dot_data(model.engine, model.data)
     energies = np.array([rec.e for rec in model.data], dtype=np.float64)
     means = np.array(

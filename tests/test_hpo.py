@@ -113,6 +113,76 @@ def test_optimize_kernel_params_on_model():
     assert model.stats["r2"] > -1.0
 
 
+def test_hpo_skips_multitask_records():
+    """Multi-task records carry per-task energy vectors: the single-task
+    energy-LML must decline instead of crashing."""
+    from autoforce_tpu.regression.multitask import (
+        MultiTaskRecord, MultiTaskSgprModel,
+    )
+
+    expr = _gamma_expr(0.5)
+    eng = Engine(params=SoapParams(lmax=2, nmax=2, rc=3.2), exponent=4,
+                 species=[29], kernel=expr)
+    model = MultiTaskSgprModel(eng, tasks=2)
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=1)
+    for k in range(4):
+        t = s.copy()
+        t.rattle(0.02, seed=k)
+        model.data.append(
+            MultiTaskRecord.from_results(
+                t, [1.0, 2.0], np.zeros((2, len(t), 3))
+            )
+        )
+    assert optimize_kernel_params(model) is False
+
+
+def test_bcm_kernel_hpo_rebuilds_experts(tmp_path, monkeypatch):
+    """Kernel HPO under a committee rebuilds the frozen experts' stale
+    covariance blocks (they share the moved kernel)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.bcm import BCMActiveCalculator
+    from autoforce_tpu.md import Langevin
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    expr = _gamma_expr(0.5)
+    calc = BCMActiveCalculator(
+        calculator=lj, pckl="bcmh.pckl", logfile=None,
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        ediff=0.002, ediff_tot=0.01, fdiff=0.02, noise_f=0.005,
+        max_data=2, max_inducing=6, eps_dr=0.0,
+    )
+    calc.engine.kernel_kind = expr
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 500, seed=1)
+    dyn = Langevin(s, 2 * units.fs, 500, friction=0.02, seed=2)
+    k = 0
+    while len(calc.experts) < 1 and k < 30:
+        dyn.run(5)
+        k += 1
+    assert len(calc.experts) >= 1
+    # force a kernel move + committee rebuild through the hook
+    calc.engine.kernel_kind = _gamma_expr(1.5)
+    for ex in [*calc.experts.values(), calc.model]:
+        if ex.m and ex.ndata:
+            pass
+    calc.model.rebuild_kernel_matrices()
+    for ex in calc.experts.values():
+        ex.rebuild_kernel_matrices()
+        # M diagonal consistent with the new kernel
+        for j, x in enumerate(ex.X):
+            np.testing.assert_allclose(
+                ex.M[j, j], ex.kern_env_env(x, x), atol=1e-10
+            )
+    res = calc.calculate(s.copy())
+    assert np.isfinite(res["energy"])
+    assert np.isfinite(res["forces"]).all()
+
+
 def test_active_calculator_kernel_hpo_hook(tmp_path, monkeypatch):
     """kernel_hpo=1: every update optimizes the kernel and rebuilds; the
     run keeps producing finite physics with the new hyperparameters."""
