@@ -84,13 +84,7 @@ class BCMActiveCalculator(ActiveCalculator):
         calls overlap; fetch later)."""
         # experts keep their own engines; share our config by restaging on
         # our engine's species table (kernel values are table-invariant)
-        if model.engine is not self.engine:
-            model.engine = self.engine
-            if model.X and (
-                model.X[0].desc is None
-                or model.X[0].desc.shape[0] != self.engine.dim
-            ):
-                model.restage()
+        model.adopt_engine(self.engine)
         ma = model.full_model_arrays()
         vs = model.vscale_for(np.asarray(self.cfg.numbers))
         return self.engine.predict(self.cfg, ma, vs)
@@ -164,13 +158,7 @@ class BCMActiveCalculator(ActiveCalculator):
         moved = super().optimize_kernel()
         if moved:
             for ex in self.experts.values():
-                if ex.engine is not self.engine:
-                    ex.engine = self.engine
-                    if ex.X and (
-                        ex.X[0].desc is None
-                        or ex.X[0].desc.shape[0] != self.engine.dim
-                    ):
-                        ex.restage()
+                ex.adopt_engine(self.engine)
                 ex.rebuild_kernel_matrices(remake=True)
         return moved
 

@@ -97,7 +97,7 @@ class MultiTaskCalculator(ActiveCalculator):
         """Harmonic bond restraints added on top of every task
         (active_multi_task.py:120-135): e += 2 k (d-d0)^2 per pair,
         with the matching pair forces."""
-        if not self.ij:
+        if self.ij is None or len(self.ij) == 0:
             return
         de = 0.0
         forces = np.array(self.results["forces"], copy=True)

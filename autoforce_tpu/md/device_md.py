@@ -519,6 +519,13 @@ class DeviceMD:
         # single servable model: the live one may be freshly-spawned/empty)
         return models
 
+    # vscale sentinel for species an expert has never seen: host math uses
+    # inf (always above any sampling threshold, and covmax saturates at 1
+    # so the expert's weight goes to 0); on device inf would produce
+    # 0*inf=NaN in beta, so use a finite huge value with the same two
+    # consequences (beta >> every threshold; covmax clipped to 1.0)
+    _VS_UNSEEN = 1e8
+
     def _committee_stack(self, models, cfg):
         """Stack expert model state (common mcap bucket) + per-expert
         vscale/mean-energy onto the device."""
@@ -531,22 +538,20 @@ class DeviceMD:
                 "unset engine.mesh or use the host drivers"
             )
         numbers = np.asarray(cfg.numbers)
-        mcap = 32
+        # sticky mcap bucket with doubling growth: a fresh 32-granular cap
+        # per chain rebuild would recompile the whole committee chunk
+        # every time the live model crosses a 32-column boundary
+        mcap = max(getattr(self, "_committee_mcap", 0), 32)
         for m in models:
             # share the config by restaging on the active engine's species
-            # table (kernel values are table-invariant; bcm._expert_dispatch)
-            if m.engine is not eng:
-                m.engine = eng
-                if m.X and (
-                    m.X[0].desc is None or m.X[0].desc.shape[0] != eng.dim
-                ):
-                    m.restage()
-            need = max(32, 32 * -(-m.m // 32))
-            mcap = max(mcap, need)
+            # table (kernel values are table-invariant)
+            m.adopt_engine(eng)
+            while mcap < m.m:
+                mcap *= 2
+        self._committee_mcap = mcap
         mas = []
         vs_rows = []
         mean_rows = []
-        n = len(self.system)
         for m in models:
             Xd = (
                 np.stack([x.desc for x in m.X])
@@ -563,7 +568,7 @@ class DeviceMD:
                                  envs=m.X)
             )
             vs = m.vscale_for(numbers)
-            vs_rows.append(np.where(np.isfinite(vs), vs, 0.0))
+            vs_rows.append(np.where(np.isfinite(vs), vs, self._VS_UNSEEN))
             mean_rows.append(m.mean_energy(self.system.numbers))
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *mas)
         return stacked, np.stack(vs_rows), np.asarray(mean_rows)
@@ -654,7 +659,11 @@ class DeviceMD:
                 else:
                     ma = model.full_model_arrays()
                     vs = model.vscale_for(np.asarray(cfg.numbers))
-                    vs = np.where(np.isfinite(vs), vs, 0.0)
+                    # unseen species: huge finite sentinel (host inf
+                    # semantics: any uncertainty trips sampling), not 0
+                    # (which would silence the trigger exactly where the
+                    # model knows nothing)
+                    vs = np.where(np.isfinite(vs), vs, self._VS_UNSEEN)
                     if self.mesh is not None:
                         from ..parallel.mesh import mesh_pad
 

@@ -45,10 +45,25 @@ class ReplicaMD:
         self.systems = list(systems)
         if not self.systems:
             raise ValueError("need at least one replica")
-        n0 = len(self.systems[0])
+        s0 = self.systems[0]
+        n0 = len(s0)
         for s in self.systems[1:]:
-            if len(s) != n0 or (s.numbers != self.systems[0].numbers).any():
+            if len(s) != n0 or (s.numbers != s0.numbers).any():
                 raise ValueError("replicas must share the species layout")
+            if not (
+                np.allclose(s.cell, s0.cell) and (s.pbc == s0.pbc).all()
+            ):
+                # shared masses/vscale and the single MIC-validity check
+                # assume one ensemble box
+                raise ValueError("replicas must share the cell and pbc")
+        from ..calculator.bcm import BCMActiveCalculator
+
+        if isinstance(calc, BCMActiveCalculator) and calc.experts:
+            raise NotImplementedError(
+                "ReplicaMD integrates the live SGPR model only; BCM "
+                "committees with frozen experts must use DeviceMD "
+                "(md_chunk_committee) or the host drivers"
+            )
         self.calc = calc
         self.dt = float(dt)
         self.kT = units.kB * temperature_K if temperature_K else 0.0
@@ -102,8 +117,11 @@ class ReplicaMD:
         model = calc.model
         ma = model.full_model_arrays()
         dtype = stacked.positions.dtype
+        from .device_md import DeviceMD
+
         vs = model.vscale_for(self.systems[0].numbers)
-        vs = np.where(np.isfinite(vs), vs, 0.0)
+        # host-inf semantics for unseen species (see DeviceMD._VS_UNSEEN)
+        vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
         vs = np.concatenate([vs, np.zeros(self._npad - n0)])
         vel = np.zeros((len(self.systems), self._npad, 3))
         for r, s in enumerate(self.systems):
@@ -163,6 +181,10 @@ class ReplicaMD:
         rev = None
         if cfgs.nbr_rev is not None:
             rev = jax.vmap(reverse_slots)(idx, off, mask)
+            if bool(jnp.any(mask & (rev < 0))):
+                # asymmetric table: the reverse-slot VJP would silently
+                # drop forces — let the host path rebuild instead
+                return False
         chain["cfgs"] = cfgs._replace(
             positions=pos_dev, nbr_idx=idx, nbr_off=off, nbr_sidx=nbr_sidx,
             nbr_mask=mask, nbr_rev=rev,

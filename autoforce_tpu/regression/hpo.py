@@ -26,8 +26,8 @@ import numpy as np
 def collect_dot_data(engine, records):
     """Stack per-structure descriptors for the LML objective.
 
-    Returns (P (S, n_pad, D), Z (S, n_pad), mask (S, n_pad), y (S,))
-    with y the target energies minus the model mean (callers subtract).
+    Returns (P (S, n_pad, D), Z (S, n_pad), mask (S, n_pad)); the target
+    vector (energies minus the model mean) is assembled by the caller.
     """
     descs = []
     for rec in records:
@@ -72,10 +72,14 @@ def make_energy_lml(expr, P, Z, mask, y, noise_e=1e-3):
     natoms = jnp.asarray(mask.sum(axis=1).astype(np.float64))
     S = P.shape[0]
 
+    from ..engine import precise_sum
+
     def neg_lml(params):
         p = list(params)
         K = expr.value_with_params(T, tuple(p), xp=jnp) * same
-        C = K.sum(axis=(2, 3))
+        # reductions over (elementwise of) matmul products must stay in
+        # true f32 on TPU (engine.precise_sum; CLAUDE.md numerics rule)
+        C = precise_sum(K.reshape(S, S, -1), axis=-1)
         # same-environment White variance: each LCE with itself
         white = expr._white(list(params), jnp)
         C = C + jnp.diag(white * natoms)
@@ -83,7 +87,8 @@ def make_energy_lml(expr, P, Z, mask, y, noise_e=1e-3):
         L = jnp.linalg.cholesky(C)
         alpha = jax.scipy.linalg.cho_solve((L, True), y)
         logdet = 2.0 * jnp.log(jnp.diag(L)).sum()
-        return 0.5 * (y @ alpha + logdet + S * jnp.log(2.0 * jnp.pi))
+        return 0.5 * (precise_sum(y * alpha) + logdet
+                      + S * jnp.log(2.0 * jnp.pi))
 
     return jax.jit(jax.value_and_grad(lambda q: neg_lml(tuple(q))))
 

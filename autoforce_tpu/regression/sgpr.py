@@ -136,6 +136,25 @@ class SgprModel:
         return float(e)
 
     # --------------------------------------------------------------- staging
+    def adopt_engine(self, engine):
+        """Point this model at another engine (BCM experts share the
+        active engine's species table / kernel config).  Restages the
+        descriptors whenever the species TABLE differs — kernel values
+        are table-invariant, but descriptor blocks and configs are not
+        (a same-size table with different species would otherwise pass a
+        dim-only check and silently corrupt covariances)."""
+        old = self.engine
+        if old is engine:
+            return
+        same_table = list(getattr(old, "species", [])) == list(engine.species)
+        self.engine = engine
+        if self.X and (
+            self.X[0].desc is None
+            or self.X[0].desc.shape[0] != engine.dim
+            or not same_table
+        ):
+            self.restage()
+
     def restage(self):
         """Recompute inducing descriptors + data configs for the current
         species table (called when the table grows)."""

@@ -219,9 +219,13 @@ def test_bcm_device_md_committee_samples(tmp_path, monkeypatch):
     dyn.run(40)
     assert dyn.nsteps >= 40
     assert np.isfinite(s.positions).all()
-    # the run kept learning (committee grew or the live model did)
+    # the committee kept (or grew) its knowledge and still serves
+    # (the live model may legitimately be empty right after a spawn)
     assert len(calc.experts) >= nexp0
-    assert calc.size[1] >= 1 or size0[1] >= 1
+    total_m = calc.size[1] + sum(m.m for m in calc.experts.values())
+    assert total_m >= 1
+    res = calc.calculate(s.copy())
+    assert np.isfinite(res["energy"])
 
 
 def test_bcm_device_md_committee_pair_terms(tmp_path, monkeypatch):

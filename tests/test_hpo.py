@@ -98,7 +98,7 @@ def test_rebuild_kernel_matrices_matches_fresh_build():
     np.testing.assert_allclose(model.mu, model2.mu, atol=1e-6)
 
 
-def test_optimize_kernel_params_on_model():
+def test_optimize_kernel_params_on_model(tmp_path):
     eng, model, systems = _expr_model(_gamma_expr(0.3), nstruct=6)
     for s in systems[3:]:
         model.add_data(DataRecord.from_system(s), remake=False)
@@ -111,6 +111,16 @@ def test_optimize_kernel_params_on_model():
     model.rebuild_kernel_matrices()
     assert np.isfinite(model.mu).all()
     assert model.stats["r2"] > -1.0
+    # the trained kernel survives model save/load (HPO results persist
+    # across restarts via the eval-able state string)
+    from autoforce_tpu.io.model_io import load_model, save_model
+
+    save_model(model, str(tmp_path / "m.pckl"))
+    model2 = load_model(str(tmp_path / "m.pckl"))
+    np.testing.assert_allclose(
+        model2.engine.kernel_kind.params(), eng.kernel_kind.params(),
+        rtol=1e-12,
+    )
 
 
 def test_hpo_skips_multitask_records():
