@@ -36,10 +36,16 @@ def read_outcar(path):
         if "TOTAL-FORCE (eV/Angst)" in line:
             rows = []
             j = i + 2
-            while j < len(lines) and not lines[j].startswith(" ---"):
+            # data rows until the closing dashed line (indentation varies
+            # across VASP versions — match the stripped prefix) or until a
+            # row stops parsing as 6 floats
+            while j < len(lines) and not lines[j].strip().startswith("----"):
                 parts = lines[j].split()
                 if len(parts) >= 6:
-                    rows.append([float(x) for x in parts[3:6]])
+                    try:
+                        rows.append([float(x) for x in parts[3:6]])
+                    except ValueError:
+                        break
                 j += 1
             forces = np.array(rows)
         if "in kB" in line:
