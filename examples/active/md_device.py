@@ -1,4 +1,6 @@
 """Same run with the device-resident integrator (fast path)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 from autoforce_tpu import units
 from autoforce_tpu.calculator.active import ActiveCalculator
 from autoforce_tpu.calculator.emt import EMT

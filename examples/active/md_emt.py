@@ -1,5 +1,7 @@
 """On-the-fly MLMD with the EMT oracle (counterpart of the reference's
 examples/active): run from this directory with `python md_emt.py`."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 from autoforce_tpu import units
 from autoforce_tpu.calculator.active import ActiveCalculator
 from autoforce_tpu.calculator.emt import EMT

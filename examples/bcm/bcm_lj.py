@@ -1,5 +1,7 @@
 """Bayesian committee machine: experts freeze + spawn as the model grows
 (counterpart of the reference's active_bcm example)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 from autoforce_tpu import units
 from autoforce_tpu.calculator.bcm import BCMActiveCalculator
 from autoforce_tpu.calculator.oracles import LennardJones

@@ -7,6 +7,8 @@ gets full ActiveCalculator semantics (oracle call + incremental solve),
 and the updated model immediately serves the whole ensemble — R
 trajectories' worth of configuration-space coverage per oracle call.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 

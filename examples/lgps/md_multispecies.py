@@ -1,6 +1,8 @@
 """Flagship-style workload: multi-species ~1000-atom MLMD with the
 device-resident integrator (analog of the reference's Li10GeP2S12 MD,
 README.md:99-113, using a 4-species LJ-mixture oracle in place of DFT)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 

@@ -6,6 +6,8 @@ On a multi-chip host this uses the real devices; on CPU run with
   XLA_FLAGS=--xla_force_host_platform_device_count=8 python sharded_mlmd.py
 to validate the sharding on 8 virtual devices (same code, same results).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 

@@ -1,5 +1,7 @@
 """Metadynamics on a collective variable during MLMD (counterpart of the
 reference's meta-dyn example)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 from autoforce_tpu import units
 from autoforce_tpu.calculator.active import ActiveCalculator
 from autoforce_tpu.calculator.meta import Meta, Posvar

@@ -1,5 +1,7 @@
 """Multi-task learning: two PES with one kernel + thermodynamic-integration
 weights (counterpart of the reference's multi-learning example)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 from autoforce_tpu import units

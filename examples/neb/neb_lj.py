@@ -1,4 +1,6 @@
 """NEB barrier with a pre-trained ML model (LJ oracle)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 from autoforce_tpu.calculator.active import ActiveCalculator
 from autoforce_tpu.calculator.oracles import LennardJones
 from autoforce_tpu.opt import FIRE, NEB

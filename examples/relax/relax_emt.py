@@ -1,4 +1,6 @@
 """ML-accelerated relaxation with oracle confirmation."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 from autoforce_tpu.calculator.active import ActiveCalculator
 from autoforce_tpu.calculator.emt import EMT
 from autoforce_tpu.opt import LBFGS

@@ -1,5 +1,7 @@
 """Water-dimer-style relax + NEB with a toy flexible-molecule oracle
 (analog of the reference's water examples; no DFT needed)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 
