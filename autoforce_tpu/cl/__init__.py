@@ -18,7 +18,9 @@ import os
 from ..calculator.active import ActiveCalculator
 
 # unit names available inside ARGS expressions (the reference imports
-# kcal_mol into its cl namespace for exactly this, theforce/cl/__init__.py:16)
+# kcal_mol into its cl namespace for exactly this, theforce/cl/__init__.py:16);
+# make_mesh so `mesh = make_mesh(data=8)` works from an ARGS file
+from ..parallel import make_mesh  # noqa: F401
 from ..units import GPa, bar, fs, kB, kcal_mol  # noqa: F401
 
 

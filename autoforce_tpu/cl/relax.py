@@ -26,7 +26,8 @@ def relax(
     atoms.calc = calc
     if rattle:
         atoms.rattle(rattle)
-    algo_cls = {"LBFGS": LBFGS, "FIRE": FIRE}[algo.upper()]
+    # 'BFGS' (the reference default name) maps to LBFGS here
+    algo_cls = {"LBFGS": LBFGS, "BFGS": LBFGS, "FIRE": FIRE}[algo.upper()]
 
     from ..io.xyz import write_xyz
     from ..system import SinglePointCalculator

@@ -4,14 +4,16 @@ stored targets (counterpart of theforce/cl/test.py)."""
 from __future__ import annotations
 
 from .. import cl as cline
-from ..io.xyz import read_xyz, write_xyz
+from ..io.xyz import write_xyz
 from ..system import SinglePointCalculator
 
 
-def test(path, out_ml="test_ML.extxyz", out_fp="test_FP.extxyz"):
+def test(path, out_ml="test_ML.extxyz", out_fp="test_FP.extxyz", index=None):
+    from .train import read_frames
+
     calc = cline.gen_active_calc()
     calc._calc = None  # inference only
-    frames = read_xyz(path)
+    frames = read_frames(path, index=index)
     mode = "w"
     for s in frames:
         res = calc.calculate(s)
@@ -27,10 +29,14 @@ def test(path, out_ml="test_ML.extxyz", out_fp="test_FP.extxyz"):
 def main():
     import argparse
 
+    from ..io.outcar import parse_slice
+
     parser = argparse.ArgumentParser(description="Evaluate a model on a traj")
     parser.add_argument("-i", "--input", required=True)
+    parser.add_argument("-r", "--range", default=None,
+                        help="frame slice start:stop:step")
     args = parser.parse_args()
-    test(args.input)
+    test(args.input, index=parse_slice(args.range) if args.range else None)
 
 
 if __name__ == "__main__":

@@ -1,20 +1,32 @@
-"""Offline training: ``python -m autoforce_tpu.cl.train -i data.extxyz``
-or ``-i model.sgpr`` (counterpart of theforce/cl/train.py)."""
+"""Offline training: ``python -m autoforce_tpu.cl.train -i data.extxyz``,
+``-i OUTCAR [OUTCAR-2 ...]``, or ``-i model.sgpr``; an optional
+``-r start:stop:step`` slices the frames read from each trajectory file
+(counterpart of theforce/cl/train.py:21-45)."""
 
 from __future__ import annotations
 
 from .. import cl as cline
 
 
-def train(inputs):
+def read_frames(path, index=None):
+    """Trajectory frames from an extxyz/xyz file or a VASP OUTCAR."""
+    if "OUTCAR" in path.rsplit("/", 1)[-1]:
+        from ..io.outcar import read_outcar_frames
+
+        return read_outcar_frames(path, index=index)
+    from ..io.xyz import read_xyz
+
+    frames = read_xyz(path)
+    return frames[index] if index is not None else frames
+
+
+def train(inputs, index=None):
     calc = cline.gen_active_calc()
     for path in inputs:
         if path.endswith(".sgpr"):
             calc.include_tape(path)
         else:
-            from ..io.xyz import read_xyz
-
-            calc.include_data(read_xyz(path))
+            calc.include_data(read_frames(path, index=index))
     calc.save_model()
     return calc
 
@@ -22,10 +34,16 @@ def train(inputs):
 def main():
     import argparse
 
+    from ..io.outcar import parse_slice
+
     parser = argparse.ArgumentParser(description="Offline SGPR training")
     parser.add_argument("-i", "--input", nargs="+", required=True)
+    parser.add_argument(
+        "-r", "--range", default=None,
+        help="frame slice start:stop:step applied to each trajectory input",
+    )
     args = parser.parse_args()
-    train(args.input)
+    train(args.input, index=parse_slice(args.range) if args.range else None)
 
 
 if __name__ == "__main__":
