@@ -34,7 +34,7 @@ def main():
     parser = argparse.ArgumentParser(description="Evaluate a model on a traj")
     parser.add_argument("-i", "--input", required=True)
     parser.add_argument("-r", "--range", default=None,
-                        help="frame slice start:stop:step")
+                        help="frame slice start:stop:step, or a single index (e.g. 0, -1)")
     args = parser.parse_args()
     test(args.input, index=parse_slice(args.range) if args.range else None)
 

@@ -9,7 +9,10 @@ from .. import cl as cline
 
 
 def read_frames(path, index=None):
-    """Trajectory frames from an extxyz/xyz file or a VASP OUTCAR."""
+    """Trajectory frames from an extxyz/xyz file or a VASP OUTCAR.
+
+    ``index``: a slice, or a bare int selecting ONE frame (the
+    reference's ``-r 0`` / ``-r -1`` forms)."""
     if "OUTCAR" in path.rsplit("/", 1)[-1]:
         from ..io.outcar import read_outcar_frames
 
@@ -17,14 +20,23 @@ def read_frames(path, index=None):
     from ..io.xyz import read_xyz
 
     frames = read_xyz(path)
-    return frames[index] if index is not None else frames
+    if index is None:
+        return frames
+    return [frames[index]] if isinstance(index, int) else frames[index]
 
 
 def train(inputs, index=None):
     calc = cline.gen_active_calc()
     for path in inputs:
         if path.endswith(".sgpr"):
-            calc.include_tape(path)
+            # reference train.py:11-21: for tapes an integer -r is the
+            # number of data records to include (ndata)
+            if index is not None and not isinstance(index, int):
+                raise RuntimeError(
+                    "for .sgpr inputs use -r with an integer (ndata), "
+                    "e.g. -r 100"
+                )
+            calc.include_tape(path, ndata=index)
         else:
             calc.include_data(read_frames(path, index=index))
     calc.save_model()
@@ -40,7 +52,7 @@ def main():
     parser.add_argument("-i", "--input", nargs="+", required=True)
     parser.add_argument(
         "-r", "--range", default=None,
-        help="frame slice start:stop:step applied to each trajectory input",
+        help="frame slice start:stop:step or single index; for .sgpr inputs an integer = ndata",
     )
     args = parser.parse_args()
     train(args.input, index=parse_slice(args.range) if args.range else None)

@@ -36,20 +36,49 @@ def _species_numbers(symbols, counts):
 
 
 def _parse_potcar_symbols(lines):
-    """Species symbols in POTCAR order (list restarts at first repeat)."""
+    """All ``POTCAR:`` title symbols in file order (with duplicates).
+
+    VASP prints the full POTCAR list twice (header + detail block), so
+    the raw sequence is usually the species list repeated; resolution
+    against ``ions per type`` happens in :func:`_resolve_species` —
+    truncating at the first repeated symbol would mis-handle legal
+    repeated-species setups like ``Fe O Fe``.
+    """
     syms = []
     for line in lines:
         if "POTCAR:" in line:
             parts = line.split()
             # 'POTCAR:', functional, symbol[, date...]
             if len(parts) >= 3:
-                sym = parts[2]
-                if syms and sym == syms[0] and len(syms) > 0:
-                    # second copy of the list begins
-                    if len(syms) >= 1:
-                        break
-                syms.append(sym)
+                syms.append(parts[2])
     return syms
+
+
+def _parse_titel_symbols(lines):
+    """``TITEL  = PAW_PBE Fe 06Sep2000`` symbols (once per species block)."""
+    syms = []
+    for line in lines:
+        if "TITEL" in line and "=" in line:
+            parts = line.split("=")[-1].split()
+            if len(parts) >= 2:
+                syms.append(parts[1])
+    return syms
+
+
+def _resolve_species(raw_syms, titel_syms, counts):
+    """Species per POSCAR block, or None if it cannot be determined."""
+    if not counts:
+        return None
+    n = len(counts)
+    for cand in (raw_syms, titel_syms):
+        if not cand:
+            continue
+        if len(cand) == n:
+            return cand
+        # the POTCAR: list printed twice back-to-back
+        if len(cand) == 2 * n and cand[:n] == cand[n:]:
+            return cand[:n]
+    return None
 
 
 def read_outcar_frames(path, index=None):
@@ -63,16 +92,16 @@ def read_outcar_frames(path, index=None):
     with open(path) as fh:
         lines = fh.readlines()
 
-    symbols = _parse_potcar_symbols(lines)
     counts = None
     for line in lines:
         if "ions per type" in line:
             counts = [int(x) for x in line.split("=")[-1].split()]
             break
 
-    numbers = None
-    if symbols and counts and len(symbols) >= len(counts):
-        numbers = _species_numbers(symbols[: len(counts)], counts)
+    symbols = _resolve_species(
+        _parse_potcar_symbols(lines), _parse_titel_symbols(lines), counts
+    )
+    numbers = _species_numbers(symbols, counts) if symbols else None
 
     frames = []
     cell = None
@@ -122,10 +151,26 @@ def read_outcar_frames(path, index=None):
                 if "TOTAL-FORCE (eV/Angst)" in lines[k]:
                     break
                 k += 1
-            if pos:
+            if pos and energy is None:
+                # truncated/crashed OUTCAR tail: the force table was
+                # flushed but TOTEN never printed — skip the incomplete
+                # frame instead of emitting one that breaks training.
+                import sys as _sys
+
+                print(
+                    f"outcar: skipping incomplete ionic step in {path} "
+                    "(force table without TOTEN)",
+                    file=_sys.stderr,
+                )
+            elif pos:
                 znum = numbers
                 if znum is None or len(znum) != len(pos):
-                    znum = np.ones(len(pos), dtype=np.int32)
+                    raise ValueError(
+                        f"{path}: cannot determine atomic species "
+                        f"(POTCAR/TITEL symbols vs 'ions per type' "
+                        f"mismatch for {len(pos)} atoms) — refusing to "
+                        "train on unknown species"
+                    )
                 sys_ = System(
                     numbers=znum,
                     positions=np.array(pos),
@@ -144,13 +189,21 @@ def read_outcar_frames(path, index=None):
         i += 1
 
     if index is not None:
+        if isinstance(index, int):
+            return [frames[index]]
         frames = frames[index]
     return frames
 
 
 def parse_slice(text):
-    """``'start:stop:step'`` -> slice (the reference's -r convention)."""
-    parts = (text or "::").split(":")
+    """The reference's ``-r`` convention (theforce/cl/train.py:34-39,
+    ase.io.read index strings): a bare integer is a SINGLE frame index
+    (``-r 0`` = first frame, ``-r -1`` = last), ``start:stop:step`` is a
+    slice."""
+    text = (text or "::").strip()
+    if ":" not in text:
+        return int(text)
+    parts = text.split(":")
     vals = [int(p) if p.strip() else None for p in parts]
     while len(vals) < 3:
         vals.append(None)

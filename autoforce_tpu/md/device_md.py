@@ -549,27 +549,48 @@ class DeviceMD:
             while mcap < m.m:
                 mcap *= 2
         self._committee_mcap = mcap
+        # per-expert staging cache: frozen experts are immutable between
+        # chain rebuilds, so restaging + re-uploading every expert's full
+        # model arrays on each rebuild (sampling events, table rebuilds)
+        # would redo O(E * m * dim) host work this path exists to avoid.
+        # Keyed on the model's exact state_version (bumped on every state
+        # mutation) + everything else the stack depends on.
+        cache = getattr(self, "_committee_cache", {})
+        new_cache = {}
+        num_tok = hash(numbers.tobytes())
+        sys_tok = hash(np.asarray(self.system.numbers).tobytes())
+        spec_tok = tuple(eng.species)
         mas = []
         vs_rows = []
         mean_rows = []
         for m in models:
-            Xd = (
-                np.stack([x.desc for x in m.X])
-                if m.m
-                else np.zeros((0, eng.dim))
-            )
-            Xn = np.array([x.number for x in m.X], dtype=np.int32)
-            Xl = np.array([x.lone for x in m.X], dtype=bool)
-            if eng.pair_terms:
-                for x in m.X:
-                    eng.grow_pair_kx(x)
-            mas.append(
-                eng.model_arrays(Xd, Xn, Xl, m.mu, m.choli, mcap=mcap,
-                                 envs=m.X)
-            )
-            vs = m.vscale_for(numbers)
-            vs_rows.append(np.where(np.isfinite(vs), vs, self._VS_UNSEEN))
-            mean_rows.append(m.mean_energy(self.system.numbers))
+            token = (m.state_version, mcap, spec_tok, num_tok, sys_tok,
+                     bool(eng.pair_terms))
+            ent = cache.get(id(m))
+            if ent is not None and ent[0] is m and ent[1] == token:
+                ma, vs_row, mean_row = ent[2]
+            else:
+                Xd = (
+                    np.stack([x.desc for x in m.X])
+                    if m.m
+                    else np.zeros((0, eng.dim))
+                )
+                Xn = np.array([x.number for x in m.X], dtype=np.int32)
+                Xl = np.array([x.lone for x in m.X], dtype=bool)
+                if eng.pair_terms:
+                    for x in m.X:
+                        eng.grow_pair_kx(x)
+                ma = eng.model_arrays(Xd, Xn, Xl, m.mu, m.choli, mcap=mcap,
+                                      envs=m.X)
+                vs = m.vscale_for(numbers)
+                vs_row = np.where(np.isfinite(vs), vs, self._VS_UNSEEN)
+                mean_row = m.mean_energy(self.system.numbers)
+                ent = (m, token, (ma, vs_row, mean_row))
+            new_cache[id(m)] = ent
+            mas.append(ma)
+            vs_rows.append(vs_row)
+            mean_rows.append(mean_row)
+        self._committee_cache = new_cache
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *mas)
         return stacked, np.stack(vs_rows), np.asarray(mean_rows)
 

@@ -244,6 +244,8 @@ class ReplicaMD:
             pos_dev, vel_dev = pos, vel
             done += ndone
             self.nsteps += ndone
+            if ndone > 0:
+                self._stall = 0
             if ndone < n:
                 bmax_np = np.asarray(bmax)
                 beta_tripped = (
@@ -273,18 +275,27 @@ class ReplicaMD:
                 s.get_potential_energy()
                 if ndone == 0:
                     # sampling was vetoed/rejected while beta stays
-                    # above threshold: take one host step on that
-                    # walker to move past the sticking point
-                    from .langevin import Langevin
-                    from .verlet import VelocityVerlet
+                    # above threshold.  Match DeviceMD's grace rule: only
+                    # force progress after a host visit already failed to
+                    # unstick the chunk — and then host-step EVERY walker
+                    # so the ensemble stays in lockstep (stepping one
+                    # walker would silently desynchronize trajectory and
+                    # step accounting across replicas).
+                    self._stall = getattr(self, "_stall", 0) + 1
+                    if self._stall >= 2:
+                        from .langevin import Langevin
+                        from .verlet import VelocityVerlet
 
-                    if self.thermostat == "langevin" and self.kT > 0:
-                        Langevin(s, self.dt, self.kT / units.kB,
-                                 self.friction).step()
-                    else:
-                        VelocityVerlet(s, self.dt).step()
-                    done += 1
-                    self.nsteps += 1
+                        for w in self.systems:
+                            w.calc = calc
+                            if self.thermostat == "langevin" and self.kT > 0:
+                                Langevin(w, self.dt, self.kT / units.kB,
+                                         self.friction).step()
+                            else:
+                                VelocityVerlet(w, self.dt).step()
+                        done += 1
+                        self.nsteps += 1
+                        self._stall = 0
                 chain = None
         if pos_dev is not None:
             self._sync_host(chain, pos_dev, vel_dev)

@@ -48,8 +48,15 @@ from ..engine import (
 )
 
 
-def make_mesh(n_data=None, n_model=1, devices=None):
-    """Create a ('data', 'model') mesh over the available devices."""
+def make_mesh(n_data=None, n_model=1, devices=None, *, data=None, model=None):
+    """Create a ('data', 'model') mesh over the available devices.
+
+    ``data``/``model`` are accepted as aliases for ``n_data``/``n_model``
+    (the short forms ARGS files and the user manuals use)."""
+    if data is not None:
+        n_data = data
+    if model is not None:
+        n_model = model
     devices = devices if devices is not None else jax.devices()
     n_data = n_data if n_data is not None else len(devices) // n_model
     if n_data * n_model > len(devices):
@@ -59,6 +66,23 @@ def make_mesh(n_data=None, n_model=1, devices=None):
         )
     dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev, ("data", "model"))
+
+
+def _gathered_beta(choli, cov, alpha, vscale_atom, atom_mask):
+    """Covloss beta from a 'model'-axis sharded covariance block — the ONE
+    definition shared by sharded_predict and sharded_md_chunk (formula:
+    kernels.covloss_beta; this adds the model-axis gather).  The b*b
+    reduction must stay in true f32 (engine.precise_sum): beta feeds
+    threshold comparisons and a bf16-folded sum adds a ~0.02 noise floor
+    near c = 1 (CLAUDE.md reduce-of-dot note).
+
+    Returns (cov_full (n, M) replicated over 'model', beta (n,))."""
+    cov_full = jax.lax.all_gather(cov, "model", axis=1, tiled=True)
+    cov_full = jax.lax.pmean(cov_full, "model")  # provably replicated
+    b = choli @ cov_full.T
+    c = precise_sum(b * b, axis=0) / alpha
+    beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vscale_atom)
+    return cov_full, jnp.where(atom_mask, beta, -jnp.inf)
 
 
 def _cfg_spec():
@@ -178,13 +202,9 @@ def sharded_predict(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
         )(cfg_l.positions, eps0)
         forces = -dpos
         virial = 0.5 * (deps + deps.T)
-        # uncertainty needs full kernel rows: gather over the model axis
-        cov_full = jax.lax.all_gather(cov_blk, "model", axis=1, tiled=True)
-        cov_full = jax.lax.pmean(cov_full, "model")  # provably replicated
-        b = model_l.choli @ cov_full.T
-        c = (b * b).sum(axis=0) / alpha
-        beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vs)
-        beta = jnp.where(cfg_l.atom_mask, beta, -jnp.inf)
+        cov_full, beta = _gathered_beta(
+            model_l.choli, cov_blk, alpha, vs, cfg_l.atom_mask
+        )
         return e, forces, virial, cov_full, beta
 
     fn = jax.shard_map(
@@ -464,12 +484,9 @@ def sharded_md_chunk(
             )(pos)
             f = -g * amask
             if check_beta:
-                cov_full = jax.lax.all_gather(cov, "model", axis=1, tiled=True)
-                cov_full = jax.lax.pmean(cov_full, "model")
-                b = model_l.choli @ cov_full.T
-                c = precise_sum(b * b, axis=0) / alpha
-                beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vs_l)
-                beta = jnp.where(cfg_l.atom_mask, beta, -jnp.inf)
+                _, beta = _gathered_beta(
+                    model_l.choli, cov, alpha, vs_l, cfg_l.atom_mask
+                )
                 beta_max = jax.lax.pmax(jnp.max(beta), "data")
             else:
                 beta_max = jnp.zeros((), dtype=pos.dtype)

@@ -97,6 +97,12 @@ class SgprModel:
         self.mean_weights = {}
         self.vscale = {}
         self.stats = None
+        # monotonic model-state version: bumped every time the staged
+        # device view is invalidated (every mutation of mu/choli/X/data
+        # writes ``_model_arrays = None`` — the setter below counts those).
+        # Consumers (e.g. DeviceMD's committee stack cache) key cached
+        # device staging on it; exact, unlike value fingerprints.
+        self.state_version = 0
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
@@ -111,6 +117,16 @@ class SgprModel:
         self.target_version = 0
 
     # ------------------------------------------------------------ properties
+    @property
+    def _model_arrays(self):
+        return self.__dict__.get("_ma_cache")
+
+    @_model_arrays.setter
+    def _model_arrays(self, value):
+        if value is None:
+            self.state_version = getattr(self, "state_version", 0) + 1
+        self.__dict__["_ma_cache"] = value
+
     @property
     def ndata(self):
         return len(self.data)

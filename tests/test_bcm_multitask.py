@@ -395,3 +395,35 @@ def test_multitask_trial_reject_restores_task_state(tmp_path, monkeypatch):
     res = calc.calculate(s)
     assert np.isfinite(res["energy"])
     assert len(res["task_energies"]) == 2
+
+
+def test_committee_stack_caches_frozen_experts(tmp_path, monkeypatch):
+    """_committee_stack restages an expert ONLY when its state changes:
+    frozen experts are not re-staged/re-uploaded on every chain rebuild
+    (they are immutable between sampling events)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.md.device_md import DeviceMD
+
+    calc, s = _trained_bcm(tmp_path)
+    dyn = DeviceMD(s, calc, dt=2 * units.fs, temperature_K=300,
+                   device_rebuild=False)
+    models = dyn._committee_models()
+    assert len(models) >= 2
+    cfg = calc.engine.make_config(s)
+    dyn._committee_stack(models, cfg)
+    first = {k: ent[2][0] for k, ent in dyn._committee_cache.items()}
+    # no state change: every per-expert staging is reused as-is
+    dyn._committee_stack(models, cfg)
+    for k, ent in dyn._committee_cache.items():
+        assert ent[2][0] is first[k]
+    # mutating ONE model invalidates exactly that entry
+    victim = models[0]
+    v0 = victim.state_version
+    victim._model_arrays = None  # the invalidation every mutation performs
+    assert victim.state_version == v0 + 1
+    dyn._committee_stack(models, cfg)
+    for k, ent in dyn._committee_cache.items():
+        if k == id(victim):
+            assert ent[2][0] is not first[k]
+        else:
+            assert ent[2][0] is first[k]

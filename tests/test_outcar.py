@@ -89,7 +89,69 @@ def test_parse_slice_forms():
     assert parse_slice("::") == slice(None, None, None)
     assert parse_slice("0:10:2") == slice(0, 10, 2)
     assert parse_slice(":-1:") == slice(None, -1, None)
-    assert parse_slice("5") == slice(5, None, None)
+    # bare integer = ONE frame index (reference -r 0 / -r -1 semantics,
+    # theforce/cl/train.py:34-39 via ase.io.read)
+    assert parse_slice("5") == 5
+    assert parse_slice("-1") == -1
+    assert parse_slice("0") == 0
+
+
+def test_bare_int_index_selects_one_frame(outcar_path):
+    from autoforce_tpu.io.outcar import parse_slice, read_outcar_frames
+
+    first = read_outcar_frames(outcar_path, index=parse_slice("0"))
+    assert len(first) == 1
+    assert first[0].calc.results["energy"] == pytest.approx(-12.345678)
+    last = read_outcar_frames(outcar_path, index=parse_slice("-1"))
+    assert len(last) == 1
+    assert last[0].calc.results["energy"] == pytest.approx(-12.5)
+
+
+def test_repeated_species_blocks(tmp_path):
+    """Legal repeated-species POSCARs (e.g. Cu O Cu) must not silently
+    degrade to Z=1 training data."""
+    from autoforce_tpu.io.outcar import read_outcar_frames
+
+    head = ("POTCAR:    PAW_PBE Cu 22Jun2005\n"
+            "POTCAR:    PAW_PBE O 08Apr2002\n"
+            "POTCAR:    PAW_PBE Cu 22Jun2005\n")
+    old_head = ("POTCAR:    PAW_PBE Cu 22Jun2005\n"
+                "POTCAR:    PAW_PBE O 08Apr2002\n") * 2
+    assert old_head in OUTCAR2
+    text = OUTCAR2.replace(old_head, head + head).replace(
+        "ions per type =               2   1",
+        "ions per type =               1   1   1")
+    p = tmp_path / "OUTCAR"
+    p.write_text(text)
+    frames = read_outcar_frames(str(p))
+    assert list(frames[0].numbers) == [29, 8, 29]
+
+
+def test_unresolvable_species_raises(tmp_path):
+    """Species that cannot be resolved must error loudly, not train Z=1."""
+    from autoforce_tpu.io.outcar import read_outcar_frames
+
+    text = OUTCAR2.replace("ions per type =               2   1",
+                           "ions per type =               1   1   1")
+    p = tmp_path / "OUTCAR"
+    p.write_text(text)
+    with pytest.raises(ValueError, match="species"):
+        read_outcar_frames(str(p))
+
+
+def test_truncated_outcar_skips_incomplete_frame(outcar_path, tmp_path,
+                                                 capsys):
+    """A force table without its TOTEN (crashed run) is skipped, not
+    emitted as an energy-less frame that breaks training later."""
+    from autoforce_tpu.io.outcar import read_outcar_frames
+
+    text = OUTCAR2[: OUTCAR2.rindex(" free  energy   TOTEN")]
+    p = tmp_path / "OUTCAR.trunc"
+    p.write_text(text)
+    frames = read_outcar_frames(str(p))
+    assert len(frames) == 1
+    assert frames[0].calc.results["energy"] == pytest.approx(-12.345678)
+    assert "incomplete" in capsys.readouterr().err
 
 
 def test_cl_train_reads_outcar(outcar_path, tmp_path, monkeypatch):

@@ -266,3 +266,12 @@ def test_active_calculator_with_mesh(tmp_path, monkeypatch):
     assert calc_mesh.size == calc_ref.size  # same sampling decisions
     np.testing.assert_allclose(r1["energy"], r2["energy"], rtol=1e-8)
     np.testing.assert_allclose(r1["forces"], r2["forces"], atol=1e-8)
+
+
+def test_make_mesh_aliases():
+    """The ARGS-file short forms data=/model= (documented in the user
+    manuals) are aliases for n_data/n_model."""
+    m = make_mesh(data=4, model=2)
+    assert m.devices.shape == (4, 2)
+    m = make_mesh(data=8)
+    assert m.devices.shape == (8, 1)
