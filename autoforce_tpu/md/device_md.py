@@ -97,7 +97,8 @@ def _sgpr_forces(pos, cfg, model, radii, znum, vscale_atom, params, exponent,
 
 def _chunk_loop(forces_fn, pos_init, amask, velocities, masses, key, pos0,
                 dt, kT, friction, skin_half, beta_thresh, nsteps,
-                thermostat, check_beta, nhc_Q, nhc_dof, nhc_vxi, nhc_xi):
+                thermostat, check_beta, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
+                tbl=None, rebuild_fn=None):
     """The integrator while-loop, shared by the single-device, sharded
     (parallel/mesh.sharded_md_chunk) and committee chunk variants.
 
@@ -105,20 +106,64 @@ def _chunk_loop(forces_fn, pos_init, amask, velocities, masses, key, pos0,
     does velocity-Verlet / BAOAB-Langevin / NHC stepping with early exit
     on Verlet-skin breach or uncertainty trip.  ``amask``: (N, 1) atom
     mask.  Returns (pos, vel, key, f, e, beta_max, ndone, vxi, xi).
+
+    With ``rebuild_fn`` (and the matching neighbor-table pytree ``tbl``;
+    ``forces_fn(pos, tbl)`` then), a Verlet-skin breach does NOT exit the
+    loop: the table is rebuilt IN the loop (``rebuild_fn(pos) ->
+    (new_tbl, ok)``), forces are recomputed at the breached positions
+    with the fresh table (exactly what re-entry after a host/device
+    rebuild would do), and stepping continues.  The loop exits early only
+    on an uncertainty trip or when the rebuild reports ``ok=False``
+    (neighbor-bucket overflow — the host grows the bucket).  The return
+    gains ``(tbl, pos0)`` so the caller can chain the rebuilt table.
     """
     c1 = jnp.exp(-friction * dt)
+    rebuild = rebuild_fn is not None
+    if rebuild:
+        forces = forces_fn
+    else:
+        tbl = ()
+        forces = lambda pos, tbl: forces_fn(pos)  # noqa: E731
 
     def ke2(vel):
         return (masses * vel * vel * amask).sum()
 
-    def step(pos, vel, key, f, vxi, xi):
+    def breach(pos, p0):
+        return ((pos - p0) ** 2 * amask).sum(-1).max() >= skin_half**2
+
+    def maybe_rebuild(pos, tbl, p0, e, f, beta_max):
+        """Rebuild + recompute forces iff the skin is breached.  On a
+        failed rebuild (bucket overflow) keep the last good table/origin
+        (so a caller chaining the outputs never sees a truncated table)
+        and drop ok — the loop exits and the host takes over."""
+
+        def do_rebuild(args):
+            pos, tbl, p0, e, f, beta_max = args
+            new_tbl, rok = rebuild_fn(pos)
+            tbl2 = jax.tree.map(
+                lambda n, o: jnp.where(rok, n, o), new_tbl, tbl
+            )
+            p0_2 = jnp.where(rok, pos, p0)
+            e2, f2, b2 = forces(pos, tbl2)
+            return tbl2, p0_2, rok, e2, f2, b2
+
+        def no_rebuild(args):
+            pos, tbl, p0, e, f, beta_max = args
+            return tbl, p0, jnp.ones((), bool), e, f, beta_max
+
+        return jax.lax.cond(
+            breach(pos, p0), do_rebuild, no_rebuild,
+            (pos, tbl, p0, e, f, beta_max),
+        )
+
+    def step(pos, vel, key, f, vxi, xi, tbl):
         if thermostat == "nhc":
             # chain-half, B, drift, B, chain-half (md/nose_hoover.py step)
             s, _, vxi, xi = _nhc_half(ke2(vel), vxi, xi, nhc_Q, kT, nhc_dof, dt)
             vel = vel * s
             vel = vel + 0.5 * dt * f / masses
             pos = pos + dt * vel
-            e, f, beta_max = forces_fn(pos)
+            e, f, beta_max = forces(pos, tbl)
             vel = vel + 0.5 * dt * f / masses
             s, _, vxi, xi = _nhc_half(ke2(vel), vxi, xi, nhc_Q, kT, nhc_dof, dt)
             vel = vel * s
@@ -131,34 +176,103 @@ def _chunk_loop(forces_fn, pos_init, amask, velocities, masses, key, pos0,
             c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / masses)
             vel = c1 * vel + c2 * noise  # O
         pos = pos + 0.5 * dt * vel  # A
-        e, f, beta_max = forces_fn(pos)
+        e, f, beta_max = forces(pos, tbl)
         vel = vel + 0.5 * dt * f / masses  # B
         return pos, vel, key, f, e, beta_max, vxi, xi
 
-    e0, f0, b0 = forces_fn(pos_init)
+    e0, f0, b0 = forces(pos_init, tbl)
+    if rebuild:
+        tbl, pos0, ok0, e0, f0, b0 = maybe_rebuild(
+            pos_init, tbl, pos0, e0, f0, b0
+        )
+    else:
+        ok0 = ~breach(pos_init, pos0)
 
     def cond(state):
-        pos, vel, key, f, e, beta_max, vxi, xi, i = state
-        disp2 = ((pos - pos0) ** 2 * amask).sum(-1).max()
-        ok = disp2 < skin_half**2
+        pos, vel, key, f, e, beta_max, vxi, xi, i, tbl, p0, ok = state
+        go = (i < nsteps) & ok
         if check_beta:
-            ok = ok & (beta_max < beta_thresh)
-        return (i < nsteps) & ok
+            go = go & (beta_max < beta_thresh)
+        return go
 
     def body(state):
-        pos, vel, key, f, e, beta_max, vxi, xi, i = state
-        pos, vel, key, f, e, beta_max, vxi, xi = step(pos, vel, key, f, vxi, xi)
-        return pos, vel, key, f, e, beta_max, vxi, xi, i + 1
+        pos, vel, key, f, e, beta_max, vxi, xi, i, tbl, p0, ok = state
+        pos, vel, key, f, e, beta_max, vxi, xi = step(
+            pos, vel, key, f, vxi, xi, tbl
+        )
+        if rebuild:
+            tbl, p0, ok, e, f, beta_max = maybe_rebuild(
+                pos, tbl, p0, e, f, beta_max
+            )
+        else:
+            ok = ~breach(pos, p0)
+        return pos, vel, key, f, e, beta_max, vxi, xi, i + 1, tbl, p0, ok
 
     init = (pos_init, velocities, key, f0, e0, b0, nhc_vxi, nhc_xi,
-            jnp.zeros((), jnp.int32))
-    return jax.lax.while_loop(cond, body, init)
+            jnp.zeros((), jnp.int32), tbl, pos0, ok0)
+    (pos, vel, key, f, e, beta_max, vxi, xi, i, tbl, pos0, ok) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    if rebuild:
+        return pos, vel, key, f, e, beta_max, vxi, xi, i, tbl, pos0
+    return pos, vel, key, f, e, beta_max, vxi, xi, i
+
+
+def _inloop_table(cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok):
+    """In-loop rebuild plumbing shared by the single-model and committee
+    chunks: (cfg_with, tbl0, rebuild_fn).  ``cfg_with(tbl)`` grafts a
+    neighbor-table pytree onto ``cfg``; ``tbl0`` is the incoming table;
+    ``rebuild_fn(pos) -> (tbl, ok)`` rebuilds it from device positions
+    (ok=False on bucket overflow / int8 offset overflow / asymmetry —
+    the caller's host path then takes over)."""
+    use_rev = cfg.nbr_rev is not None
+
+    def cfg_with(tbl):
+        if not rebuild:
+            return cfg
+        if use_rev:
+            idx, off, sx, mk, rv = tbl
+        else:
+            (idx, off, sx, mk), rv = tbl, None
+        return cfg._replace(nbr_idx=idx, nbr_off=off, nbr_sidx=sx,
+                            nbr_mask=mk, nbr_rev=rv)
+
+    if not rebuild:
+        return cfg_with, None, None
+
+    from ..neighbors_device import device_neighbor_table, reverse_slots
+
+    kpad = cfg.nbr_idx.shape[1]
+    off_dtype = cfg.nbr_off.dtype
+
+    def rebuild_fn(pos):
+        idx, off, mask, kmax, off_over = device_neighbor_table(
+            pos, cfg.cell, cfg.atom_mask, rebuild_cut, kpad
+        )
+        off = off.astype(off_dtype)
+        sx = sidx_atom[idx]
+        mask = mask & sidx_ok[idx]
+        ok = (kmax <= kpad) & ~off_over
+        tbl = (idx, off, sx, mask)
+        if use_rev:
+            rev = reverse_slots(idx, off, mask)
+            # an asymmetric table would silently drop force contributions
+            # in the reverse-slot VJP (cannot happen for the MIC builder,
+            # but guarded like make_config)
+            ok = ok & ~jnp.any(mask & (rev < 0))
+            tbl = tbl + (rev,)
+        return tbl, ok
+
+    tbl0 = (cfg.nbr_idx, cfg.nbr_off, cfg.nbr_sidx, cfg.nbr_mask)
+    if use_rev:
+        tbl0 = tbl0 + (cfg.nbr_rev,)
+    return cfg_with, tbl0, rebuild_fn
 
 
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "thermostat", "kind"),
+                     "thermostat", "kind", "rebuild"),
 )
 def md_chunk(
     cfg: ConfigArrays,
@@ -188,15 +302,33 @@ def md_chunk(
     check_beta=True,
     thermostat="langevin",  # "langevin" | "nhc" | "none"
     kind="dot",
+    rebuild=False,  # in-loop neighbor rebuild at skin breaches
+    rebuild_cut=None,  # scalar rc + skin (traced; required when rebuild)
+    sidx_atom=None,  # (N,) i32 species-table index per atom
+    sidx_ok=None,  # (N,) bool: species known to the engine table
 ):
     """Run up to ``nsteps`` MD steps on device; early-exit on skin breach
     or uncertainty threshold.
-    Returns (pos, vel, key, f, e, beta_max, ndone, nhc_vxi, nhc_xi)."""
+    Returns (pos, vel, key, f, e, beta_max, ndone, nhc_vxi, nhc_xi).
 
-    def forces_fn(pos):
+    With ``rebuild=True`` a skin breach rebuilds the neighbor table IN
+    the chunk loop (neighbors_device.device_neighbor_table; valid under
+    the same MIC gate as DeviceMD's between-chunk rebuild) instead of
+    exiting, so diffusive systems never pay the chunk-exit + redispatch
+    round trips (~2-3 tunnel RTTs every ~15 steps in the flagship
+    multispecies regime).  Early exit then happens only on an
+    uncertainty trip or a neighbor-bucket overflow; the return gains
+    ``(tbl, pos0)``: the live table pytree (idx, off, sidx, mask[, rev])
+    and its build origin, for chaining into the next chunk.
+    """
+    cfg_with, tbl0, rebuild_fn = _inloop_table(
+        cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok
+    )
+
+    def forces_fn(pos, tbl=None):
         return _sgpr_forces(
-            pos, cfg, model, radii, znum, vscale_atom, params, exponent,
-            pair_terms, chem_z, mixL, kind, check_beta,
+            pos, cfg_with(tbl), model, radii, znum, vscale_atom, params,
+            exponent, pair_terms, chem_z, mixL, kind, check_beta,
         )
 
     dtype = cfg.positions.dtype
@@ -207,11 +339,16 @@ def md_chunk(
         nhc_dof = jnp.ones((), dtype=dtype)
     amask = cfg.atom_mask[:, None]
 
-    pos, vel, key, f, e, beta_max, vxi, xi, i = _chunk_loop(
+    out = _chunk_loop(
         forces_fn, cfg.positions, amask, velocities, masses, key, pos0,
         dt, kT, friction, skin_half, beta_thresh, nsteps,
         thermostat, check_beta, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
+        tbl=tbl0, rebuild_fn=rebuild_fn,
     )
+    if rebuild:
+        pos, vel, key, f, e, beta_max, vxi, xi, i, tbl, pos0 = out
+        return pos, vel, key, f, e, beta_max, i, vxi, xi, tbl, pos0
+    pos, vel, key, f, e, beta_max, vxi, xi, i = out
     return pos, vel, key, f, e, beta_max, i, vxi, xi
 
 
@@ -343,7 +480,7 @@ def md_chunk_replicas(
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "thermostat", "kind"),
+                     "thermostat", "kind", "rebuild"),
 )
 def md_chunk_committee(
     cfg: ConfigArrays,
@@ -374,6 +511,10 @@ def md_chunk_committee(
     check_beta=True,
     thermostat="langevin",
     kind="dot",
+    rebuild=False,  # in-loop neighbor rebuild (see md_chunk)
+    rebuild_cut=None,
+    sidx_atom=None,
+    sidx_ok=None,
 ):
     """Device-resident MD under a Bayesian committee of SGPR experts.
 
@@ -393,12 +534,17 @@ def md_chunk_committee(
     """
     nexp = mean_e.shape[0]
     amask = cfg.atom_mask[:, None]
+    cfg_with, tbl0, rebuild_fn = _inloop_table(
+        cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok
+    )
 
-    def forces_fn(pos):
+    def forces_fn(pos, tbl=None):
+        c = cfg_with(tbl)
+
         def energy(p):
             def one(mdl):
                 cov, lone, alpha = _total_cov(
-                    p, cfg.cell, cfg, mdl.X_desc, mdl.X_num, mdl.X_lone,
+                    p, c.cell, c, mdl.X_desc, mdl.X_num, mdl.X_lone,
                     radii, znum, params, exponent, pair_terms,
                     mdl.pair_d, mdl.pair_mask, chem_z=chem_z, mixL=mixL,
                     kind=kind, use_rev=True,
@@ -445,12 +591,38 @@ def md_chunk_committee(
         nhc_Q = jnp.ones(3, dtype=dtype)
         nhc_dof = jnp.ones((), dtype=dtype)
 
-    pos, vel, key, f, e, beta_max, vxi, xi, i = _chunk_loop(
+    out = _chunk_loop(
         forces_fn, cfg.positions, amask, velocities, masses, key, pos0,
         dt, kT, friction, skin_half, beta_thresh, nsteps,
         thermostat, check_beta, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
+        tbl=tbl0, rebuild_fn=rebuild_fn,
     )
+    if rebuild:
+        pos, vel, key, f, e, beta_max, vxi, xi, i, tbl, pos0 = out
+        return pos, vel, key, f, e, beta_max, i, vxi, xi, tbl, pos0
+    pos, vel, key, f, e, beta_max, vxi, xi, i = out
     return pos, vel, key, f, e, beta_max, i, vxi, xi
+
+
+def check_plain_surface(calc, what="DeviceMD"):
+    """The device chunks integrate the plain (possibly committee) SGPR
+    surface; a metadynamics bias or per-task energy combination lives in
+    the host ``calculate`` and would be SILENTLY dropped between chunk
+    boundaries — refuse instead of integrating the wrong physics."""
+    if getattr(calc, "meta", None) is not None:
+        raise NotImplementedError(
+            f"{what} integrates the plain SGPR surface; metadynamics "
+            "bias forces are applied per-step by the host drivers — use "
+            "md.Langevin / md.VelocityVerlet / md.NoseHooverNVT"
+        )
+    from ..calculator.multitask import MultiTaskCalculator
+
+    if isinstance(calc, MultiTaskCalculator):
+        raise NotImplementedError(
+            f"{what} integrates a single-task SGPR surface; multi-task "
+            "weighted combinations (and bond restraints) are host-path "
+            "only — use the host MD drivers"
+        )
 
 
 class DeviceMD:
@@ -464,9 +636,10 @@ class DeviceMD:
 
     def __init__(self, system, calc, dt, temperature_K=None, friction=0.01,
                  chunk=50, seed=0, check_beta=None, device_rebuild=True,
-                 thermostat="auto", tdamp=None):
+                 thermostat="auto", tdamp=None, in_loop_rebuild=True):
         from ..neighbors_device import device_rebuild_ok
 
+        check_plain_surface(calc, "DeviceMD")
         self.system = system
         self.calc = calc  # ActiveCalculator
         self.dt = float(dt)
@@ -501,6 +674,11 @@ class DeviceMD:
                 calc.engine.params.rc + calc._nlcache.skin,
             )
         )
+        # in-loop rebuild: skin breaches are handled INSIDE the chunk's
+        # while_loop (no chunk exit, no dispatch round trips) — the
+        # single-model counterpart of _rebuild_on_device; committee/mesh
+        # chunks keep the between-chunk rebuild
+        self.in_loop_rebuild = in_loop_rebuild and self.device_rebuild
 
     def _committee_models(self):
         """Frozen experts + live model when the calculator is a BCM with
@@ -704,7 +882,22 @@ class DeviceMD:
                 pos0 = np.zeros((npad, 3))
                 pos0[: len(system)] = calc._nlcache._pos
                 beta_thresh = calc.ediff if self.check_beta else np.inf
+                inloop = self.in_loop_rebuild and self.mesh is None
+                sidx_atom = sidx_ok = cut = None
+                if inloop:
+                    sidx = eng.species_index(np.asarray(cfg.numbers))
+                    sidx_atom = jnp.asarray(
+                        np.maximum(sidx, 0).astype(np.int32)
+                    )
+                    sidx_ok = jnp.asarray(sidx >= 0)
+                    cut = jnp.asarray(
+                        eng.params.rc + calc._nlcache.skin, dtype=dtype
+                    )
                 chain = dict(
+                    inloop=inloop,
+                    sidx_atom=sidx_atom,
+                    sidx_ok=sidx_ok,
+                    cut=cut,
                     cfg=cfg,
                     ma=ma,
                     radii=eng.radii_table(),
@@ -742,25 +935,50 @@ class DeviceMD:
                 )
             else:
                 nhc_kw = {}
-            if chain["mean_e"] is not None:
-                pos, vel, self.key, f, e, beta_max, i, vxi, xi = (
-                    md_chunk_committee(
-                        chain["cfg"], chain["ma"], chain["radii"],
-                        chain["znum"], chain["vs"], chain["mean_e"],
-                        chain["vel"], chain["masses"], chain["pos0"],
-                        self.key, chain["dt"], chain["kT"], chain["fric"],
-                        chain["skin"], chain["bthr"],
-                        jnp.asarray(n, dtype=jnp.int32),
-                        *eng.chem_args(),
-                        params=eng.params,
-                        exponent=eng.exponent,
-                        pair_terms=eng.pair_terms,
-                        check_beta=self.check_beta,
-                        thermostat=self.thermostat,
-                        kind=eng.kernel_kind,
-                        **nhc_kw,
-                    )
+            inloop_kw = {}
+            if chain["inloop"]:
+                inloop_kw = dict(
+                    rebuild=True,
+                    rebuild_cut=chain["cut"],
+                    sidx_atom=chain["sidx_atom"],
+                    sidx_ok=chain["sidx_ok"],
                 )
+
+            def chain_table(out):
+                """Unpack a rebuild-enabled chunk return and graft the
+                (possibly rebuilt) table back onto the chain — device
+                arrays, no host transfer."""
+                (pos, vel, key, f, e, beta_max, i, vxi, xi, tbl, p0) = out
+                c = chain["cfg"]
+                rv = tbl[4] if c.nbr_rev is not None else None
+                chain["cfg"] = c._replace(
+                    nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
+                    nbr_mask=tbl[3], nbr_rev=rv,
+                )
+                chain["pos0"] = p0
+                return pos, vel, key, f, e, beta_max, i, vxi, xi
+
+            if chain["mean_e"] is not None:
+                out = md_chunk_committee(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], chain["mean_e"],
+                    chain["vel"], chain["masses"], chain["pos0"],
+                    self.key, chain["dt"], chain["kT"], chain["fric"],
+                    chain["skin"], chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    *eng.chem_args(),
+                    params=eng.params,
+                    exponent=eng.exponent,
+                    pair_terms=eng.pair_terms,
+                    check_beta=self.check_beta,
+                    thermostat=self.thermostat,
+                    kind=eng.kernel_kind,
+                    **nhc_kw,
+                    **inloop_kw,
+                )
+                if chain["inloop"]:
+                    out = chain_table(out)
+                pos, vel, self.key, f, e, beta_max, i, vxi, xi = out
             elif self.mesh is not None:
                 from ..parallel.mesh import sharded_md_chunk
 
@@ -785,7 +1003,7 @@ class DeviceMD:
                     )
                 )
             else:
-                pos, vel, self.key, f, e, beta_max, i, vxi, xi = md_chunk(
+                out = md_chunk(
                     chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
                     chain["vs"], chain["vel"], chain["masses"], chain["pos0"],
                     self.key, chain["dt"], chain["kT"], chain["fric"],
@@ -799,7 +1017,11 @@ class DeviceMD:
                     thermostat=self.thermostat,
                     kind=eng.kernel_kind,
                     **nhc_kw,
+                    **inloop_kw,
                 )
+                if chain["inloop"]:
+                    out = chain_table(out)
+                pos, vel, self.key, f, e, beta_max, i, vxi, xi = out
             if self.thermostat == "nhc":
                 self.nhc_vxi = np.asarray(vxi)
                 self.nhc_xi = np.asarray(xi)
@@ -816,7 +1038,13 @@ class DeviceMD:
                 # through the host path next round.  A successful device
                 # rebuild resets the displacement bound, so the retry makes
                 # progress — no fallback needed even at ndone == 0.
-                if self.device_rebuild and self._rebuild_on_device(
+                # Under the in-loop rebuild, breaches never exit the chunk:
+                # an early exit here means the neighbor bucket overflowed on
+                # device, so go straight to the host path (it grows the
+                # bucket); retrying on device would fail identically.
+                if chain is not None and chain["inloop"]:
+                    chain = None
+                elif self.device_rebuild and self._rebuild_on_device(
                     chain, pos_dev
                 ):
                     self._stall = 0

@@ -64,6 +64,9 @@ class ReplicaMD:
                 "committees with frozen experts must use DeviceMD "
                 "(md_chunk_committee) or the host drivers"
             )
+        from .device_md import check_plain_surface
+
+        check_plain_surface(calc, "ReplicaMD")
         self.calc = calc
         self.dt = float(dt)
         self.kT = units.kB * temperature_K if temperature_K else 0.0

@@ -427,3 +427,45 @@ def test_committee_stack_caches_frozen_experts(tmp_path, monkeypatch):
             assert ent[2][0] is not first[k]
         else:
             assert ent[2][0] is first[k]
+
+
+def test_bcm_device_md_in_loop_rebuild(tmp_path, monkeypatch):
+    """Committee chunks rebuild the neighbor table IN the loop too:
+    trajectories match the between-chunk device-rebuild path."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.md.device_md import DeviceMD
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.0)
+    calc = BCMActiveCalculator(
+        calculator=lj, pckl="bcm_il.pckl", logfile=None,
+        kernel_kw=dict(cutoff=3.0, lmax=2, nmax=2),
+        ediff=0.002, ediff_tot=0.01, fdiff=0.02, noise_f=0.005,
+        max_data=2, max_inducing=6, eps_dr=0.0, skin=0.10,
+    )
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 500, seed=1)
+    dyn = Langevin(s, 2 * units.fs, 500, friction=0.02, seed=2)
+    k = 0
+    while len(calc.experts) < 1 and k < 30:
+        dyn.run(5)
+        k += 1
+    assert len(calc.experts) >= 1
+    calc._calc = None  # inference mode: deterministic comparison
+
+    results = {}
+    for inloop in (False, True):
+        dev = s.copy()
+        maxwell_boltzmann_velocities(dev, 400, seed=9)
+        dev.calc = calc
+        dyn = DeviceMD(dev, calc, dt=2 * units.fs, temperature_K=400,
+                       friction=0.02, chunk=20, check_beta=False, seed=5,
+                       in_loop_rebuild=inloop)
+        assert dyn.device_rebuild  # MIC gate must accept this box
+        assert dyn.in_loop_rebuild is inloop
+        dyn.run(90)
+        assert dyn.nsteps == 90
+        results[inloop] = (dev.positions.copy(), dev.get_velocities().copy())
+    np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-8)
+    np.testing.assert_allclose(results[True][1], results[False][1], atol=1e-8)

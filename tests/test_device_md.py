@@ -122,3 +122,40 @@ def test_device_nhc_matches_host_nose_hoover(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         s1.get_velocities(), s2.get_velocities(), atol=1e-8
     )
+
+
+def test_device_md_refuses_meta_and_multitask(trained, tmp_path, monkeypatch):
+    """Meta bias / multi-task combination live in the host calculate();
+    the device chunk would silently drop them — must refuse loudly."""
+    monkeypatch.chdir(tmp_path)
+    import pytest as _pytest
+
+    calc, s0 = trained
+    s = s0.copy()
+    meta0 = calc.meta
+
+    class _FakeMeta:
+        def __call__(self, c):
+            return 0.0, None
+
+    calc.meta = _FakeMeta()
+    try:
+        with _pytest.raises(NotImplementedError, match="metadynamics"):
+            DeviceMD(s, calc, dt=1 * units.fs, check_beta=False)
+        from autoforce_tpu.md.replica_md import ReplicaMD
+
+        with _pytest.raises(NotImplementedError, match="metadynamics"):
+            ReplicaMD([s], calc, dt=1 * units.fs)
+    finally:
+        calc.meta = meta0
+
+    from autoforce_tpu.calculator.multitask import MultiTaskCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+
+    mt = MultiTaskCalculator(
+        [LennardJones(rc=4.0), LennardJones(epsilon=0.2, rc=4.0)],
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        logfile=None, pckl=None, tape=None,
+    )
+    with _pytest.raises(NotImplementedError, match="multi-task"):
+        DeviceMD(s, mt, dt=1 * units.fs, check_beta=False)

@@ -208,3 +208,155 @@ def test_rev_vjp_forces_match_plain_path():
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-11)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-11)
+
+
+def test_device_md_in_loop_rebuild_equivalence(tmp_path, monkeypatch):
+    """In-loop rebuilds (breach handled inside the chunk while_loop) give
+    the same trajectory as between-chunk device rebuilds, with the same
+    step accounting."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.md.device_md import DeviceMD
+    from autoforce_tpu.regression.sgpr import DataRecord
+    from autoforce_tpu.regression.sgpr import SgprModel
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    from test_engine import env_from_system, make_engine
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+
+    def fresh_model():
+        eng = make_engine()
+        model = SgprModel(eng)
+        for seed in range(3):
+            s = bulk_fcc("Cu", 3.6)
+            s.rattle(0.08, seed=seed)
+            model.add_inducing(env_from_system(eng, s, seed % 4), remake=False)
+        for seed in (7, 8):
+            s = bulk_fcc("Cu", 3.6)
+            s.rattle(0.08, seed=seed)
+            s.calc = lj
+            model.add_data(DataRecord.from_system(s), remake=False)
+        model.make_munu(optimize=True, noise_f=0.01)
+        return model
+
+    results = {}
+    for inloop in (False, True):
+        model = fresh_model()
+        calc = ActiveCalculator(covariance=model, calculator=None,
+                                logfile=None, pckl=None, tape=None, skin=0.10)
+        s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        s.rattle(0.04, seed=1)
+        s.calc = calc
+        maxwell_boltzmann_velocities(s, 400, seed=2)
+        dyn = DeviceMD(s, calc, dt=2 * units.fs, temperature_K=400,
+                       friction=0.02, chunk=25, check_beta=False,
+                       in_loop_rebuild=inloop)
+        assert dyn.device_rebuild  # the MIC gate must accept this box
+        assert dyn.in_loop_rebuild is inloop
+        dyn.run(120)
+        assert dyn.nsteps == 120
+        results[inloop] = (s.positions.copy(), s.get_velocities().copy())
+    np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-8)
+    np.testing.assert_allclose(results[True][1], results[False][1], atol=1e-8)
+
+
+def test_chunk_loop_in_loop_rebuild_mechanics():
+    """_chunk_loop with a rebuild_fn: a skin breach rebuilds in the loop
+    and continues; a failed rebuild (ok=False) exits with the LAST GOOD
+    table and origin (never a truncated one)."""
+    from autoforce_tpu.md.device_md import _chunk_loop
+
+    # one particle drifting at constant velocity (no forces): breaches a
+    # skin of 0.5 every 4 steps (dt=1, |v|=0.125; exact binary fractions
+    # so the breach steps are fp-exact)
+    pos0 = jnp.zeros((1, 3))
+    vel = jnp.array([[0.125, 0.0, 0.0]])
+    masses = jnp.ones((1, 1))
+    amask = jnp.ones((1, 1))
+
+    def forces_fn(pos, tbl):
+        e = jnp.zeros(())
+        f = jnp.zeros_like(pos)
+        return e, f, jnp.zeros(())
+
+    def rebuild_fn(pos):
+        # the "table" is the rebuild count, derived from the position
+        # (breaches land at x = 0.5, 1.0, 1.5 for skin_half=0.5, |v|=0.1)
+        count = jnp.round(pos[0, 0] / 0.5)
+        ok = count < 3.0  # third breach (x=1.5) overflows
+        return (count,), ok
+
+    out = _chunk_loop(
+        forces_fn, pos0, amask, vel, masses, jnp.zeros(2, jnp.uint32),
+        pos0, jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(0.0),
+        jnp.asarray(0.5), jnp.asarray(np.inf), jnp.asarray(100, jnp.int32),
+        "none", False, jnp.ones(3), jnp.ones(()), jnp.zeros(3),
+        jnp.zeros(3),
+        tbl=(jnp.zeros(()),), rebuild_fn=rebuild_fn,
+    )
+    pos, v, key, f, e, bmax, vxi, xi, i, tbl, p0 = out
+    # breaches at x=0.5 (rebuild ok, tbl=1), 1.0 (ok, tbl=2), 1.5 (fail)
+    assert int(i) == 12
+    assert float(tbl[0]) == 2.0  # last GOOD table kept on failure
+    np.testing.assert_allclose(float(p0[0, 0]), 1.0, atol=1e-9)  # its origin
+    np.testing.assert_allclose(float(pos[0, 0]), 1.5, atol=1e-9)
+
+
+def test_device_md_in_loop_overflow_falls_back_to_host(tmp_path, monkeypatch):
+    """When an in-loop chunk exits early without a beta trip (bucket
+    overflow), DeviceMD.run drops the chain and rebuilds via the host."""
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    import autoforce_tpu.md.device_md as dm
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import LennardJones
+    from autoforce_tpu.md.device_md import DeviceMD
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    calc = ActiveCalculator(
+        covariance=None, calculator=lj, logfile=None, pckl=None, tape=None,
+        kernel_kw=dict(cutoff=3.2, lmax=2, nmax=2),
+        ediff=0.2, ediff_tot=0.5, fdiff=0.6, skin=0.3,
+    )
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.rattle(0.02, seed=3)
+    s.calc = calc
+    s.get_potential_energy()  # seed the model
+    calc._calc = None  # freeze learning
+    maxwell_boltzmann_velocities(s, 300, seed=4)
+
+    real = dm.md_chunk
+    state = {"faked": 0, "host_cfg": 0}
+
+    def fake(*a, **kw):
+        out = real(*a, **kw)
+        if kw.get("rebuild") and state["faked"] == 0:
+            state["faked"] = 1
+            out = list(out)
+            out[6] = jnp.asarray(1, jnp.int32)  # pretend early exit @ 1
+            out = tuple(out)
+        return out
+
+    monkeypatch.setattr(dm, "md_chunk", fake)
+    real_make_cfg = calc._make_cfg
+
+    def spy_make_cfg(system):
+        state["host_cfg"] += 1
+        return real_make_cfg(system)
+
+    monkeypatch.setattr(calc, "_make_cfg", spy_make_cfg)
+    dyn = DeviceMD(s, calc, dt=2 * units.fs, temperature_K=300,
+                   friction=0.02, chunk=10, check_beta=False,
+                   in_loop_rebuild=True)
+    assert dyn.in_loop_rebuild
+    dyn.run(30)
+    assert dyn.nsteps == 30
+    assert state["faked"] == 1  # the early exit was injected
+    assert state["host_cfg"] >= 1  # ... and resolved through the host path
+    assert np.isfinite(s.positions).all()
