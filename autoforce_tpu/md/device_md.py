@@ -70,9 +70,18 @@ def _nhc_half(KE2, vxi, xi, Q, kT, dof, dt, nc=2):
 
 
 def _sgpr_forces(pos, cfg, model, radii, znum, vscale_atom, params, exponent,
-                 pair_terms, chem_z, mixL, kind, check_beta):
+                 pair_terms, chem_z, mixL, kind, check_beta,
+                 meta_kind=None, meta_scale=None, meta_vs=None):
     """(energy, forces, beta_max) of one configuration under one SGPR
-    model — the physics of the device MD step (predict_fn minus virial)."""
+    model — the physics of the device MD step (predict_fn minus virial).
+
+    ``meta_kind="covloss"`` adds the ActiveMeta uncertainty-seeking bias
+    ``E -= meta_scale * sum_i beta_i sqrt(meta_vs_i)`` INSIDE the energy
+    gradient — the exact math of :func:`engine.meta_covloss_fn`
+    (reference active.py:1170-1186) fused into the MD step, so
+    metadynamics exploration runs at device-resident speed.  ``meta_vs``
+    is the predictive-variance scale with inf (unseen species) -> 0,
+    matching the host formula (NOT the sampling sentinel)."""
 
     def energy(p):
         cov, lone, alpha = _total_cov(
@@ -82,7 +91,15 @@ def _sgpr_forces(pos, cfg, model, radii, znum, vscale_atom, params, exponent,
             kind=kind, use_rev=True,
         )
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
-        return precise_sum(cov @ model.mu), (cov, alpha)
+        e = precise_sum(cov @ model.mu)
+        if meta_kind == "covloss":
+            b = model.choli @ cov.T
+            c = (b * b).sum(axis=0)
+            beta = jnp.sqrt(jnp.clip(1.0 - c, 1e-12, None))
+            e = e - meta_scale * precise_sum(
+                beta * jnp.sqrt(meta_vs) * cfg.atom_mask
+            )
+        return e, (cov, alpha)
 
     (e, (cov, alpha)), g = jax.value_and_grad(energy, has_aux=True)(pos)
     f = -g * cfg.atom_mask[:, None]
@@ -272,7 +289,7 @@ def _inloop_table(cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok):
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "thermostat", "kind", "rebuild"),
+                     "thermostat", "kind", "rebuild", "meta_kind"),
 )
 def md_chunk(
     cfg: ConfigArrays,
@@ -306,6 +323,9 @@ def md_chunk(
     rebuild_cut=None,  # scalar rc + skin (traced; required when rebuild)
     sidx_atom=None,  # (N,) i32 species-table index per atom
     sidx_ok=None,  # (N,) bool: species known to the engine table
+    meta_kind=None,  # "covloss" = ActiveMeta bias fused into the step
+    meta_scale=None,  # traced bias strength (eV)
+    meta_vs=None,  # (N,) vscale with inf -> 0 (host meta formula)
 ):
     """Run up to ``nsteps`` MD steps on device; early-exit on skin breach
     or uncertainty threshold.
@@ -329,6 +349,7 @@ def md_chunk(
         return _sgpr_forces(
             pos, cfg_with(tbl), model, radii, znum, vscale_atom, params,
             exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            meta_kind=meta_kind, meta_scale=meta_scale, meta_vs=meta_vs,
         )
 
     dtype = cfg.positions.dtype
@@ -604,16 +625,27 @@ def md_chunk_committee(
     return pos, vel, key, f, e, beta_max, i, vxi, xi
 
 
-def check_plain_surface(calc, what="DeviceMD"):
+def check_plain_surface(calc, what="DeviceMD", allow_covloss_meta=False):
     """The device chunks integrate the plain (possibly committee) SGPR
     surface; a metadynamics bias or per-task energy combination lives in
     the host ``calculate`` and would be SILENTLY dropped between chunk
-    boundaries — refuse instead of integrating the wrong physics."""
-    if getattr(calc, "meta", None) is not None:
+    boundaries — refuse instead of integrating the wrong physics.
+
+    With ``allow_covloss_meta`` an :class:`~..calculator.meta.ActiveMeta`
+    bias is admitted (it is stateless kernel-space math the chunk fuses
+    into its energy gradient) and returned for the caller to wire up.
+    """
+    meta = getattr(calc, "meta", None)
+    if meta is not None:
+        if allow_covloss_meta:
+            from ..calculator.meta import ActiveMeta
+
+            if isinstance(meta, ActiveMeta):
+                return meta
         raise NotImplementedError(
-            f"{what} integrates the plain SGPR surface; metadynamics "
-            "bias forces are applied per-step by the host drivers — use "
-            "md.Langevin / md.VelocityVerlet / md.NoseHooverNVT"
+            f"{what} integrates the plain SGPR surface; this "
+            "metadynamics bias is applied per-step by the host drivers "
+            "— use md.Langevin / md.VelocityVerlet / md.NoseHooverNVT"
         )
     from ..calculator.multitask import MultiTaskCalculator
 
@@ -623,6 +655,7 @@ def check_plain_surface(calc, what="DeviceMD"):
             "weighted combinations (and bond restraints) are host-path "
             "only — use the host MD drivers"
         )
+    return None
 
 
 class DeviceMD:
@@ -639,7 +672,22 @@ class DeviceMD:
                  thermostat="auto", tdamp=None, in_loop_rebuild=True):
         from ..neighbors_device import device_rebuild_ok
 
-        check_plain_surface(calc, "DeviceMD")
+        meta = check_plain_surface(calc, "DeviceMD", allow_covloss_meta=True)
+        if meta is not None:
+            eng = calc.engine
+            plain = (
+                not eng.pair_terms
+                and not getattr(eng, "chemical", None)
+                and getattr(eng, "kernel_kind", "dot") == "dot"
+            )
+            if not plain or getattr(eng, "mesh", None) is not None:
+                raise NotImplementedError(
+                    "device-fused ActiveMeta needs the plain dot kernel "
+                    "on a single chip (the host bias formula, "
+                    "engine.meta_covloss_fn, is defined there) — use the "
+                    "host MD drivers"
+                )
+        self.meta_scale = float(meta.scale) if meta is not None else None
         self.system = system
         self.calc = calc  # ActiveCalculator
         self.dt = float(dt)
@@ -851,6 +899,13 @@ class DeviceMD:
                 dtype = cfg.positions.dtype
                 oidx = amask = mean_e = None
                 committee = self._committee_models()
+                if committee and self.meta_scale is not None:
+                    raise NotImplementedError(
+                        "device-fused ActiveMeta is not wired into the "
+                        "committee chunk — use the host MD drivers for "
+                        "BCM + metadynamics runs"
+                    )
+                meta_vs = None
                 if committee:
                     ma, vs_c, mean_e = self._committee_stack(committee, cfg)
                     vsj = jnp.asarray(vs_c, dtype=dtype)
@@ -858,6 +913,12 @@ class DeviceMD:
                 else:
                     ma = model.full_model_arrays()
                     vs = model.vscale_for(np.asarray(cfg.numbers))
+                    if self.meta_scale is not None:
+                        # host bias formula: inf (unseen species) -> 0,
+                        # NOT the sampling sentinel (engine.meta_covloss_fn)
+                        meta_vs = jnp.asarray(
+                            np.where(np.isfinite(vs), vs, 0.0), dtype=dtype
+                        )
                     # unseen species: huge finite sentinel (host inf
                     # semantics: any uncertainty trips sampling), not 0
                     # (which would silence the trigger exactly where the
@@ -898,6 +959,7 @@ class DeviceMD:
                     sidx_atom=sidx_atom,
                     sidx_ok=sidx_ok,
                     cut=cut,
+                    meta_vs=meta_vs,
                     cfg=cfg,
                     ma=ma,
                     radii=eng.radii_table(),
@@ -1003,6 +1065,13 @@ class DeviceMD:
                     )
                 )
             else:
+                meta_kw = {}
+                if chain["meta_vs"] is not None:
+                    meta_kw = dict(
+                        meta_kind="covloss",
+                        meta_scale=jnp.asarray(self.meta_scale, dtype=dtype),
+                        meta_vs=chain["meta_vs"],
+                    )
                 out = md_chunk(
                     chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
                     chain["vs"], chain["vel"], chain["masses"], chain["pos0"],
@@ -1018,6 +1087,7 @@ class DeviceMD:
                     kind=eng.kernel_kind,
                     **nhc_kw,
                     **inloop_kw,
+                    **meta_kw,
                 )
                 if chain["inloop"]:
                     out = chain_table(out)

@@ -159,3 +159,43 @@ def test_device_md_refuses_meta_and_multitask(trained, tmp_path, monkeypatch):
     )
     with _pytest.raises(NotImplementedError, match="multi-task"):
         DeviceMD(s, mt, dt=1 * units.fs, check_beta=False)
+
+
+def test_device_md_active_meta_matches_host(trained, tmp_path, monkeypatch):
+    """ActiveMeta (uncertainty-seeking bias) fused into the device chunk:
+    NVE trajectory == host driver applying engine.meta_covloss_fn
+    per step."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.meta import ActiveMeta
+
+    calc, s0 = trained
+    calc._calc = None  # freeze learning
+    calc.meta = ActiveMeta(scale=0.05)
+    try:
+        v0 = s0.get_velocities()
+        s_host = s0.copy()
+        s_host.set_velocities(v0)
+        s_host.calc = calc
+        VelocityVerlet(s_host, 1 * units.fs).run(8)
+        pos_host = s_host.positions.copy()
+
+        s_dev = s0.copy()
+        s_dev.set_velocities(v0)
+        s_dev.calc = calc
+        dyn = DeviceMD(s_dev, calc, dt=1 * units.fs, temperature_K=None,
+                       chunk=8, check_beta=False)
+        assert dyn.meta_scale == 0.05
+        dyn.run(8)
+        np.testing.assert_allclose(s_dev.positions, pos_host, atol=1e-7)
+        # the bias must actually bend the trajectory (non-trivial check)
+        s_ref = s0.copy()
+        s_ref.set_velocities(v0)
+        calc.meta = None
+        s_ref.calc = calc
+        VelocityVerlet(s_ref, 1 * units.fs).run(8)
+        assert np.abs(s_ref.positions - pos_host).max() > 1e-6
+    finally:
+        calc.meta = None
+        from autoforce_tpu.calculator.oracles import LennardJones
+
+        calc._calc = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
