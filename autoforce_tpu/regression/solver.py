@@ -136,9 +136,25 @@ def solve_sgpr(
         return qr_solve(A, Y)
 
     if optimize:
+        # Spectral form of make_mu for the sigma search: the ridge problem
+        # min ||R1 x - z1||^2 + sigma^2 ||L^T x||^2 substitutes y = L^T x
+        # (B = R1 L^-T, SVD'd ONCE) so every sigma costs O(m^2) instead of
+        # a fresh O(m^3) QR — the scipy loop makes ~50 evaluations per
+        # update, which made per-update noise optimization the dominant
+        # active-learning cost at large m.  Identical solution to the
+        # stacked QR (normal equations agree; equality-tested).
+        choliT = choli.T
+        B = R1 @ choliT
+        U, S, Vt = np.linalg.svd(B, full_matrices=False)
+        Uz = U.T @ z1
+        VtcT = choliT @ Vt.T  # (m, k): maps spectral y -> x
+
+        def mu_spectral(s):
+            sigma = sigmoid(s) * scale
+            return VtcT @ (S / (S * S + sigma * sigma) * Uz)
 
         def objective(x):
-            mu = make_mu(float(x[0]))
+            mu = mu_spectral(float(x[0]))
             mae = np.abs(Kf @ mu - forces_flat).mean() if len(forces_flat) else 0.0
             return (mae - noise_f) ** 2
 
