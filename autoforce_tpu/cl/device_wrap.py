@@ -42,3 +42,25 @@ def run_device_md(atoms, calc, dt, temperature_K, friction, picos,
         dyn.run(n)
         write_frame()
         done += n
+
+
+def run_device_npt(atoms, calc, dt, temperature_K, stress_GPa, picos,
+                   write_frame, loginterval, tdamp=25, pdamp=100,
+                   bulk_modulus=None):
+    """cl.md dynamics='DEVICE' with bulk_modulus: on-chip isotropic MTK
+    NPT (md/device_npt.py)."""
+    from ..md.device_npt import DeviceNPT
+
+    steps = int(picos * 1000 / dt) if picos > 0 else int(-picos)
+    dyn = DeviceNPT(
+        atoms, calc, dt * units.fs, temperature_K=temperature_K,
+        pressure_GPa=stress_GPa, tdamp=tdamp * units.fs,
+        pdamp=pdamp * units.fs, bulk_modulus_GPa=bulk_modulus,
+        chunk=max(loginterval, 25),
+    )
+    done = 0
+    while done < steps:
+        n = min(max(loginterval, 25), steps - done)
+        dyn.run(n)
+        write_frame()
+        done += n

@@ -137,6 +137,16 @@ def md(
             dyn = Langevin(
                 atoms, dt * units.fs, temperature_K=T, friction=friction / units.fs
             )
+        elif kind == "DEVICE" and bulk_modulus is not None:
+            # the reference's pfactor gate applied to the device path:
+            # bulk_modulus present -> the cell moves (isotropic MTK NPT,
+            # fully on-chip)
+            from .device_wrap import run_device_npt
+
+            run_device_npt(atoms, calc, dt, T, stress, picos, write_frame,
+                           loginterval, tdamp=tdamp, pdamp=pdamp,
+                           bulk_modulus=bulk_modulus)
+            continue
         elif kind == "DEVICE":
             from .device_wrap import run_device_md
 

@@ -10,4 +10,24 @@ __all__ = [
     "BerendsenNVT",
     "MTKNPT",
     "NoseHooverNVT",
+    "DeviceMD",
+    "DeviceNPT",
+    "ReplicaMD",
 ]
+
+
+def __getattr__(name):
+    # lazy: the device modules import the engine stack
+    if name == "DeviceMD":
+        from .device_md import DeviceMD
+
+        return DeviceMD
+    if name == "DeviceNPT":
+        from .device_npt import DeviceNPT
+
+        return DeviceNPT
+    if name == "ReplicaMD":
+        from .replica_md import ReplicaMD
+
+        return ReplicaMD
+    raise AttributeError(name)

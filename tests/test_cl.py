@@ -228,6 +228,32 @@ def test_md_device_dynamics(in_tmp):
     assert np.isfinite(atoms2.positions).all()
 
 
+
+def test_md_device_npt_dynamics(in_tmp):
+    """cl.md dynamics='DEVICE' + bulk_modulus: on-chip isotropic MTK NPT
+    (the reference's pfactor gate applied to the device path)."""
+    import autoforce_tpu.cl as cline
+
+    write_ARGS(
+        in_tmp,
+        calculator="LJ",
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl=None, tape=None, logfile=None,
+        ediff=0.05, fdiff=0.1,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.md import md
+
+    atoms = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    atoms.rattle(0.03, seed=1)
+    cell0 = np.asarray(atoms.cell).copy()
+    md(atoms, dynamics="DEVICE", tem=200.0, dt=2.0, picos=-30,
+       trajectory="mdnpt.extxyz", ml_filter=0.0, loginterval=10,
+       bulk_modulus=140.0, stress=0.0, eps_cell=0.03)
+    assert os.path.isfile("mdnpt.extxyz")
+    assert np.isfinite(atoms.positions).all()
+    assert np.abs(np.asarray(atoms.cell) - cell0).max() > 1e-8  # cell moved
+
 def test_init_model_and_singlepoint(in_tmp):
     import autoforce_tpu.cl as cline
 

@@ -1,0 +1,114 @@
+"""Device-resident isotropic MTK NPT: exact agreement with the host
+MTKNPT driver (same Trotter splitting, same NHC chains, virial from the
+shared backward pass)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from autoforce_tpu import units
+from autoforce_tpu.calculator.active import ActiveCalculator
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.md import Langevin, MTKNPT
+from autoforce_tpu.md.device_npt import DeviceNPT
+from autoforce_tpu.system import bulk_fcc, maxwell_boltzmann_velocities
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("devnpt"))
+    os.chdir(tmp)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
+    calc = ActiveCalculator(
+        covariance=None, calculator=lj, logfile=None, pckl=None, tape=None,
+        kernel_kw=dict(cutoff=4.5, lmax=2, nmax=2),
+        ediff=0.02, ediff_tot=0.05, fdiff=0.06,
+    )
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.rattle(0.05, seed=0)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 300, seed=1)
+    Langevin(s, 2 * units.fs, 300, friction=0.01, seed=2).run(20)
+    calc._calc = None  # freeze learning: deterministic comparisons
+    return calc, s
+
+
+def test_device_npt_matches_host_mtk(trained):
+    calc, s0 = trained
+    v0 = s0.get_velocities()
+    kw = dict(temperature_K=300, pressure_GPa=0.5, tdamp=50 * units.fs,
+              pdamp=200 * units.fs)
+
+    host = s0.copy()
+    host.set_velocities(v0)
+    host.calc = calc
+    drv = MTKNPT(host, 2 * units.fs, isotropic=True, **kw)
+    drv.run(10)
+
+    dev = s0.copy()
+    dev.set_velocities(v0)
+    dev.calc = calc
+    dyn = DeviceNPT(dev, calc, 2 * units.fs, chunk=10, check_beta=False,
+                    **kw)
+    dyn.run(10)
+    assert dyn.nsteps == 10
+    np.testing.assert_allclose(dev.positions, host.positions, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dev.cell), np.asarray(host.cell),
+                               atol=1e-10)
+    np.testing.assert_allclose(dev.get_velocities(), host.get_velocities(),
+                               atol=1e-8)
+    # the cell must actually have moved under 0.5 GPa (non-trivial check)
+    assert np.abs(np.asarray(dev.cell) - np.asarray(s0.cell)).max() > 1e-6
+    # chain state agrees too (chained across the host boundary)
+    np.testing.assert_allclose(dyn.vg, np.trace(drv.vg) / 3.0, atol=1e-12)
+    np.testing.assert_allclose(dyn.nhc_vxi, drv.chain.vxi, atol=1e-10)
+    np.testing.assert_allclose(dyn.bch_vxi, drv.bchain.vxi, atol=1e-10)
+
+
+def test_device_npt_chunked_matches_one_shot(trained):
+    """Chunk boundaries (state chaining + host re-entry) do not perturb
+    the trajectory."""
+    calc, s0 = trained
+    v0 = s0.get_velocities()
+    kw = dict(temperature_K=400, pressure_GPa=0.0, tdamp=50 * units.fs,
+              pdamp=200 * units.fs, bulk_modulus_GPa=140.0)
+    results = []
+    for chunk in (12, 3):
+        s = s0.copy()
+        s.set_velocities(v0)
+        s.calc = calc
+        dyn = DeviceNPT(s, calc, 2 * units.fs, chunk=chunk,
+                        check_beta=False, **kw)
+        dyn.run(12)
+        results.append((s.positions.copy(), np.asarray(s.cell).copy()))
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-9)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-11)
+
+
+def test_device_npt_equilibrates_pressure(trained):
+    """Longer run with skin breaches (host rebuild path): the barostat
+    relaxes the LJ crystal toward its zero-pressure volume and the run
+    completes through table rebuilds."""
+    calc, s0 = trained
+    s = s0.copy()
+    maxwell_boltzmann_velocities(s, 300, seed=7)
+    s.calc = calc
+    p0 = -np.mean(s.get_stress()[:3])
+    dyn = DeviceNPT(s, calc, 2 * units.fs, temperature_K=300,
+                    pressure_GPa=0.0, tdamp=50 * units.fs,
+                    pdamp=100 * units.fs, chunk=40, check_beta=False)
+    dyn.run(150)
+    assert dyn.nsteps == 150
+    p1 = -np.mean(s.get_stress()[:3])
+    assert np.isfinite(s.positions).all()
+    assert abs(p1) < abs(p0) or abs(p1) < 0.02  # eV/A^3; relaxing
+    # refuses committees / meta / multitask like the other device drivers
+    from autoforce_tpu.calculator.meta import Meta
+
+    calc.meta = Meta.__new__(Meta)  # any non-ActiveMeta bias
+    try:
+        with pytest.raises(NotImplementedError):
+            DeviceNPT(s, calc, 2 * units.fs, temperature_K=300)
+    finally:
+        calc.meta = None
