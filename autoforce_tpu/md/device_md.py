@@ -262,9 +262,12 @@ def _inloop_table(cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok):
     kpad = cfg.nbr_idx.shape[1]
     off_dtype = cfg.nbr_off.dtype
 
-    def rebuild_fn(pos):
+    def rebuild_fn(pos, cell=None):
+        # ``cell`` overrides the config cell for moving-cell (NPT) loops;
+        # trace-time None keeps the NVT chunks unchanged
         idx, off, mask, kmax, off_over = device_neighbor_table(
-            pos, cfg.cell, cfg.atom_mask, rebuild_cut, kpad
+            pos, cfg.cell if cell is None else cell, cfg.atom_mask,
+            rebuild_cut, kpad
         )
         off = off.astype(off_dtype)
         sx = sidx_atom[idx]

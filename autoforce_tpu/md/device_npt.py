@@ -8,8 +8,12 @@ particle + cell Nose-Hoover chains, barostat velocity, the MTK
 position/cell drift, and the SGPR forces WITH the virial trace — runs
 inside one jitted ``lax.while_loop``.  The virial trace comes from the
 same backward pass as the forces (the energy is differentiated w.r.t. an
-isotropic strain of positions AND cell simultaneously), so NPT costs
-essentially the same per step as NVT.
+isotropic strain of positions AND cell simultaneously — no separate
+virial pass).  Measured on v5e at 1008 atoms: 182 steps/s vs 325 for the
+NVT NHC chunk (the 1.78x is the second thermostat chain + barostat
+scalar math, not the forces) and 2.3x over the host-rebuild NPT path
+(the breathing cell trips the Verlet skin often, so in-loop rebuilds
+matter more here than in NVT — BASELINE.md round-3).
 
 Early exit: Verlet-skin breach (affine cell motion counts as atomic
 displacement, so the fixed neighbor table stays a valid superset until
@@ -32,7 +36,22 @@ import numpy as np
 from .. import units
 from ..engine import ConfigArrays, ModelArrays, _total_cov, precise_sum
 from ..kernels import covloss_beta
-from .device_md import _nhc_half, check_plain_surface
+from .device_md import _inloop_table, _nhc_half, check_plain_surface
+
+
+def _min_perp_width(cell):
+    """Smallest perpendicular width of a cell (rows = lattice vectors):
+    the in-loop MIC validity measure — the device rebuild is a
+    single-image minimum-image build, valid iff every width >= 2*cutoff
+    (neighbors_device.device_rebuild_ok, evaluated on the CURRENT cell
+    because the barostat moves it mid-chunk)."""
+    vol = jnp.abs(jnp.linalg.det(cell))
+    areas = jnp.stack([
+        jnp.linalg.norm(jnp.cross(cell[1], cell[2])),
+        jnp.linalg.norm(jnp.cross(cell[2], cell[0])),
+        jnp.linalg.norm(jnp.cross(cell[0], cell[1])),
+    ])
+    return vol / jnp.max(areas)
 
 
 def _sgpr_forces_virial(pos, cell, cfg, model, radii, znum, vscale_atom,
@@ -71,7 +90,7 @@ def _sgpr_forces_virial(pos, cell, cfg, model, radii, znum, vscale_atom,
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "kind"),
+                     "kind", "rebuild"),
 )
 def md_chunk_npt(
     cfg: ConfigArrays,
@@ -105,20 +124,71 @@ def md_chunk_npt(
     pair_terms=(),
     check_beta=True,
     kind="dot",
+    rebuild=False,  # in-loop neighbor rebuild at skin breaches
+    rebuild_cut=None,  # scalar rc + skin (traced; required when rebuild)
+    sidx_atom=None,  # (N,) i32 species-table index per atom
+    sidx_ok=None,  # (N,) bool: species known to the engine table
 ):
     """Up to ``nsteps`` isotropic MTK NPT steps on device; early exit on
     skin breach or uncertainty trip.  The exact Trotter splitting of
     md/nose_hoover.MTKNPT.step (isotropic=True), loops unrolled at trace
     time.  Returns (pos, vel, cell, f, e, beta_max, ndone, nhc_vxi,
-    nhc_xi, bch_vxi, bch_xi, vg)."""
+    nhc_xi, bch_vxi, bch_xi, vg).
+
+    With ``rebuild=True`` a skin breach rebuilds the neighbor table IN
+    the loop from the current positions AND cell (the device MIC builder
+    takes the cell as an argument), so diffusive constant-pressure runs
+    never pay chunk-exit round trips — same economics as md_chunk.  The
+    in-loop validity gate additionally requires every perpendicular
+    width of the CURRENT cell >= 2*rebuild_cut (the barostat may shrink
+    the box below the minimum-image bound the host checked at entry).
+    Early exit then means uncertainty trip, bucket overflow, or MIC
+    violation; the return gains ``(tbl, pos0)`` for chaining.
+    """
     dtype = cfg.positions.dtype
     amask = cfg.atom_mask[:, None]
     one = jnp.ones((), dtype=dtype)
+    cfg_with, tbl0, rebuild_fn = _inloop_table(
+        cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok
+    )
 
-    def forces_fn(pos, cell):
+    def forces_fn(pos, cell, tbl=None):
         return _sgpr_forces_virial(
-            pos, cell, cfg, model, radii, znum, vscale_atom, params,
-            exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            pos, cell, cfg_with(tbl), model, radii, znum, vscale_atom,
+            params, exponent, pair_terms, chem_z, mixL, kind, check_beta,
+        )
+
+    if not rebuild:
+        tbl0 = ()
+
+    def breach(pos, p0):
+        return ((pos - p0) ** 2 * amask).sum(-1).max() >= skin_half**2
+
+    def maybe_rebuild(pos, cell, tbl, p0, e, f, deps, beta_max):
+        """Rebuild + recompute forces iff the skin is breached; on a
+        failed rebuild (bucket overflow / MIC violation for the current
+        cell) keep the last good table and drop ok — the host takes
+        over.  Mirrors device_md._chunk_loop.maybe_rebuild with the cell
+        threaded through."""
+
+        def do_rebuild(args):
+            pos, cell, tbl, p0, e, f, deps, beta_max = args
+            new_tbl, rok = rebuild_fn(pos, cell)
+            rok = rok & (_min_perp_width(cell) >= 2.0 * rebuild_cut)
+            tbl2 = jax.tree.map(
+                lambda n, o: jnp.where(rok, n, o), new_tbl, tbl
+            )
+            p0_2 = jnp.where(rok, pos, p0)
+            e2, f2, d2, b2 = forces_fn(pos, cell, tbl2)
+            return tbl2, p0_2, rok, e2, f2, d2, b2
+
+        def no_rebuild(args):
+            pos, cell, tbl, p0, e, f, deps, beta_max = args
+            return tbl, p0, jnp.ones((), bool), e, f, deps, beta_max
+
+        return jax.lax.cond(
+            breach(pos, p0), do_rebuild, no_rebuild,
+            (pos, cell, tbl, p0, e, f, deps, beta_max),
         )
 
     def ke2(vel):
@@ -133,7 +203,8 @@ def md_chunk_npt(
         G = (3.0 * vol * (p - p_ext) + KE2 / nhc_dof * 3.0) / W
         return vg + 0.5 * dt * G / 3.0
 
-    def step(pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg):
+    def step(pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg,
+             tbl):
         # thermostats (particles + cell) half-step
         s, _, vxi, xi = _nhc_half(ke2(vel), vxi, xi, nhc_Q, kT, nhc_dof, dt)
         vel = vel * s
@@ -153,7 +224,7 @@ def md_chunk_npt(
         pos = pos * E + dt * vel * E2
         cell = cell * E
         # second half
-        e, f, deps, beta_max = forces_fn(pos, cell)
+        e, f, deps, beta_max = forces_fn(pos, cell, tbl)
         vel = vel + 0.5 * dt * f / masses
         vel = vel * em
         vg = vg_half(vel, vg, cell, deps)
@@ -165,30 +236,46 @@ def md_chunk_npt(
         vel = vel * s
         return pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg
 
-    e0, f0, deps0, b0 = forces_fn(cfg.positions, cell0)
+    e0, f0, deps0, b0 = forces_fn(cfg.positions, cell0, tbl0)
+    if rebuild:
+        tbl0, p00, ok0, e0, f0, deps0, b0 = maybe_rebuild(
+            cfg.positions, cell0, tbl0, pos0, e0, f0, deps0, b0
+        )
+    else:
+        p00 = pos0
+        ok0 = ~breach(cfg.positions, pos0)
 
     def cond(state):
         (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg,
-         i) = state
-        disp2 = ((pos - pos0) ** 2 * amask).sum(-1).max()
-        ok = disp2 < skin_half**2
+         i, tbl, p0, ok) = state
+        go = (i < nsteps) & ok
         if check_beta:
-            ok = ok & (beta_max < beta_thresh)
-        return (i < nsteps) & ok
+            go = go & (beta_max < beta_thresh)
+        return go
 
     def body(state):
         (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg,
-         i) = state
-        out = step(pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi,
-                   bxi, vg)
-        return out + (i + 1,)
+         i, tbl, p0, ok) = state
+        (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi,
+         vg) = step(pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi,
+                    bxi, vg, tbl)
+        if rebuild:
+            tbl, p0, ok, e, f, deps, beta_max = maybe_rebuild(
+                pos, cell, tbl, p0, e, f, deps, beta_max
+            )
+        else:
+            ok = ~breach(pos, p0)
+        return (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi,
+                vg, i + 1, tbl, p0, ok)
 
     init = (cfg.positions, velocities, cell0, f0, e0, deps0, b0,
             nhc_vxi, nhc_xi, bch_vxi, bch_xi, vg,
-            jnp.zeros((), jnp.int32))
-    (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg, i) = (
-        jax.lax.while_loop(cond, body, init)
-    )
+            jnp.zeros((), jnp.int32), tbl0, p00, ok0)
+    (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg, i,
+     tbl, p0, ok) = jax.lax.while_loop(cond, body, init)
+    if rebuild:
+        return (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi,
+                vg, tbl, p0)
     return pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi, vg
 
 
@@ -197,9 +284,11 @@ class DeviceNPT:
     active) calculator — the NPT sibling of :class:`DeviceMD`.
 
     Single-model, single-chip (no committee/mesh/replica variants; the
-    host MTKNPT driver covers those).  Host re-entry happens on skin
-    breaches (neighbor table + cell refresh) and uncertainty trips
-    (sampling at the exact step, reference semantics).
+    host MTKNPT driver covers those).  Skin breaches under the moving
+    cell are rebuilt INSIDE the chunk by default (``in_loop_rebuild``,
+    device MIC build from the current positions AND cell); host re-entry
+    happens on uncertainty trips (sampling at the exact step, reference
+    semantics), bucket overflows, and MIC violations.
 
     Args mirror md/nose_hoover.MTKNPT with isotropic=True: pressure_GPa,
     tdamp/pdamp time constants, optional bulk_modulus_GPa for an
@@ -208,7 +297,7 @@ class DeviceNPT:
 
     def __init__(self, system, calc, dt, temperature_K, pressure_GPa=0.0,
                  tdamp=None, pdamp=None, bulk_modulus_GPa=None, chunk=50,
-                 check_beta=None, tchain=3):
+                 check_beta=None, tchain=3, in_loop_rebuild=True):
         check_plain_surface(calc, "DeviceNPT")
         if getattr(calc.engine, "mesh", None) is not None:
             raise NotImplementedError(
@@ -249,6 +338,12 @@ class DeviceNPT:
         self.check_beta = (
             check_beta if check_beta is not None else calc.active
         )
+        # in-loop rebuild: skin breaches under the moving cell are handled
+        # INSIDE the chunk (device MIC build from current pos+cell, gated
+        # in-loop on the current cell's perpendicular widths); the host
+        # gate below only needs the ENTRY cell — the in-loop width check
+        # covers barostat shrinkage
+        self.in_loop_rebuild = bool(in_loop_rebuild)
         self.nsteps = 0
         # chain state (host copies; chained on device between chunks)
         self.nhc_vxi = np.zeros(3)
@@ -301,7 +396,25 @@ class DeviceNPT:
                 pos0[: len(system)] = calc._nlcache._pos
                 Q, Qb = self._chain_masses()
                 beta_thresh = calc.ediff if self.check_beta else np.inf
+                from ..neighbors_device import device_rebuild_ok
+
+                rcut = eng.params.rc + calc._nlcache.skin
+                inloop = self.in_loop_rebuild and device_rebuild_ok(
+                    system.cell, system.pbc, rcut
+                )
+                sidx_atom = sidx_ok = cut = None
+                if inloop:
+                    sidx = eng.species_index(np.asarray(cfg.numbers))
+                    sidx_atom = jnp.asarray(
+                        np.maximum(sidx, 0).astype(np.int32)
+                    )
+                    sidx_ok = jnp.asarray(sidx >= 0)
+                    cut = jnp.asarray(rcut, dtype=dtype)
                 chain = dict(
+                    inloop=inloop,
+                    sidx_atom=sidx_atom,
+                    sidx_ok=sidx_ok,
+                    cut=cut,
                     cfg=cfg,
                     ma=ma,
                     radii=eng.radii_table(),
@@ -330,30 +443,50 @@ class DeviceNPT:
             n = min(self.chunk, steps - done)
             dtype = chain["cfg"].positions.dtype
             chem_z, mixL = eng.chem_args()
-            (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi, vg) = (
-                md_chunk_npt(
-                    chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
-                    chain["vs"], chain["vel"], chain["masses"],
-                    chain["pos0"], chain["cell"],
-                    chain["dt"], chain["kT"], chain["p_ext"], chain["W"],
-                    chain["skin"], chain["bthr"],
-                    jnp.asarray(n, dtype=jnp.int32),
-                    chain["Q"], chain["dof"],
-                    jnp.asarray(self.nhc_vxi, dtype=dtype),
-                    jnp.asarray(self.nhc_xi, dtype=dtype),
-                    chain["Qb"],
-                    jnp.asarray(self.bch_vxi, dtype=dtype),
-                    jnp.asarray(self.bch_xi, dtype=dtype),
-                    jnp.asarray(self.vg, dtype=dtype),
-                    chem_z=chem_z,
-                    mixL=mixL,
-                    params=eng.params,
-                    exponent=eng.exponent,
-                    pair_terms=eng.pair_terms,
-                    check_beta=self.check_beta,
-                    kind=eng.kernel_kind,
+            inloop_kw = {}
+            if chain["inloop"]:
+                inloop_kw = dict(
+                    rebuild=True,
+                    rebuild_cut=chain["cut"],
+                    sidx_atom=chain["sidx_atom"],
+                    sidx_ok=chain["sidx_ok"],
                 )
+            out = md_chunk_npt(
+                chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
+                chain["vs"], chain["vel"], chain["masses"],
+                chain["pos0"], chain["cell"],
+                chain["dt"], chain["kT"], chain["p_ext"], chain["W"],
+                chain["skin"], chain["bthr"],
+                jnp.asarray(n, dtype=jnp.int32),
+                chain["Q"], chain["dof"],
+                jnp.asarray(self.nhc_vxi, dtype=dtype),
+                jnp.asarray(self.nhc_xi, dtype=dtype),
+                chain["Qb"],
+                jnp.asarray(self.bch_vxi, dtype=dtype),
+                jnp.asarray(self.bch_xi, dtype=dtype),
+                jnp.asarray(self.vg, dtype=dtype),
+                chem_z=chem_z,
+                mixL=mixL,
+                params=eng.params,
+                exponent=eng.exponent,
+                pair_terms=eng.pair_terms,
+                check_beta=self.check_beta,
+                kind=eng.kernel_kind,
+                **inloop_kw,
             )
+            if chain["inloop"]:
+                (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi,
+                 vg, tbl, p0) = out
+                c = chain["cfg"]
+                rv = tbl[4] if c.nbr_rev is not None else None
+                chain["cfg"] = c._replace(
+                    nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
+                    nbr_mask=tbl[3], nbr_rev=rv,
+                )
+                chain["pos0"] = p0
+            else:
+                (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi,
+                 vg) = out
             self.nhc_vxi = np.asarray(vxi)
             self.nhc_xi = np.asarray(xi)
             self.bch_vxi = np.asarray(bvxi)
@@ -365,8 +498,11 @@ class DeviceNPT:
                 self.check_beta and float(beta_max) >= chain["beta_thresh"]
             )
             if ndone < n and not need_host:
-                # skin breach: host rebuild next round (the cell changed,
-                # so the table + MIC gate are re-derived there)
+                # without the in-loop rebuild: skin breach -> host rebuild
+                # next round (the cell changed, so the table + MIC gate
+                # are re-derived there).  With it: neighbor-bucket
+                # overflow or a MIC violation for the shrunken cell — the
+                # host grows the bucket / re-gates.
                 chain = None
             if ndone == 0:
                 # no progress even after a host visit: one host MTK step

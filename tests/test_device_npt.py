@@ -23,7 +23,7 @@ def trained(tmp_path_factory):
     calc = ActiveCalculator(
         covariance=None, calculator=lj, logfile=None, pckl=None, tape=None,
         kernel_kw=dict(cutoff=4.5, lmax=2, nmax=2),
-        ediff=0.02, ediff_tot=0.05, fdiff=0.06,
+        ediff=0.02, ediff_tot=0.05, fdiff=0.06, seed=0,
     )
     s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
     s.rattle(0.05, seed=0)
@@ -84,6 +84,63 @@ def test_device_npt_chunked_matches_one_shot(trained):
         results.append((s.positions.copy(), np.asarray(s.cell).copy()))
     np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-9)
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-11)
+
+
+def test_device_npt_inloop_rebuild_equivalence(tmp_path, monkeypatch):
+    """Skin breaches handled INSIDE the NPT chunk (device MIC build from
+    the current positions AND cell) give the same trajectory as the host
+    rebuild path, with full step accounting (no early chunk exits).
+    The model is built deterministically (no active learning — sampling
+    order is process-state dependent) so both runs share one surface."""
+    monkeypatch.chdir(str(tmp_path))
+    from autoforce_tpu.neighbors_device import device_rebuild_ok
+    from autoforce_tpu.regression.sgpr import DataRecord, SgprModel
+
+    from test_engine import env_from_system, make_engine
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    eng = make_engine()  # rc=3.2: MIC gate passes for the 7.2 A box
+    model = SgprModel(eng)
+    for seed in range(3):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=seed)
+        model.add_inducing(env_from_system(eng, s, seed % 4), remake=False)
+    for seed in (7, 8):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=seed)
+        s.calc = lj
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu(optimize=True, noise_f=0.01)
+    calc = ActiveCalculator(covariance=model, calculator=None,
+                            logfile=None, pckl=None, tape=None, skin=0.10)
+
+    s0 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s0.rattle(0.04, seed=1)
+    maxwell_boltzmann_velocities(s0, 400, seed=2)
+    assert device_rebuild_ok(s0.cell, s0.pbc, eng.params.rc + 0.10)
+    results = {}
+    for inloop in (False, True):
+        s = s0.copy()
+        s.set_velocities(s0.get_velocities())
+        s.calc = calc
+        dyn = DeviceNPT(s, calc, 2 * units.fs, temperature_K=400,
+                        pressure_GPa=0.0, tdamp=50 * units.fs,
+                        pdamp=100 * units.fs, chunk=20, check_beta=False,
+                        in_loop_rebuild=inloop)
+        assert dyn.in_loop_rebuild is inloop
+        dyn.run(40)
+        assert dyn.nsteps == 40
+        # the 0.10 skin must actually have been breached (a rebuild ran)
+        disp = np.abs(s.positions - s0.positions).max()
+        assert disp > 0.05, disp
+        results[inloop] = (s.positions.copy(), np.asarray(s.cell).copy())
+    # the two modes rebuild with different builders (device MIC in-loop
+    # vs host KD-tree) — valid-superset tables, identical physics up to
+    # force summation order
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               atol=1e-6)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               atol=1e-8)
 
 
 def test_device_npt_equilibrates_pressure(trained):
