@@ -1,4 +1,5 @@
-"""Device-resident isotropic MTK NPT: the barostat lives on the TPU.
+"""Device-resident MTK NPT (isotropic or flexible-cell): the barostat
+lives on the TPU.
 
 The host MTKNPT driver (md/nose_hoover.py, the canonical-ensemble
 counterpart of the reference's ase.md.npt.NPT usage in
@@ -56,16 +57,24 @@ def _min_perp_width(cell):
 
 def _sgpr_forces_virial(pos, cell, cfg, model, radii, znum, vscale_atom,
                         params, exponent, pair_terms, chem_z, mixL, kind,
-                        check_beta):
-    """(energy, forces, dE/deps, beta_max) with eps an isotropic strain of
-    positions and cell together: dE/deps = 3 * volume * trace(stress)/3,
-    i.e. the potential-pressure numerator, from ONE backward pass shared
-    with the forces."""
+                        check_beta, aniso=False):
+    """(energy, forces, dE/deps, beta_max) with eps a strain of positions
+    and cell together, from ONE backward pass shared with the forces.
+
+    ``aniso=False``: eps is an isotropic scalar, dE/deps = vol*tr(stress)
+    (the potential-pressure numerator).  ``aniso=True``: eps is a full
+    3x3 strain (rows transform as x -> x @ (I+eps)^T), dE/deps symmetrized
+    = vol * stress tensor — the flexible-cell MTK barostat's input,
+    still no separate virial pass."""
 
     def energy(p, eps):
-        sc = 1.0 + eps
+        if aniso:
+            sc = jnp.eye(3, dtype=p.dtype) + eps
+            p_s, cell_s = p @ sc.T, cell @ sc.T
+        else:
+            p_s, cell_s = p * (1.0 + eps), cell * (1.0 + eps)
         cov, lone, alpha = _total_cov(
-            p * sc, cell * sc, cfg, model.X_desc, model.X_num, model.X_lone,
+            p_s, cell_s, cfg, model.X_desc, model.X_num, model.X_lone,
             radii, znum, params, exponent, pair_terms,
             model.pair_d, model.pair_mask, chem_z=chem_z, mixL=mixL,
             kind=kind, use_rev=True,
@@ -73,10 +82,12 @@ def _sgpr_forces_virial(pos, cell, cfg, model, radii, znum, vscale_atom,
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
         return precise_sum(cov @ model.mu), (cov, alpha)
 
-    zero = jnp.zeros((), dtype=pos.dtype)
+    zero = jnp.zeros((3, 3) if aniso else (), dtype=pos.dtype)
     (e, (cov, alpha)), (g, deps) = jax.value_and_grad(
         energy, argnums=(0, 1), has_aux=True
     )(pos, zero)
+    if aniso:
+        deps = 0.5 * (deps + deps.T)
     f = -g * cfg.atom_mask[:, None]
     if check_beta:
         beta = covloss_beta(model.choli, cov, vscale_atom, model.m_mask,
@@ -90,7 +101,7 @@ def _sgpr_forces_virial(pos, cell, cfg, model, radii, znum, vscale_atom,
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "kind", "rebuild"),
+                     "kind", "rebuild", "aniso"),
 )
 def md_chunk_npt(
     cfg: ConfigArrays,
@@ -113,10 +124,10 @@ def md_chunk_npt(
     nhc_dof,  # 3 * n_real
     nhc_vxi,
     nhc_xi,
-    bch_Q,  # (3,) cell-chain masses (dof = 1)
+    bch_Q,  # (3,) cell-chain masses (dof = 1 isotropic / ncell aniso)
     bch_vxi,
     bch_xi,
-    vg,  # scalar isotropic strain rate
+    vg,  # strain rate: scalar (isotropic) or (3, 3) symmetric (aniso)
     chem_z=None,
     mixL=None,
     params=None,
@@ -128,12 +139,18 @@ def md_chunk_npt(
     rebuild_cut=None,  # scalar rc + skin (traced; required when rebuild)
     sidx_atom=None,  # (N,) i32 species-table index per atom
     sidx_ok=None,  # (N,) bool: species known to the engine table
+    aniso=False,  # flexible-cell MTK (vg/mask are 3x3)
+    mask=None,  # (3, 3) strain-component mask (aniso; 1 = free)
+    bch_dof=None,  # scalar cell-chain dof (aniso: count_nonzero(mask))
 ):
-    """Up to ``nsteps`` isotropic MTK NPT steps on device; early exit on
-    skin breach or uncertainty trip.  The exact Trotter splitting of
-    md/nose_hoover.MTKNPT.step (isotropic=True), loops unrolled at trace
-    time.  Returns (pos, vel, cell, f, e, beta_max, ndone, nhc_vxi,
-    nhc_xi, bch_vxi, bch_xi, vg).
+    """Up to ``nsteps`` MTK NPT steps on device; early exit on skin
+    breach or uncertainty trip.  The exact Trotter splitting of
+    md/nose_hoover.MTKNPT.step — isotropic by default, full flexible-cell
+    MTK with ``aniso=True`` (vg is the 3x3 symmetric strain rate, cell
+    propagation via eigendecomposition expm, strain components gated by
+    ``mask``; the virial TENSOR still comes from the forces' backward
+    pass).  Loops unrolled at trace time.  Returns (pos, vel, cell, f,
+    e, beta_max, ndone, nhc_vxi, nhc_xi, bch_vxi, bch_xi, vg).
 
     With ``rebuild=True`` a skin breach rebuilds the neighbor table IN
     the loop from the current positions AND cell (the device MIC builder
@@ -156,6 +173,7 @@ def md_chunk_npt(
         return _sgpr_forces_virial(
             pos, cell, cfg_with(tbl), model, radii, znum, vscale_atom,
             params, exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            aniso=aniso,
         )
 
     if not rebuild:
@@ -194,45 +212,86 @@ def md_chunk_npt(
     def ke2(vel):
         return (masses * vel * vel * amask).sum()
 
+    # the particle and cell thermostat chains are independent within a
+    # half-step (the host driver just happens to run them sequentially):
+    # batch the two serial scalar chains into ONE vmapped _nhc_half so
+    # the chain latency is paid once, not twice (the NHC scalar math is
+    # the bulk of the NPT-over-NVT step cost — BASELINE.md round-3)
+    _nhc_pair = jax.vmap(_nhc_half, in_axes=(0, 0, 0, 0, None, 0, None))
+    Q2 = jnp.stack([nhc_Q, bch_Q])
+    dof2 = jnp.stack([nhc_dof, one if bch_dof is None else bch_dof])
+
+    def bke2(vg):
+        # barostat "kinetic" input: W * sum(vg^2); the isotropic scalar
+        # stands for diag(vg) so the sum is 3 vg^2 (host _vg_half)
+        return W * (vg * vg).sum() if aniso else W * 3.0 * vg * vg
+
+    def chains_half(vel, vg, vxi, xi, bvxi, bxi):
+        ke_pair = jnp.stack([ke2(vel), bke2(vg)])
+        s2, _, vxi2, xi2 = _nhc_pair(
+            ke_pair, jnp.stack([vxi, bvxi]), jnp.stack([xi, bxi]),
+            Q2, kT, dof2, dt
+        )
+        return (s2[0], s2[1], vxi2[0], xi2[0], vxi2[1], xi2[1])
+
+    eye = jnp.eye(3, dtype=dtype)
+
+    def expm_sym(A):
+        # exp of a symmetric 3x3 via eigendecomposition (host _expm_sym)
+        w, V = jnp.linalg.eigh(A)
+        return (V * jnp.exp(w)) @ V.T
+
     def vg_half(vel, vg, cell, deps):
-        # _vg_half (isotropic): p = tr(P)/3 with P = virial + mv^T v / vol
+        """Barostat velocity half-step (host MTKNPT._vg_half).  The
+        potential stress tensor is deps/vol (deps = vol * stress from the
+        shared backward); P = -stress + kinetic."""
         vol = jnp.abs(jnp.linalg.det(cell))
         KE2 = ke2(vel)
-        # potential pressure: tr(stress) = deps / vol -> p_pot = -deps/(3 vol)
+        if aniso:
+            P = (-deps + ((masses * vel) * amask).T @ (vel * amask)) / vol
+            G = (vol * (P - p_ext * eye) + KE2 / nhc_dof * eye) / W
+            G = 0.5 * (G + G.T) * mask
+            return (vg + 0.5 * dt * G) * mask
+        # isotropic: p = tr(P)/3, tr(deps) already contracted by the
+        # scalar-strain gradient
         p = (-deps + KE2) / (3.0 * vol)
         G = (3.0 * vol * (p - p_ext) + KE2 / nhc_dof * 3.0) / W
         return vg + 0.5 * dt * G / 3.0
 
     def step(pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg,
              tbl):
-        # thermostats (particles + cell) half-step
-        s, _, vxi, xi = _nhc_half(ke2(vel), vxi, xi, nhc_Q, kT, nhc_dof, dt)
+        # thermostats (particles + cell) half-step, batched chains
+        s, sb, vxi, xi, bvxi, bxi = chains_half(vel, vg, vxi, xi, bvxi, bxi)
         vel = vel * s
-        sb, _, bvxi, bxi = _nhc_half(
-            W * 3.0 * vg * vg, bvxi, bxi, bch_Q, kT, one, dt
-        )
         vg = vg * sb
         # barostat velocity half-step (uses current forces' virial)
         vg = vg_half(vel, vg, cell, deps)
-        # particle velocity half-step with box coupling
-        em = jnp.exp(-0.5 * dt * vg * (1.0 + 3.0 / nhc_dof))
-        vel = vel * em
-        vel = vel + 0.5 * dt * f / masses
-        # position + cell drift (full step)
-        E = jnp.exp(dt * vg)
-        E2 = jnp.exp(0.5 * dt * vg)
-        pos = pos * E + dt * vel * E2
-        cell = cell * E
+        if aniso:
+            # particle velocity half-step with box coupling
+            A = vg + (jnp.trace(vg) / nhc_dof) * eye
+            Em = expm_sym(-0.5 * dt * A)
+            vel = vel @ Em.T
+            vel = vel + 0.5 * dt * f / masses
+            # position + cell drift (full step)
+            E = expm_sym(dt * vg)
+            E2 = expm_sym(0.5 * dt * vg)
+            pos = pos @ E.T + dt * (vel @ E2.T)
+            cell = cell @ E.T
+        else:
+            em = jnp.exp(-0.5 * dt * vg * (1.0 + 3.0 / nhc_dof))
+            vel = vel * em
+            vel = vel + 0.5 * dt * f / masses
+            E = jnp.exp(dt * vg)
+            E2 = jnp.exp(0.5 * dt * vg)
+            pos = pos * E + dt * vel * E2
+            cell = cell * E
         # second half
         e, f, deps, beta_max = forces_fn(pos, cell, tbl)
         vel = vel + 0.5 * dt * f / masses
-        vel = vel * em
+        vel = vel @ Em.T if aniso else vel * em
         vg = vg_half(vel, vg, cell, deps)
-        sb, _, bvxi, bxi = _nhc_half(
-            W * 3.0 * vg * vg, bvxi, bxi, bch_Q, kT, one, dt
-        )
+        s, sb, vxi, xi, bvxi, bxi = chains_half(vel, vg, vxi, xi, bvxi, bxi)
         vg = vg * sb
-        s, _, vxi, xi = _nhc_half(ke2(vel), vxi, xi, nhc_Q, kT, nhc_dof, dt)
         vel = vel * s
         return pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg
 
@@ -280,8 +339,9 @@ def md_chunk_npt(
 
 
 class DeviceNPT:
-    """Chunked on-device isotropic MTK NPT around an (inference or
-    active) calculator — the NPT sibling of :class:`DeviceMD`.
+    """Chunked on-device MTK NPT (isotropic or flexible-cell) around an
+    (inference or active) calculator — the NPT sibling of
+    :class:`DeviceMD`.
 
     Single-model, single-chip (no committee/mesh/replica variants; the
     host MTKNPT driver covers those).  Skin breaches under the moving
@@ -290,14 +350,18 @@ class DeviceNPT:
     happens on uncertainty trips (sampling at the exact step, reference
     semantics), bucket overflows, and MIC violations.
 
-    Args mirror md/nose_hoover.MTKNPT with isotropic=True: pressure_GPa,
-    tdamp/pdamp time constants, optional bulk_modulus_GPa for an
-    ASE-NPT-style cell inertia.
+    Args mirror md/nose_hoover.MTKNPT: pressure_GPa, tdamp/pdamp time
+    constants, optional bulk_modulus_GPa for an ASE-NPT-style cell
+    inertia; ``isotropic=True`` (default) couples only the mean
+    pressure, ``isotropic=False`` runs the full flexible-cell MTK
+    barostat (cell shape moves; ``mask`` gates strain components like
+    the reference's ase NPT mask, theforce/cl/md.py:82-107).
     """
 
     def __init__(self, system, calc, dt, temperature_K, pressure_GPa=0.0,
                  tdamp=None, pdamp=None, bulk_modulus_GPa=None, chunk=50,
-                 check_beta=None, tchain=3, in_loop_rebuild=True):
+                 check_beta=None, tchain=3, in_loop_rebuild=True,
+                 isotropic=True, mask=None):
         check_plain_surface(calc, "DeviceNPT")
         if getattr(calc.engine, "mesh", None) is not None:
             raise NotImplementedError(
@@ -344,18 +408,27 @@ class DeviceNPT:
         # gate below only needs the ENTRY cell — the in-loop width check
         # covers barostat shrinkage
         self.in_loop_rebuild = bool(in_loop_rebuild)
+        self.isotropic = bool(isotropic)
+        from .nose_hoover import _as_mask
+
+        self.mask = _as_mask(mask)
+        self.ncell = (
+            1.0 if self.isotropic else float(np.count_nonzero(self.mask))
+        )
         self.nsteps = 0
         # chain state (host copies; chained on device between chunks)
         self.nhc_vxi = np.zeros(3)
         self.nhc_xi = np.zeros(3)
         self.bch_vxi = np.zeros(3)
         self.bch_xi = np.zeros(3)
-        self.vg = 0.0
+        self.vg = 0.0 if self.isotropic else np.zeros((3, 3))
 
     def _chain_masses(self):
         Q = np.full(3, self.kT * self.tdamp**2)
         Q[0] *= self.dof
-        Qb = np.full(3, self.kT * self.pdamp**2)  # cell chain: dof = 1
+        # cell chain: dof = 1 (isotropic) / count_nonzero(mask) (aniso)
+        Qb = np.full(3, self.kT * self.pdamp**2)
+        Qb[0] *= self.ncell
         return Q, Qb
 
     def run(self, steps):
@@ -434,6 +507,10 @@ class DeviceNPT:
                     Q=jnp.asarray(Q, dtype=dtype),
                     Qb=jnp.asarray(Qb, dtype=dtype),
                     dof=jnp.asarray(self.dof, dtype=dtype),
+                    mask=(None if self.isotropic
+                          else jnp.asarray(self.mask, dtype=dtype)),
+                    bch_dof=(None if self.isotropic
+                             else jnp.asarray(self.ncell, dtype=dtype)),
                 )
             else:
                 chain["cfg"] = chain["cfg"]._replace(positions=pos_dev)
@@ -472,6 +549,9 @@ class DeviceNPT:
                 pair_terms=eng.pair_terms,
                 check_beta=self.check_beta,
                 kind=eng.kernel_kind,
+                aniso=not self.isotropic,
+                mask=chain["mask"],
+                bch_dof=chain["bch_dof"],
                 **inloop_kw,
             )
             if chain["inloop"]:
@@ -491,7 +571,7 @@ class DeviceNPT:
             self.nhc_xi = np.asarray(xi)
             self.bch_vxi = np.asarray(bvxi)
             self.bch_xi = np.asarray(bxi)
-            self.vg = float(vg)
+            self.vg = float(vg) if self.isotropic else np.asarray(vg)
             ndone = int(i)
             pos_dev, vel_dev, cell_dev = pos, vel, cell
             need_host = (
@@ -519,20 +599,30 @@ class DeviceNPT:
                     drv = MTKNPT(
                         system, self.dt, temperature_K=self.kT / units.kB,
                         pressure_GPa=self.p_ext / units.GPa,
-                        tdamp=self.tdamp, pdamp=self.pdamp, isotropic=True,
+                        tdamp=self.tdamp, pdamp=self.pdamp,
+                        isotropic=self.isotropic,
+                        mask=None if self.isotropic else self.mask,
                     )
                     drv.W = self.W
                     drv.chain.vxi = self.nhc_vxi.copy()
                     drv.chain.xi = self.nhc_xi.copy()
                     drv.bchain.vxi = self.bch_vxi.copy()
                     drv.bchain.xi = self.bch_xi.copy()
-                    drv.vg = self.vg * np.eye(3)
+                    drv.vg = (
+                        self.vg * np.eye(3)
+                        if self.isotropic
+                        else np.asarray(self.vg).copy()
+                    )
                     drv.step()
                     self.nhc_vxi = drv.chain.vxi.copy()
                     self.nhc_xi = drv.chain.xi.copy()
                     self.bch_vxi = drv.bchain.vxi.copy()
                     self.bch_xi = drv.bchain.xi.copy()
-                    self.vg = float(np.trace(drv.vg) / 3.0)
+                    self.vg = (
+                        float(np.trace(drv.vg) / 3.0)
+                        if self.isotropic
+                        else drv.vg.copy()
+                    )
                     ndone = 1
                     self._stall = 0
             else:

@@ -86,6 +86,46 @@ def test_device_npt_chunked_matches_one_shot(trained):
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-11)
 
 
+def test_device_npt_aniso_matches_host_mtk(trained):
+    """Flexible-cell (isotropic=False) device NPT == host MTKNPT: the
+    3x3 strain-rate propagation (expm via eigh), the mask gating, and
+    the virial TENSOR from the shared backward pass all agree."""
+    calc, s0 = trained
+    v0 = s0.get_velocities()
+    for mask in (None, (1, 1, 0)):
+        kw = dict(temperature_K=300, pressure_GPa=0.3, tdamp=50 * units.fs,
+                  pdamp=200 * units.fs, mask=mask)
+
+        host = s0.copy()
+        host.set_velocities(v0)
+        host.calc = calc
+        drv = MTKNPT(host, 2 * units.fs, isotropic=False, **kw)
+        drv.run(10)
+
+        dev = s0.copy()
+        dev.set_velocities(v0)
+        dev.calc = calc
+        dyn = DeviceNPT(dev, calc, 2 * units.fs, chunk=4, check_beta=False,
+                        isotropic=False, **kw)
+        dyn.run(10)
+        assert dyn.nsteps == 10
+        np.testing.assert_allclose(dev.positions, host.positions, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(dev.cell),
+                                   np.asarray(host.cell), atol=1e-10)
+        np.testing.assert_allclose(dev.get_velocities(),
+                                   host.get_velocities(), atol=1e-8)
+        np.testing.assert_allclose(dyn.vg, drv.vg, atol=1e-12)
+        np.testing.assert_allclose(dyn.bch_vxi, drv.bchain.vxi, atol=1e-10)
+    # unmasked: the rattled crystal's shear stress must tilt the cell
+    # (off-diagonal strain — the flexible-cell physics is exercised)
+    cell = np.asarray(dev.cell)  # last iteration ran mask=(1,1,0)
+    c0 = np.asarray(s0.cell)
+    assert np.abs(cell - c0)[:2, :2].max() > 1e-8
+    # masked axis frozen: row/col 2 strain gated out
+    np.testing.assert_allclose(cell[2], c0[2], atol=1e-12)
+    np.testing.assert_allclose(cell[:, 2], c0[:, 2], atol=1e-12)
+
+
 def test_device_npt_inloop_rebuild_equivalence(tmp_path, monkeypatch):
     """Skin breaches handled INSIDE the NPT chunk (device MIC build from
     the current positions AND cell) give the same trajectory as the host
