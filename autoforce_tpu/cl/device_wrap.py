@@ -46,9 +46,10 @@ def run_device_md(atoms, calc, dt, temperature_K, friction, picos,
 
 def run_device_npt(atoms, calc, dt, temperature_K, stress_GPa, picos,
                    write_frame, loginterval, tdamp=25, pdamp=100,
-                   bulk_modulus=None):
-    """cl.md dynamics='DEVICE' with bulk_modulus: on-chip isotropic MTK
-    NPT (md/device_npt.py)."""
+                   bulk_modulus=None, mask=None, iso=False):
+    """cl.md dynamics='DEVICE' with bulk_modulus: on-chip MTK NPT
+    (md/device_npt.py) — flexible-cell by default with the reference's
+    mask semantics, isotropic with ``iso`` (cl/md.py host-path args)."""
     from ..md.device_npt import DeviceNPT
 
     steps = int(picos * 1000 / dt) if picos > 0 else int(-picos)
@@ -56,7 +57,7 @@ def run_device_npt(atoms, calc, dt, temperature_K, stress_GPa, picos,
         atoms, calc, dt * units.fs, temperature_K=temperature_K,
         pressure_GPa=stress_GPa, tdamp=tdamp * units.fs,
         pdamp=pdamp * units.fs, bulk_modulus_GPa=bulk_modulus,
-        chunk=max(loginterval, 25),
+        chunk=max(loginterval, 25), isotropic=bool(iso), mask=mask,
     )
     done = 0
     while done < steps:

@@ -145,7 +145,7 @@ def md(
 
             run_device_npt(atoms, calc, dt, T, stress, picos, write_frame,
                            loginterval, tdamp=tdamp, pdamp=pdamp,
-                           bulk_modulus=bulk_modulus)
+                           bulk_modulus=bulk_modulus, mask=mask, iso=iso)
             continue
         elif kind == "DEVICE":
             from .device_wrap import run_device_md
