@@ -26,8 +26,17 @@ def relax(
     atoms.calc = calc
     if rattle:
         atoms.rattle(rattle)
-    # 'BFGS' (the reference default name) maps to LBFGS here
-    algo_cls = {"LBFGS": LBFGS, "BFGS": LBFGS, "FIRE": FIRE}[algo.upper()]
+    # 'BFGS' (the reference default name) maps to LBFGS here; 'DEVICE'
+    # runs the whole FIRE loop on-chip (opt/device_fire.py) —
+    # positions-only, so it pairs with cell=False
+    algo = algo.upper()
+    if algo == "DEVICE" and cell:
+        raise ValueError(
+            "algo='DEVICE' relaxes positions only; variable-cell "
+            "relaxations use the host optimizers (cell=True + LBFGS/FIRE)"
+        )
+    algo_cls = {"LBFGS": LBFGS, "BFGS": LBFGS, "FIRE": FIRE,
+                "DEVICE": None}[algo]
 
     from ..io.xyz import write_xyz
     from ..system import SinglePointCalculator
@@ -41,10 +50,17 @@ def relax(
         frames["mode"] = "a"
 
     for _ in range(20):
-        target = UnitCellFilter(atoms) if cell else atoms
-        opt = algo_cls(target)
-        opt.attach(write_frame)
-        opt.run(fmax=fmax, steps=500)
+        if algo == "DEVICE":
+            from ..opt.device_fire import DeviceFIRE
+
+            opt = DeviceFIRE(atoms, calc)
+            opt.run(fmax=fmax, steps=500)
+            write_frame()
+        else:
+            target = UnitCellFilter(atoms) if cell else atoms
+            opt = algo_cls(target)
+            opt.attach(write_frame)
+            opt.run(fmax=fmax, steps=500)
         if not (calc.active and confirm):
             break
         # force an exact single-point; if the model updates, re-relax

@@ -98,6 +98,32 @@ def test_relax_cli(in_tmp):
     assert os.path.isfile("relax.extxyz")
 
 
+def test_relax_cli_device(in_tmp):
+    """algo='DEVICE': the FIRE loop runs on-chip (opt/device_fire.py)."""
+    import pytest
+
+    import autoforce_tpu.cl as cline
+
+    write_ARGS(
+        in_tmp,
+        calculator="LJ",
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl=None, tape=None, logfile=None,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.relax import relax
+
+    atoms = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    atoms.rattle(0.05, seed=2)
+    relax(atoms, fmax=0.3, confirm=False, algo="DEVICE",
+          trajectory="relaxdev.extxyz")
+    assert os.path.isfile("relaxdev.extxyz")
+    f = atoms.get_forces()
+    assert np.sqrt((f * f).sum(axis=1).max()) < 0.3
+    with pytest.raises(ValueError):
+        relax(atoms, algo="DEVICE", cell=True)
+
+
 def test_train_and_scores(in_tmp):
     import autoforce_tpu.cl as cline
     from autoforce_tpu.calculator.oracles import LennardJones

@@ -1,0 +1,131 @@
+"""Device-resident FIRE relaxation: exact agreement with the host
+opt/fire.FIRE optimizer (same schedule, convergence checked before the
+step), plus active-learning trips mid-relaxation."""
+
+import numpy as np
+import pytest
+
+from autoforce_tpu.calculator.active import ActiveCalculator
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.opt import FIRE
+from autoforce_tpu.opt.device_fire import DeviceFIRE
+from autoforce_tpu.regression.sgpr import DataRecord, SgprModel
+from autoforce_tpu.system import bulk_fcc
+
+
+def _frozen_calc(skin=0.3):
+    """Deterministic model (no on-the-fly sampling): the NVT test-suite
+    recipe (tests/test_neighbors_device.py)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_engine import env_from_system, make_engine
+
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    eng = make_engine()
+    model = SgprModel(eng)
+    for seed in range(3):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=seed)
+        model.add_inducing(env_from_system(eng, s, seed % 4), remake=False)
+    for seed in (7, 8):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=seed)
+        s.calc = lj
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu(optimize=True, noise_f=0.01)
+    return ActiveCalculator(covariance=model, calculator=None, logfile=None,
+                            pckl=None, tape=None, skin=skin)
+
+
+def test_device_fire_matches_host(tmp_path, monkeypatch):
+    """Short-horizon EXACT tracking (the step math is the host FIRE's,
+    bit for bit while no branch sits on an fp knife edge), then full
+    relaxations land in the same minimum.  Whole-trajectory step-count
+    equality is deliberately NOT asserted: FIRE's vf>0 branch is binary,
+    and the host predict path vs the chunk's fused forces differ at the
+    ~1e-15 reduce-order level, which forks the schedule when vf crosses
+    zero — both forks descend to the same minimum."""
+    monkeypatch.chdir(str(tmp_path))
+    calc = _frozen_calc(skin=0.8)
+    s0 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s0.rattle(0.12, seed=5)
+
+    # 1) exact 12-step tracking
+    host = s0.copy()
+    host.calc = calc
+    opt = FIRE(host, dt=0.05)
+    for _ in range(12):
+        opt.step(host.get_forces())
+        opt.nsteps += 1
+    dev = s0.copy()
+    dev.calc = calc
+    dopt = DeviceFIRE(dev, calc, dt=0.05, chunk=5, check_beta=False)
+    dopt.run(fmax=1e-9, steps=12)
+    assert dopt.nsteps == 12
+    np.testing.assert_allclose(dev.positions, host.positions, atol=1e-10)
+    np.testing.assert_allclose(dopt.dt_cur, opt.dt, rtol=1e-12)
+    np.testing.assert_allclose(dopt.a, opt.a, rtol=1e-12)
+    assert int(dopt.n_uphill) == opt.n_uphill
+
+    # 2) full relaxations reach the same minimum
+    conv_host = opt.run(fmax=0.02, steps=150)
+    conv_dev = dopt.run(fmax=0.02, steps=150)
+    assert conv_host and conv_dev
+    f = dev.get_forces()  # host-evaluated forces at the device minimum
+    assert np.sqrt((f * f).sum(axis=1).max()) < 0.02
+    np.testing.assert_allclose(dev.positions, host.positions, atol=0.05)
+    # the relaxation actually moved the structure
+    assert np.abs(dev.positions - s0.positions).max() > 1e-3
+
+
+def test_device_fire_chunked_matches_one_shot(tmp_path, monkeypatch):
+    """Chunk boundaries (state chaining) do not perturb the path."""
+    monkeypatch.chdir(str(tmp_path))
+    calc = _frozen_calc()
+    results = []
+    for chunk in (64, 7):
+        s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        s.rattle(0.12, seed=5)
+        s.calc = calc
+        dopt = DeviceFIRE(s, calc, dt=0.05, chunk=chunk, check_beta=False)
+        dopt.run(fmax=0.02, steps=64)
+        results.append((s.positions.copy(), dopt.nsteps))
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-9)
+    assert results[0][1] == results[1][1]
+
+
+def test_device_fire_active_learning(tmp_path, monkeypatch):
+    """On-the-fly learning during a device relaxation: uncertainty trips
+    hand the exact geometry to the host sampler, the model grows, and
+    the relaxation converges on the refined surface."""
+    monkeypatch.chdir(str(tmp_path))
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=4.5)
+    calc = ActiveCalculator(
+        covariance=None, calculator=lj, logfile="active.log", pckl=None,
+        tape=None, kernel_kw=dict(cutoff=4.5, lmax=2, nmax=2),
+        ediff=0.05, fdiff=0.1, seed=0,
+    )
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s.rattle(0.1, seed=3)
+    s.calc = calc
+    dopt = DeviceFIRE(s, calc, dt=0.05, chunk=20)
+    dopt.run(fmax=0.05, steps=150)
+    assert calc.model.m > 0  # sampling happened
+    assert np.isfinite(s.positions).all()
+    f = s.get_forces()
+    assert np.sqrt((f * f).sum(axis=1).max()) < 0.2  # relaxed on the model
+
+
+def test_device_fire_refuses_meta_and_committee(tmp_path, monkeypatch):
+    monkeypatch.chdir(str(tmp_path))
+    calc = _frozen_calc()
+    s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    from autoforce_tpu.calculator.meta import Meta
+
+    calc.meta = Meta.__new__(Meta)
+    try:
+        with pytest.raises(NotImplementedError):
+            DeviceFIRE(s, calc, dt=0.05)
+    finally:
+        calc.meta = None
