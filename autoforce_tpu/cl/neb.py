@@ -16,8 +16,11 @@ def neb(
     spring=0.1,
     trajectory="neb.extxyz",
     relax_ends=True,
+    device=False,
 ):
-    """images: list of Systems (2 endpoints -> interpolated, or full band)."""
+    """images: list of Systems (2 endpoints -> interpolated, or full band).
+    ``device=True`` relaxes the whole band on-chip (opt/device_neb.py,
+    one replica-batched program per FIRE iteration, ~8x)."""
     calc = cline.gen_active_calc()
     if len(images) == 2:
         if relax_ends:
@@ -29,9 +32,17 @@ def neb(
         images = interpolate_images(images[0], images[-1], nimages)
     for im in images:
         im.calc = calc
-    band = NEB(images, k=spring, climb=climb)
-    opt = FIRE(band, dt=0.05, maxstep=0.1)
-    opt.run(fmax=fmax, steps=500)
+    if device:
+        from ..opt.device_neb import DeviceNEB
+
+        band = DeviceNEB(images, calc, k=spring, climb=climb, dt=0.05,
+                         maxstep=0.1)
+        band.run(fmax=fmax, steps=500)
+        band.images = images  # NEB-protocol attribute for callers
+    else:
+        band = NEB(images, k=spring, climb=climb)
+        opt = FIRE(band, dt=0.05, maxstep=0.1)
+        opt.run(fmax=fmax, steps=500)
 
     from ..io.xyz import write_xyz
     from ..system import SinglePointCalculator

@@ -280,6 +280,35 @@ def test_md_device_npt_dynamics(in_tmp):
     assert np.isfinite(atoms.positions).all()
     assert np.abs(np.asarray(atoms.cell) - cell0).max() > 1e-8  # cell moved
 
+def test_neb_cli(in_tmp):
+    """cl.neb: host band and the on-chip band (device=True) both produce
+    a finite barrier and the band trajectory file."""
+    import autoforce_tpu.cl as cline
+
+    write_ARGS(
+        in_tmp,
+        calculator="LJ",
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        pckl=None, tape=None, logfile=None,
+        ediff=0.05, fdiff=0.1,
+    )
+    cline.refresh()
+    from autoforce_tpu.cl.neb import neb
+
+    def endpoints():
+        a = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        a.rattle(0.04, seed=1)
+        b = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        b.rattle(0.04, seed=2)
+        return [a, b]
+
+    for device, traj in ((False, "nebh.extxyz"), (True, "nebd.extxyz")):
+        band = neb(endpoints(), nimages=5, fmax=0.3, relax_ends=False,
+                   device=device, trajectory=traj)
+        assert os.path.isfile(traj)
+        assert np.isfinite(band.barrier())
+
+
 def test_init_model_and_singlepoint(in_tmp):
     import autoforce_tpu.cl as cline
 
