@@ -488,6 +488,53 @@ def main():
     except Exception as err:
         reps = {"error": repr(err)}
 
+    # device-resident NPT (isotropic MTK barostat + virial from the
+    # forces' backward pass) and FIRE relaxation: short steady-state
+    # windows — these document the capability's throughput class
+    npt = None
+    try:
+        from autoforce_tpu import units
+        from autoforce_tpu.calculator.active import ActiveCalculator
+        from autoforce_tpu.md.device_npt import DeviceNPT
+        from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+        calc = ActiveCalculator(covariance=model, calculator=None,
+                                logfile=None, pckl=None, tape=None,
+                                skin=SKIN)
+        s_npt = make_system(NATOMS_REPS)
+        s_npt.calc = calc
+        maxwell_boltzmann_velocities(s_npt, 300, seed=3)
+        dyn = DeviceNPT(s_npt, calc, 2 * units.fs, temperature_K=300,
+                        pressure_GPa=0.0, tdamp=50 * units.fs,
+                        pdamp=500 * units.fs, chunk=100, check_beta=False)
+        dyn.run(150)
+        t0 = time.time()
+        dyn.run(300)
+        v_npt = 300.0 / (time.time() - t0)
+        npt = {"steps_per_sec": round(v_npt, 1),
+               "ms_per_step": round(1000.0 / v_npt, 3)}
+    except Exception as err:
+        npt = {"error": repr(err)}
+
+    fire = None
+    try:
+        from autoforce_tpu.calculator.active import ActiveCalculator
+        from autoforce_tpu.opt.device_fire import DeviceFIRE
+
+        calc = ActiveCalculator(covariance=model, calculator=None,
+                                logfile=None, pckl=None, tape=None,
+                                skin=SKIN)
+        s_f = make_system(NATOMS_REPS)
+        s_f.calc = calc
+        dopt = DeviceFIRE(s_f, calc, dt=0.05, chunk=150, check_beta=False)
+        dopt.run(fmax=1e-12, steps=150)
+        t0 = time.time()
+        dopt.run(fmax=1e-12, steps=300)
+        v_f = 300.0 / (time.time() - t0)
+        fire = {"iters_per_sec": round(v_f, 1)}
+    except Exception as err:
+        fire = {"error": repr(err)}
+
     # on-chip accuracy gate (fails loudly; see accuracy_gate docstring)
     acc = None
     try:
@@ -520,6 +567,8 @@ def main():
         "scale_100k": scale100,
         "multispecies_1k": ms,
         "replicas_1k": reps,
+        "npt_1k": npt,
+        "relax_fire_1k": fire,
         "accuracy": acc,
     }
     print(json.dumps(out))
