@@ -84,7 +84,11 @@ def md(
     """
     calc = cline.gen_active_calc()
     atoms.calc = calc
-    if dynamics.upper() == "NPT":
+    if dynamics.upper() == "NPT" or (
+        dynamics.upper() == "DEVICE" and bulk_modulus is not None
+    ):
+        # the device NPT route needs a usable cell too (vacuum box for
+        # isolated inputs; volume 0 would zero the barostat inertia)
         configure_cell(atoms)
     if calc.active:
         manual_steps(atoms, calc, eps_pos, eps_cell, npt=bool(bulk_modulus))
@@ -139,8 +143,8 @@ def md(
             )
         elif kind == "DEVICE" and bulk_modulus is not None:
             # the reference's pfactor gate applied to the device path:
-            # bulk_modulus present -> the cell moves (isotropic MTK NPT,
-            # fully on-chip)
+            # bulk_modulus present -> the cell moves (MTK NPT fully
+            # on-chip; flexible-cell by default, iso/mask as host)
             from .device_wrap import run_device_npt
 
             run_device_npt(atoms, calc, dt, T, stress, picos, write_frame,

@@ -38,7 +38,6 @@ def neb(
         band = DeviceNEB(images, calc, k=spring, climb=climb, dt=0.05,
                          maxstep=0.1)
         band.run(fmax=fmax, steps=500)
-        band.images = images  # NEB-protocol attribute for callers
     else:
         band = NEB(images, k=spring, climb=climb)
         opt = FIRE(band, dt=0.05, maxstep=0.1)

@@ -16,11 +16,14 @@ scalar math, not the forces) and 2.3x over the host-rebuild NPT path
 (the breathing cell trips the Verlet skin often, so in-loop rebuilds
 matter more here than in NVT — BASELINE.md round-3).
 
-Early exit: Verlet-skin breach (affine cell motion counts as atomic
-displacement, so the fixed neighbor table stays a valid superset until
-the bound trips — the same guarantee as NVT), or an uncertainty trip
-(active learning).  Between chunks only scalars cross the tunnel; the
-positions/velocities/cell chain on-device exactly like md/device_md.py.
+Early exit: Verlet-skin breach — the validity metric under a MOVING
+cell is 2*max|dpos| + max_pairs|off @ (cell - tbl_cell)| < skin, i.e.
+the periodic-image drift consumes skin budget alongside atomic
+displacement (shear or straining a box the atoms do not fill moves
+images without moving atoms; the host VerletNeighborCache has the same
+guard) — or an uncertainty trip (active learning).  Between chunks only
+scalars cross the tunnel; the positions/velocities/cell chain on-device
+exactly like md/device_md.py.
 
 Deterministic (no Langevin noise): device trajectories are
 equality-tested against the host MTKNPT driver.
@@ -142,6 +145,8 @@ def md_chunk_npt(
     aniso=False,  # flexible-cell MTK (vg/mask are 3x3)
     mask=None,  # (3, 3) strain-component mask (aniso; 1 = free)
     bch_dof=None,  # scalar cell-chain dof (aniso: count_nonzero(mask))
+    tbl_cell=None,  # (3, 3) cell the incoming table was built with
+    offmax=None,  # scalar max Sum|off| of the incoming table
 ):
     """Up to ``nsteps`` MTK NPT steps on device; early exit on skin
     breach or uncertainty trip.  The exact Trotter splitting of
@@ -179,10 +184,28 @@ def md_chunk_npt(
     if not rebuild:
         tbl0 = ()
 
-    def breach(pos, p0):
-        return ((pos - p0) ** 2 * amask).sum(-1).max() >= skin_half**2
+    def offsum_max(off, msk):
+        s = jnp.abs(off.astype(jnp.int32)).sum(-1)
+        return jnp.where(msk, s, 0).max().astype(dtype)
 
-    def maybe_rebuild(pos, cell, tbl, p0, e, f, deps, beta_max):
+    if tbl_cell is None:
+        tbl_cell = cfg.cell  # host build: cfg.cell IS the table cell
+    if offmax is None:
+        offmax = offsum_max(cfg.nbr_off, cfg.nbr_mask)
+
+    def breach(pos, p0, cell, tcell, omax):
+        """Verlet validity under a MOVING cell: a pair's relative motion
+        is bounded by 2*max|dpos| + |off @ (cell - tbl_cell)|; the image
+        term is NOT covered by atomic displacements (shear, or strain of
+        a box the atoms do not fill), so it consumes skin budget too —
+        the device counterpart of VerletNeighborCache's cell guard."""
+        disp = jnp.sqrt(((pos - p0) ** 2 * amask).sum(-1).max())
+        d = cell - tcell
+        drift = omax * jnp.sqrt((d * d).sum(-1)).max()
+        return disp + 0.5 * drift >= skin_half
+
+    def maybe_rebuild(pos, cell, tbl, p0, tcell, omax, e, f, deps,
+                      beta_max):
         """Rebuild + recompute forces iff the skin is breached; on a
         failed rebuild (bucket overflow / MIC violation for the current
         cell) keep the last good table and drop ok — the host takes
@@ -190,23 +213,27 @@ def md_chunk_npt(
         threaded through."""
 
         def do_rebuild(args):
-            pos, cell, tbl, p0, e, f, deps, beta_max = args
+            pos, cell, tbl, p0, tcell, omax, e, f, deps, beta_max = args
             new_tbl, rok = rebuild_fn(pos, cell)
             rok = rok & (_min_perp_width(cell) >= 2.0 * rebuild_cut)
             tbl2 = jax.tree.map(
                 lambda n, o: jnp.where(rok, n, o), new_tbl, tbl
             )
             p0_2 = jnp.where(rok, pos, p0)
+            tcell2 = jnp.where(rok, cell, tcell)
+            # new_tbl = (idx, off, sidx, mask[, rev])
+            omax2 = jnp.where(rok, offsum_max(new_tbl[1], new_tbl[3]), omax)
             e2, f2, d2, b2 = forces_fn(pos, cell, tbl2)
-            return tbl2, p0_2, rok, e2, f2, d2, b2
+            return tbl2, p0_2, tcell2, omax2, rok, e2, f2, d2, b2
 
         def no_rebuild(args):
-            pos, cell, tbl, p0, e, f, deps, beta_max = args
-            return tbl, p0, jnp.ones((), bool), e, f, deps, beta_max
+            pos, cell, tbl, p0, tcell, omax, e, f, deps, beta_max = args
+            return (tbl, p0, tcell, omax, jnp.ones((), bool), e, f, deps,
+                    beta_max)
 
         return jax.lax.cond(
-            breach(pos, p0), do_rebuild, no_rebuild,
-            (pos, cell, tbl, p0, e, f, deps, beta_max),
+            breach(pos, p0, cell, tcell, omax), do_rebuild, no_rebuild,
+            (pos, cell, tbl, p0, tcell, omax, e, f, deps, beta_max),
         )
 
     def ke2(vel):
@@ -297,16 +324,17 @@ def md_chunk_npt(
 
     e0, f0, deps0, b0 = forces_fn(cfg.positions, cell0, tbl0)
     if rebuild:
-        tbl0, p00, ok0, e0, f0, deps0, b0 = maybe_rebuild(
-            cfg.positions, cell0, tbl0, pos0, e0, f0, deps0, b0
+        (tbl0, p00, tcell0, omax0, ok0, e0, f0, deps0, b0) = maybe_rebuild(
+            cfg.positions, cell0, tbl0, pos0, tbl_cell, offmax,
+            e0, f0, deps0, b0
         )
     else:
-        p00 = pos0
-        ok0 = ~breach(cfg.positions, pos0)
+        p00, tcell0, omax0 = pos0, tbl_cell, offmax
+        ok0 = ~breach(cfg.positions, pos0, cell0, tbl_cell, offmax)
 
     def cond(state):
         (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg,
-         i, tbl, p0, ok) = state
+         i, tbl, p0, tcell, omax, ok) = state
         go = (i < nsteps) & ok
         if check_beta:
             go = go & (beta_max < beta_thresh)
@@ -314,27 +342,28 @@ def md_chunk_npt(
 
     def body(state):
         (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg,
-         i, tbl, p0, ok) = state
+         i, tbl, p0, tcell, omax, ok) = state
         (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi,
          vg) = step(pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi,
                     bxi, vg, tbl)
         if rebuild:
-            tbl, p0, ok, e, f, deps, beta_max = maybe_rebuild(
-                pos, cell, tbl, p0, e, f, deps, beta_max
+            (tbl, p0, tcell, omax, ok, e, f, deps, beta_max) = (
+                maybe_rebuild(pos, cell, tbl, p0, tcell, omax, e, f,
+                              deps, beta_max)
             )
         else:
-            ok = ~breach(pos, p0)
+            ok = ~breach(pos, p0, cell, tcell, omax)
         return (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi,
-                vg, i + 1, tbl, p0, ok)
+                vg, i + 1, tbl, p0, tcell, omax, ok)
 
     init = (cfg.positions, velocities, cell0, f0, e0, deps0, b0,
             nhc_vxi, nhc_xi, bch_vxi, bch_xi, vg,
-            jnp.zeros((), jnp.int32), tbl0, p00, ok0)
+            jnp.zeros((), jnp.int32), tbl0, p00, tcell0, omax0, ok0)
     (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg, i,
-     tbl, p0, ok) = jax.lax.while_loop(cond, body, init)
+     tbl, p0, tcell, omax, ok) = jax.lax.while_loop(cond, body, init)
     if rebuild:
         return (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi,
-                vg, tbl, p0)
+                vg, tbl, p0, tcell, omax)
     return pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi, vg
 
 
@@ -350,18 +379,17 @@ class DeviceNPT:
     happens on uncertainty trips (sampling at the exact step, reference
     semantics), bucket overflows, and MIC violations.
 
-    Args mirror md/nose_hoover.MTKNPT: pressure_GPa, tdamp/pdamp time
-    constants, optional bulk_modulus_GPa for an ASE-NPT-style cell
-    inertia; ``isotropic=True`` (default) couples only the mean
-    pressure, ``isotropic=False`` runs the full flexible-cell MTK
-    barostat (cell shape moves; ``mask`` gates strain components like
-    the reference's ase NPT mask, theforce/cl/md.py:82-107).
+    Args mirror md/nose_hoover.MTKNPT, including the default
+    ``isotropic=False`` (full flexible-cell MTK barostat: cell shape
+    moves; ``mask`` gates strain components like the reference's ase
+    NPT mask, theforce/cl/md.py:82-107); ``isotropic=True`` couples
+    only the mean pressure.
     """
 
     def __init__(self, system, calc, dt, temperature_K, pressure_GPa=0.0,
                  tdamp=None, pdamp=None, bulk_modulus_GPa=None, chunk=50,
                  check_beta=None, tchain=3, in_loop_rebuild=True,
-                 isotropic=True, mask=None):
+                 isotropic=False, mask=None):
         check_plain_surface(calc, "DeviceNPT")
         if getattr(calc.engine, "mesh", None) is not None:
             raise NotImplementedError(
@@ -457,9 +485,11 @@ class DeviceNPT:
                 model = calc.model
                 cfg = calc.cfg
                 dtype = cfg.positions.dtype
+                from .device_md import DeviceMD
+
                 ma = model.full_model_arrays()
                 vs = model.vscale_for(np.asarray(cfg.numbers))
-                vs = np.where(np.isfinite(vs), vs, 1e8)
+                vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
                 npad = cfg.positions.shape[0]
                 vel = np.zeros((npad, 3))
                 vel[: len(system)] = system.get_velocities()
@@ -488,6 +518,8 @@ class DeviceNPT:
                     sidx_atom=sidx_atom,
                     sidx_ok=sidx_ok,
                     cut=cut,
+                    tbl_cell=None,  # host build: derived from cfg.cell
+                    offmax=None,
                     cfg=cfg,
                     ma=ma,
                     radii=eng.radii_table(),
@@ -552,11 +584,13 @@ class DeviceNPT:
                 aniso=not self.isotropic,
                 mask=chain["mask"],
                 bch_dof=chain["bch_dof"],
+                tbl_cell=chain["tbl_cell"],
+                offmax=chain["offmax"],
                 **inloop_kw,
             )
             if chain["inloop"]:
                 (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi,
-                 vg, tbl, p0) = out
+                 vg, tbl, p0, tcell, omax) = out
                 c = chain["cfg"]
                 rv = tbl[4] if c.nbr_rev is not None else None
                 chain["cfg"] = c._replace(
@@ -564,6 +598,8 @@ class DeviceNPT:
                     nbr_mask=tbl[3], nbr_rev=rv,
                 )
                 chain["pos0"] = p0
+                chain["tbl_cell"] = tcell
+                chain["offmax"] = omax
             else:
                 (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi,
                  vg) = out

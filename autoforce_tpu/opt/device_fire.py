@@ -263,9 +263,11 @@ class DeviceFIRE:
                 model = calc.model
                 cfg = calc.cfg
                 dtype = cfg.positions.dtype
+                from ..md.device_md import DeviceMD
+
                 ma = model.full_model_arrays()
                 vs = model.vscale_for(np.asarray(cfg.numbers))
-                vs = np.where(np.isfinite(vs), vs, 1e8)
+                vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
                 npad = cfg.positions.shape[0]
                 pos0 = np.zeros((npad, 3))
                 pos0[: len(system)] = calc._nlcache._pos
@@ -357,25 +359,49 @@ class DeviceFIRE:
             need_host = (
                 self.check_beta and float(beta_max) >= chain["beta_thresh"]
             )
-            done += ndone
-            self.nsteps += ndone
             if converged:
+                done += ndone
+                self.nsteps += ndone
                 break
             if ndone < n and not need_host:
                 # unserviceable skin breach (bucket overflow without the
                 # in-loop rebuild's growth path): host rebuild next round
                 chain = None
-            if ndone == 0 and not need_host:
-                # no progress and nothing to sample: the host visit above
-                # (table rebuild) must unstick it; guard against a loop
+            if ndone == 0:
+                # no progress: a host visit (sampling or rebuild) should
+                # resolve it; if one already failed to — e.g. the device
+                # beta stays marginally above threshold while host
+                # sampling declines (the DeviceMD stall scenario) —
+                # force ONE host FIRE step to move the geometry
                 self._stall = getattr(self, "_stall", 0) + 1
-                if self._stall >= 3:
-                    raise RuntimeError(
-                        "DeviceFIRE made no progress for 3 consecutive "
-                        "chunks (fmax %.4f, target %.4f)" % (fmax_cur, fmax)
-                    )
+                if self._stall >= 2:
+                    from .fire import FIRE
+
+                    system.set_positions(np.asarray(pos_dev)[: len(system)])
+                    pos_dev = None
+                    chain = None
+                    system.calc = calc
+                    p = self.params
+                    opt = FIRE(system, dt=p["dt"], maxstep=p["maxstep"],
+                               dtmax=p["dtmax"], nmin=int(p["nmin"]),
+                               finc=p["finc"], fdec=p["fdec"],
+                               astart=p["astart"], fa=p["fa"])
+                    opt.dt = self.dt_cur
+                    opt.a = self.a
+                    opt.n_uphill = int(self.n_uphill)
+                    if self._v is not None:
+                        opt.v = self._v.copy()
+                    opt.step(system.get_forces())
+                    self.dt_cur = opt.dt
+                    self.a = opt.a
+                    self.n_uphill = float(opt.n_uphill)
+                    self._v = opt.v.copy()
+                    ndone = 1
+                    self._stall = 0
             else:
                 self._stall = 0
+            done += ndone
+            self.nsteps += ndone
         if pos_dev is not None:
             system.set_positions(np.asarray(pos_dev)[: len(system)])
         # refresh calc.results at the final geometry for callers that read

@@ -302,6 +302,7 @@ class DeviceNEB:
         calc = self.calc
         eng = calc.engine
         done = 0
+        first = True
         need_host = True
         chain = None
         pos_dev = v_dev = None
@@ -311,7 +312,13 @@ class DeviceNEB:
                 if pos_dev is not None:
                     self._sync_host(pos_dev)
                     pos_dev = None
-                self._host_eval()  # full calculator pass (maybe samples)
+                if first or need_host:
+                    # full calculator pass over every image (sampling can
+                    # trigger on any of them, host NEB _compute semantics)
+                    self._host_eval()
+                    first = False
+                # breach-only rebuilds skip it: _build_chain derives the
+                # fresh tables directly (no R force evaluations)
                 chain = self._build_chain()
                 v_dev = chain["v"]
             else:
@@ -353,22 +360,52 @@ class DeviceNEB:
             need_host = (
                 self.check_beta and float(beta_max) >= chain["beta_thresh"]
             )
-            done += ndone
-            self.nsteps += ndone
             if converged:
+                done += ndone
+                self.nsteps += ndone
                 break
             if ndone < n and not need_host:
                 chain = None  # skin breach on some image: rebuild tables
-            if ndone == 0 and not need_host:
+            if ndone == 0:
+                # no progress: if a host visit already failed to unstick
+                # the loop (sampling vetoed while a device beta stays
+                # above threshold), force ONE host band-FIRE step
                 self._stall = getattr(self, "_stall", 0) + 1
-                if self._stall >= 3:
-                    raise RuntimeError(
-                        "DeviceNEB made no progress for 3 consecutive "
-                        "chunks (fmax %.4f, target %.4f)"
-                        % (float(fm), fmax)
-                    )
+                if self._stall >= 2:
+                    from .fire import FIRE
+                    from .neb import NEB
+
+                    self._sync_host(pos_dev)
+                    pos_dev = None
+                    chain = None
+                    for im in self.images:
+                        im.calc = calc
+                    band = NEB(self.images, k=self.k, climb=self.climb)
+                    p = self.params
+                    opt = FIRE(band, dt=p["dt"], maxstep=p["maxstep"],
+                               dtmax=p["dtmax"], nmin=int(p["nmin"]),
+                               finc=p["finc"], fdec=p["fdec"],
+                               astart=p["astart"], fa=p["fa"])
+                    opt.dt = self.dt_cur
+                    opt.a = self.a
+                    opt.n_uphill = int(self.n_uphill)
+                    if self._v is not None:
+                        opt.v = np.concatenate(self._v[1:-1], axis=0)
+                    opt.step(band.get_forces())
+                    self.dt_cur = opt.dt
+                    self.a = opt.a
+                    self.n_uphill = float(opt.n_uphill)
+                    n0 = len(self.images[0])
+                    R = len(self.images)
+                    vv = np.zeros((R, n0, 3))
+                    vv[1:-1] = opt.v.reshape(R - 2, n0, 3)
+                    self._v = vv
+                    ndone = 1
+                    self._stall = 0
             else:
                 self._stall = 0
+            done += ndone
+            self.nsteps += ndone
         if pos_dev is not None:
             self._sync_host(pos_dev)
         self._host_eval()  # leave every image's results current

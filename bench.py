@@ -506,7 +506,8 @@ def main():
         maxwell_boltzmann_velocities(s_npt, 300, seed=3)
         dyn = DeviceNPT(s_npt, calc, 2 * units.fs, temperature_K=300,
                         pressure_GPa=0.0, tdamp=50 * units.fs,
-                        pdamp=500 * units.fs, chunk=100, check_beta=False)
+                        pdamp=500 * units.fs, chunk=100, check_beta=False,
+                        isotropic=True)
         dyn.run(150)
         t0 = time.time()
         dyn.run(300)

@@ -50,7 +50,7 @@ def test_device_npt_matches_host_mtk(trained):
     dev.set_velocities(v0)
     dev.calc = calc
     dyn = DeviceNPT(dev, calc, 2 * units.fs, chunk=10, check_beta=False,
-                    **kw)
+                    isotropic=True, **kw)
     dyn.run(10)
     assert dyn.nsteps == 10
     np.testing.assert_allclose(dev.positions, host.positions, atol=1e-8)
