@@ -27,14 +27,9 @@ def relax(
     if rattle:
         atoms.rattle(rattle)
     # 'BFGS' (the reference default name) maps to LBFGS here; 'DEVICE'
-    # runs the whole FIRE loop on-chip (opt/device_fire.py) —
-    # positions-only, so it pairs with cell=False
+    # runs the whole FIRE loop on-chip (opt/device_fire.py), including
+    # cell=True (the UnitCellFilter composition lives in the chunk)
     algo = algo.upper()
-    if algo == "DEVICE" and cell:
-        raise ValueError(
-            "algo='DEVICE' relaxes positions only; variable-cell "
-            "relaxations use the host optimizers (cell=True + LBFGS/FIRE)"
-        )
     algo_cls = {"LBFGS": LBFGS, "BFGS": LBFGS, "FIRE": FIRE,
                 "DEVICE": None}[algo]
 
@@ -53,7 +48,7 @@ def relax(
         if algo == "DEVICE":
             from ..opt.device_fire import DeviceFIRE
 
-            opt = DeviceFIRE(atoms, calc)
+            opt = DeviceFIRE(atoms, calc, cell=cell)
             opt.run(fmax=fmax, steps=500)
             write_frame()
         else:

@@ -37,6 +37,209 @@ from ..md.device_md import _inloop_table, _sgpr_forces, check_plain_surface
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
                      "kind", "rebuild"),
 )
+def fire_cell_chunk(
+    cfg,
+    model,
+    radii,
+    znum,
+    vscale_atom,
+    v,  # (N, 3) FIRE velocity of the (undeformed) positions
+    v_def,  # (3, 3) FIRE velocity of the scaled deformation rows
+    deform,  # (3, 3) current deformation gradient
+    cell0,  # (3, 3) reference cell (deform applies to it)
+    pos0,  # (N, 3) REAL-coordinate table-build origin
+    tbl_cell,  # (3, 3) cell the incoming table was built with
+    offmax,  # scalar max Sum|off| of the incoming table
+    dt,
+    a,
+    n_uphill,
+    skin_half,
+    fmax_target,
+    beta_thresh,
+    nsteps,
+    cell_factor,
+    pressure,  # scalar external pressure (eV/A^3)
+    maxstep,
+    dtmax,
+    nmin,
+    finc,
+    fdec,
+    astart,
+    fa,
+    chem_z=None,
+    mixL=None,
+    params=None,
+    exponent=4,
+    pair_terms=(),
+    check_beta=True,
+    kind="dot",
+    rebuild=False,
+    rebuild_cut=None,
+    sidx_atom=None,
+    sidx_ok=None,
+):
+    """Variable-cell FIRE on device: the exact opt/filters.UnitCellFilter
+    + opt/fire.FIRE composition — positions in the undeformed frame plus
+    3 scaled deformation rows form ONE optimization vector; the strain
+    rows' forces are -vol*(stress + P*I)/cell_factor, with the stress
+    tensor from the SAME backward pass as the forces
+    (md/device_npt._sgpr_forces_virial, aniso).  Table validity under
+    the moving cell uses the NPT chunk's displacement + image-drift
+    metric.  cfg.positions are REAL coordinates (pos_und @ deform.T).
+    Returns (pos_real, v, v_def, deform, f, e, beta_max, fmax, dt, a,
+    n_uphill, ndone[, tbl, pos0, tbl_cell, offmax])."""
+    from ..md.device_npt import _min_perp_width, _sgpr_forces_virial
+
+    dtype = cfg.positions.dtype
+    amask = cfg.atom_mask[:, None]
+    eye = jnp.eye(3, dtype=dtype)
+    cfg_with, tbl0, rebuild_fn = _inloop_table(
+        cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok
+    )
+    if not rebuild:
+        tbl0 = ()
+
+    def forces_fn(pos, cell, tbl=None):
+        # e, f (real frame), deps = vol*stress tensor, beta
+        return _sgpr_forces_virial(
+            pos, cell, cfg_with(tbl), model, radii, znum, vscale_atom,
+            params, exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            aniso=True,
+        )
+
+    def offsum_max(off, msk):
+        s = jnp.abs(off.astype(jnp.int32)).sum(-1)
+        return jnp.where(msk, s, 0).max().astype(dtype)
+
+    def breach(pos, p0, cell, tcell, omax):
+        disp = jnp.sqrt(((pos - p0) ** 2 * amask).sum(-1).max())
+        d = cell - tcell
+        drift = omax * jnp.sqrt((d * d).sum(-1)).max()
+        return disp + 0.5 * drift >= skin_half
+
+    def maybe_rebuild(pos, cell, tbl, p0, tcell, omax):
+        def do_rebuild(args):
+            pos, cell, tbl, p0, tcell, omax = args
+            new_tbl, rok = rebuild_fn(pos, cell)
+            rok = rok & (_min_perp_width(cell) >= 2.0 * rebuild_cut)
+            tbl2 = jax.tree.map(
+                lambda n, o: jnp.where(rok, n, o), new_tbl, tbl
+            )
+            return (tbl2, jnp.where(rok, pos, p0),
+                    jnp.where(rok, cell, tcell),
+                    jnp.where(rok, offsum_max(new_tbl[1], new_tbl[3]),
+                              omax), rok)
+
+        def no_rebuild(args):
+            pos, cell, tbl, p0, tcell, omax = args
+            return tbl, p0, tcell, omax, jnp.ones((), bool)
+
+        return jax.lax.cond(
+            breach(pos, p0, cell, tcell, omax), do_rebuild, no_rebuild,
+            (pos, cell, tbl, p0, tcell, omax),
+        )
+
+    def eval_all(pos_und, deform, tbl):
+        pos = pos_und @ deform.T * amask
+        cell = cell0 @ deform.T
+        e, f, deps, beta_max = forces_fn(pos, cell, tbl)
+        vol = jnp.abs(jnp.linalg.det(cell))
+        f_und = (f @ deform) * amask
+        f_def = (-deps - pressure * vol * eye) / cell_factor
+        return pos, cell, e, f_und, f_def, beta_max
+
+    def fmax_of(f_und, f_def):
+        fa_ = ((f_und * f_und) * amask).sum(-1).max()
+        fd_ = (f_def * f_def).sum(-1).max()
+        return jnp.sqrt(jnp.maximum(fa_, fd_))
+
+    def move(pos_und, defc, v, v_def, f_und, f_def, dt, a, n_uphill):
+        # FIRE over the stacked (positions + scaled-deform) vector;
+        # defc = deform * cell_factor (the filter's x rows)
+        vf = ((f_und * v) * amask).sum() + (f_def * v_def).sum()
+        up = vf > 0
+        fn = jnp.sqrt(((f_und**2) * amask).sum() + (f_def**2).sum())
+        vn = jnp.sqrt(((v**2) * amask).sum() + (v_def**2).sum())
+        mixs = a * vn / (fn + 1e-30)
+        v = jnp.where(up, (1.0 - a) * v + mixs * f_und, jnp.zeros_like(v))
+        v_def = jnp.where(up, (1.0 - a) * v_def + mixs * f_def,
+                          jnp.zeros_like(v_def))
+        inc = up & (n_uphill > nmin)
+        dt = jnp.where(
+            inc, jnp.minimum(dt * finc, dtmax), jnp.where(up, dt, dt * fdec)
+        )
+        a = jnp.where(inc, a * fa, jnp.where(up, a, astart))
+        n_uphill = jnp.where(up, n_uphill + 1, jnp.zeros_like(n_uphill))
+        v = v + dt * f_und
+        v_def = v_def + dt * f_def
+        dr = dt * v
+        dr_def = dt * v_def
+        norm2 = jnp.maximum(((dr * dr) * amask).sum(-1).max(),
+                            (dr_def * dr_def).sum(-1).max())
+        norm = jnp.sqrt(norm2)
+        sc = jnp.where(norm > maxstep, maxstep / (norm + 1e-30), 1.0)
+        pos_und = pos_und + sc * dr * amask
+        defc = defc + sc * dr_def
+        return pos_und, defc, v, v_def, dt, a, n_uphill
+
+    # initial state: real positions -> undeformed frame
+    pos_und0 = jnp.linalg.solve(deform.T, cfg.positions.T).T * amask
+    defc0 = deform * cell_factor
+    if rebuild:
+        tbl0, p00, tcell0, omax0, ok0 = maybe_rebuild(
+            cfg.positions, cell0 @ deform.T, tbl0, pos0, tbl_cell, offmax
+        )
+    else:
+        p00, tcell0, omax0 = pos0, tbl_cell, offmax
+        ok0 = ~breach(cfg.positions, pos0, cell0 @ deform.T, tbl_cell,
+                      offmax)
+    _, _, e0, fu0, fd0, b0 = eval_all(pos_und0, deform, tbl0)
+    fm0 = fmax_of(fu0, fd0)
+
+    def cond(state):
+        (pu, defc, v, vd, fu, fd, e, bm, fm, dt, a, nu, i, tbl, p0,
+         tcell, omax, ok) = state
+        go = (i < nsteps) & ok & (fm >= fmax_target)
+        if check_beta:
+            go = go & (bm < beta_thresh)
+        return go
+
+    def body(state):
+        (pu, defc, v, vd, fu, fd, e, bm, fm, dt, a, nu, i, tbl, p0,
+         tcell, omax, ok) = state
+        pu, defc, v, vd, dt, a, nu = move(pu, defc, v, vd, fu, fd, dt,
+                                          a, nu)
+        deform_i = defc / cell_factor
+        pos = pu @ deform_i.T * amask
+        cell = cell0 @ deform_i.T
+        if rebuild:
+            tbl, p0, tcell, omax, ok = maybe_rebuild(
+                pos, cell, tbl, p0, tcell, omax
+            )
+        else:
+            ok = ~breach(pos, p0, cell, tcell, omax)
+        _, _, e, fu, fd, bm = eval_all(pu, deform_i, tbl)
+        return (pu, defc, v, vd, fu, fd, e, bm, fmax_of(fu, fd), dt, a,
+                nu, i + 1, tbl, p0, tcell, omax, ok)
+
+    init = (pos_und0, defc0, v, v_def, fu0, fd0, e0, b0, fm0, dt, a,
+            n_uphill, jnp.zeros((), jnp.int32), tbl0, p00, tcell0,
+            omax0, ok0)
+    (pu, defc, v, vd, fu, fd, e, bm, fm, dt, a, nu, i, tbl, p0, tcell,
+     omax, ok) = jax.lax.while_loop(cond, body, init)
+    deform_f = defc / cell_factor
+    pos_real = pu @ deform_f.T * amask
+    out = (pos_real, v, vd, deform_f, fu, e, bm, fm, dt, a, nu, i)
+    if rebuild:
+        return out + (tbl, p0, tcell, omax)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("params", "exponent", "pair_terms", "check_beta",
+                     "kind", "rebuild"),
+)
 def fire_chunk(
     cfg,
     model,
@@ -192,13 +395,16 @@ class DeviceFIRE:
     Matches opt/fire.FIRE's schedule exactly (same defaults); active
     learning keeps reference semantics: the chunk stops at the exact
     geometry where the covloss threshold trips, the host samples, and
-    relaxation resumes on the updated model.  Positions-only (use the
-    host FIRE + UnitCellFilter for variable-cell relaxations).
+    relaxation resumes on the updated model.  ``cell=True`` relaxes the
+    cell too — the exact opt/filters.UnitCellFilter composition runs
+    on-chip, with the strain rows' forces (-vol*(stress + P*I)/
+    cell_factor) taken from the same backward pass as the atom forces.
     """
 
     def __init__(self, system, calc, dt=0.1, maxstep=0.2, dtmax=1.0, nmin=5,
                  finc=1.1, fdec=0.5, astart=0.1, fa=0.99, logfile=None,
-                 chunk=50, check_beta=None, in_loop_rebuild=True):
+                 chunk=50, check_beta=None, in_loop_rebuild=True,
+                 cell=False, scalar_pressure=0.0, cell_factor=None):
         check_plain_surface(calc, "DeviceFIRE")
         if getattr(calc.engine, "mesh", None) is not None:
             raise NotImplementedError(
@@ -224,6 +430,16 @@ class DeviceFIRE:
         )
         self.in_loop_rebuild = bool(in_loop_rebuild)
         self.nsteps = 0
+        # variable-cell mode: the opt/filters.UnitCellFilter composition
+        # on-chip — positions (undeformed frame) + 3 scaled deformation
+        # rows form one FIRE vector; strain forces come from the same
+        # backward pass as the atom forces
+        self.cell = bool(cell)
+        self.pressure = float(scalar_pressure)
+        self.cell_factor = float(cell_factor or len(system))
+        self.cell0 = np.asarray(system.cell).copy()
+        self.deform = np.eye(3)
+        self._v_def = np.zeros((3, 3))
         # optimizer state (persist across run() calls like opt/fire.FIRE)
         self.dt_cur = float(dt)
         self.a = float(astart)
@@ -251,6 +467,8 @@ class DeviceFIRE:
         while done < steps and not converged:
             if pos_dev is None or need_host or chain is None:
                 if pos_dev is not None:
+                    if self.cell:
+                        system.set_cell(self.cell0 @ self.deform.T)
                     system.set_positions(np.asarray(pos_dev)[: len(system)])
                     pos_dev = None
                 if first or (self.check_beta and need_host):
@@ -302,6 +520,19 @@ class DeviceFIRE:
                     bthr=jnp.asarray(beta_thresh, dtype=dtype),
                     beta_thresh=beta_thresh,
                 )
+                if self.cell:
+                    off = np.abs(np.asarray(cfg.nbr_off,
+                                            dtype=np.int64)).sum(-1)
+                    msk = np.asarray(cfg.nbr_mask)
+                    chain["offmax"] = jnp.asarray(
+                        float(off[msk].max()) if msk.any() else 0.0,
+                        dtype=dtype,
+                    )
+                    # the table was just built with the system's cell
+                    chain["tbl_cell"] = jnp.asarray(
+                        np.asarray(system.cell), dtype=dtype
+                    )
+                    chain["cell0"] = jnp.asarray(self.cell0, dtype=dtype)
             else:
                 chain["cfg"] = chain["cfg"]._replace(positions=pos_dev)
 
@@ -314,15 +545,7 @@ class DeviceFIRE:
                 inloop_kw = dict(rebuild=True, rebuild_cut=chain["cut"],
                                  sidx_atom=chain["sidx_atom"],
                                  sidx_ok=chain["sidx_ok"])
-            out = fire_chunk(
-                chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
-                chain["vs"], v_dev, chain["pos0"],
-                jnp.asarray(self.dt_cur, dtype=dtype),
-                jnp.asarray(self.a, dtype=dtype),
-                jnp.asarray(self.n_uphill, dtype=dtype),
-                chain["skin"],
-                jnp.asarray(fmax, dtype=dtype), chain["bthr"],
-                jnp.asarray(n, dtype=jnp.int32),
+            fire_consts = (
                 jnp.asarray(p["maxstep"], dtype=dtype),
                 jnp.asarray(p["dtmax"], dtype=dtype),
                 jnp.asarray(p["nmin"], dtype=dtype),
@@ -330,23 +553,74 @@ class DeviceFIRE:
                 jnp.asarray(p["fdec"], dtype=dtype),
                 jnp.asarray(p["astart"], dtype=dtype),
                 jnp.asarray(p["fa"], dtype=dtype),
+            )
+            common_kw = dict(
                 chem_z=chem_z, mixL=mixL,
                 params=eng.params, exponent=eng.exponent,
                 pair_terms=eng.pair_terms, check_beta=self.check_beta,
                 kind=eng.kernel_kind, **inloop_kw,
             )
-            if chain["inloop"]:
-                (pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i, tbl,
-                 p0) = out
-                c = chain["cfg"]
-                rv = tbl[4] if c.nbr_rev is not None else None
-                chain["cfg"] = c._replace(
-                    nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
-                    nbr_mask=tbl[3], nbr_rev=rv,
+            if self.cell:
+                out = fire_cell_chunk(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], v_dev,
+                    jnp.asarray(self._v_def, dtype=dtype),
+                    jnp.asarray(self.deform, dtype=dtype),
+                    chain["cell0"], chain["pos0"],
+                    chain["tbl_cell"], chain["offmax"],
+                    jnp.asarray(self.dt_cur, dtype=dtype),
+                    jnp.asarray(self.a, dtype=dtype),
+                    jnp.asarray(self.n_uphill, dtype=dtype),
+                    chain["skin"],
+                    jnp.asarray(fmax, dtype=dtype), chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    jnp.asarray(self.cell_factor, dtype=dtype),
+                    jnp.asarray(self.pressure, dtype=dtype),
+                    *fire_consts,
+                    **common_kw,
                 )
-                chain["pos0"] = p0
+                if chain["inloop"]:
+                    (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
+                     a, nu, i, tbl, p0, tcell, omax) = out
+                    c = chain["cfg"]
+                    rv = tbl[4] if c.nbr_rev is not None else None
+                    chain["cfg"] = c._replace(
+                        nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
+                        nbr_mask=tbl[3], nbr_rev=rv,
+                    )
+                    chain["pos0"] = p0
+                    chain["tbl_cell"] = tcell
+                    chain["offmax"] = omax
+                else:
+                    (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
+                     a, nu, i) = out
+                self.deform = np.asarray(deform)
+                self._v_def = np.asarray(vd)
             else:
-                pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i = out
+                out = fire_chunk(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], v_dev, chain["pos0"],
+                    jnp.asarray(self.dt_cur, dtype=dtype),
+                    jnp.asarray(self.a, dtype=dtype),
+                    jnp.asarray(self.n_uphill, dtype=dtype),
+                    chain["skin"],
+                    jnp.asarray(fmax, dtype=dtype), chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    *fire_consts,
+                    **common_kw,
+                )
+                if chain["inloop"]:
+                    (pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i, tbl,
+                     p0) = out
+                    c = chain["cfg"]
+                    rv = tbl[4] if c.nbr_rev is not None else None
+                    chain["cfg"] = c._replace(
+                        nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
+                        nbr_mask=tbl[3], nbr_rev=rv,
+                    )
+                    chain["pos0"] = p0
+                else:
+                    pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i = out
             self.dt_cur = float(dtc)
             self.a = float(a)
             self.n_uphill = float(nu)
@@ -377,12 +651,25 @@ class DeviceFIRE:
                 if self._stall >= 2:
                     from .fire import FIRE
 
+                    if self.cell:
+                        system.set_cell(self.cell0 @ self.deform.T)
                     system.set_positions(np.asarray(pos_dev)[: len(system)])
                     pos_dev = None
                     chain = None
                     system.calc = calc
                     p = self.params
-                    opt = FIRE(system, dt=p["dt"], maxstep=p["maxstep"],
+                    if self.cell:
+                        from .filters import UnitCellFilter
+
+                        target = UnitCellFilter(
+                            system, scalar_pressure=self.pressure,
+                            cell_factor=self.cell_factor,
+                        )
+                        target.cell0 = self.cell0.copy()
+                        target.deform = self.deform.copy()
+                    else:
+                        target = system
+                    opt = FIRE(target, dt=p["dt"], maxstep=p["maxstep"],
                                dtmax=p["dtmax"], nmin=int(p["nmin"]),
                                finc=p["finc"], fdec=p["fdec"],
                                astart=p["astart"], fa=p["fa"])
@@ -390,12 +677,21 @@ class DeviceFIRE:
                     opt.a = self.a
                     opt.n_uphill = int(self.n_uphill)
                     if self._v is not None:
-                        opt.v = self._v.copy()
-                    opt.step(system.get_forces())
+                        opt.v = (
+                            np.concatenate([self._v, self._v_def])
+                            if self.cell
+                            else self._v.copy()
+                        )
+                    opt.step(target.get_forces())
                     self.dt_cur = opt.dt
                     self.a = opt.a
                     self.n_uphill = float(opt.n_uphill)
-                    self._v = opt.v.copy()
+                    if self.cell:
+                        self._v = opt.v[:-3].copy()
+                        self._v_def = opt.v[-3:].copy()
+                        self.deform = target.deform.copy()
+                    else:
+                        self._v = opt.v.copy()
                     ndone = 1
                     self._stall = 0
             else:
@@ -403,6 +699,8 @@ class DeviceFIRE:
             done += ndone
             self.nsteps += ndone
         if pos_dev is not None:
+            if self.cell:
+                system.set_cell(self.cell0 @ self.deform.T)
             system.set_positions(np.asarray(pos_dev)[: len(system)])
         # refresh calc.results at the final geometry for callers that read
         # energies right after (host Optimizer leaves the calc current)

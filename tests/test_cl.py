@@ -99,9 +99,8 @@ def test_relax_cli(in_tmp):
 
 
 def test_relax_cli_device(in_tmp):
-    """algo='DEVICE': the FIRE loop runs on-chip (opt/device_fire.py)."""
-    import pytest
-
+    """algo='DEVICE': the FIRE loop runs on-chip (opt/device_fire.py),
+    including the variable-cell (UnitCellFilter) composition."""
     import autoforce_tpu.cl as cline
 
     write_ARGS(
@@ -109,6 +108,7 @@ def test_relax_cli_device(in_tmp):
         calculator="LJ",
         kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
         pckl=None, tape=None, logfile=None,
+        ediff=0.02, fdiff=0.05, seed=0,
     )
     cline.refresh()
     from autoforce_tpu.cl.relax import relax
@@ -120,8 +120,22 @@ def test_relax_cli_device(in_tmp):
     assert os.path.isfile("relaxdev.extxyz")
     f = atoms.get_forces()
     assert np.sqrt((f * f).sum(axis=1).max()) < 0.3
-    with pytest.raises(ValueError):
-        relax(atoms, algo="DEVICE", cell=True)
+    # variable-cell route: the on-chip UnitCellFilter composition runs
+    # and satisfies the Optimizer contract on the model surface.  (A
+    # freshly-seeded active model can legitimately read fmax below
+    # threshold at once — the host path behaves identically; the cell
+    # MATH is equality-tested against the host filter in
+    # tests/test_device_fire.py::test_device_fire_cell_matches_host_filter.)
+    cline.refresh()
+    atoms2 = bulk_fcc("Cu", 3.85).repeat((2, 2, 2))
+    atoms2.rattle(0.04, seed=3)
+    relax(atoms2, fmax=0.15, confirm=False, algo="DEVICE", cell=True,
+          trajectory="relaxdevc.extxyz")
+    assert os.path.isfile("relaxdevc.extxyz")
+    assert np.isfinite(atoms2.positions).all()
+    assert np.isfinite(np.asarray(atoms2.cell)).all()
+    f = atoms2.get_forces()
+    assert np.sqrt((f * f).sum(axis=1).max()) < 0.15
 
 
 def test_train_and_scores(in_tmp):

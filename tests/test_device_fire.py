@@ -117,6 +117,49 @@ def test_device_fire_active_learning(tmp_path, monkeypatch):
     assert np.sqrt((f * f).sum(axis=1).max()) < 0.2  # relaxed on the model
 
 
+def test_device_fire_cell_matches_host_filter(tmp_path, monkeypatch):
+    """cell=True: the on-chip UnitCellFilter composition tracks the host
+    FIRE + UnitCellFilter exactly over a short horizon, and full runs
+    land on the same (positions, cell) minimum."""
+    monkeypatch.chdir(str(tmp_path))
+    from autoforce_tpu.opt import UnitCellFilter
+
+    calc = _frozen_calc(skin=0.8)
+
+    def fresh():
+        s = bulk_fcc("Cu", 3.65).repeat((2, 2, 2))
+        s.rattle(0.06, seed=4)
+        s.calc = calc
+        return s
+
+    host = fresh()
+    filt = UnitCellFilter(host)
+    opt = FIRE(filt, dt=0.05)
+    for _ in range(12):
+        opt.step(filt.get_forces())
+        opt.nsteps += 1
+
+    dev = fresh()
+    dopt = DeviceFIRE(dev, calc, dt=0.05, chunk=5, check_beta=False,
+                      cell=True)
+    dopt.run(fmax=1e-9, steps=12)
+    assert dopt.nsteps == 12
+    np.testing.assert_allclose(dev.positions, host.positions, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dev.cell), np.asarray(host.cell),
+                               atol=1e-10)
+    np.testing.assert_allclose(dopt.deform, filt.deform, atol=1e-12)
+    np.testing.assert_allclose(dopt.dt_cur, opt.dt, rtol=1e-12)
+
+    # full runs: same minimum (cell relaxes toward equilibrium volume)
+    conv_h = opt.run(fmax=0.02, steps=300)
+    conv_d = dopt.run(fmax=0.02, steps=300)
+    assert conv_h and conv_d
+    np.testing.assert_allclose(np.asarray(dev.cell), np.asarray(host.cell),
+                               atol=0.02)
+    cell_start = np.asarray(bulk_fcc("Cu", 3.65).repeat((2, 2, 2)).cell)
+    assert np.abs(np.asarray(dev.cell) - cell_start).max() > 1e-3
+
+
 def test_device_fire_refuses_meta_and_committee(tmp_path, monkeypatch):
     monkeypatch.chdir(str(tmp_path))
     calc = _frozen_calc()
