@@ -23,18 +23,37 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # process otherwise re-pays ~30-60 s per jitted shape; growing models
 # (inducing-capacity buckets 32 -> 64 -> ... ) hit many shapes.  Opt out
 # with AUTOFORCE_NO_COMPILE_CACHE=1.
+#
+# TPU-ONLY: XLA:CPU entries embed the build host's CPU features
+# (avx512 etc.) which are NOT part of the cache key, so loading a
+# CPU executable cached on a different machine SEGFAULTS ("Machine
+# type used for XLA:CPU compilation doesn't match" then SIGILL/SIGSEGV
+# in get_executable_and_time — hit this in the round-3 test suite).
+# The TPU target is stable across hosts; the CPU one is not.
 import os as _os
 
 if not _os.environ.get("AUTOFORCE_NO_COMPILE_CACHE"):
-    _cache = _os.environ.get(
-        "AUTOFORCE_COMPILE_CACHE", _os.path.expanduser("~/.cache/jax_comp")
-    )
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _on_cpu = _os.environ.get("JAX_PLATFORMS", "") == "cpu" or (
+            not _os.environ.get("PALLAS_AXON_POOL_IPS")
+        )
     except Exception:
-        pass
+        _on_cpu = True
+    if not _on_cpu:
+        _cache = _os.environ.get(
+            "AUTOFORCE_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/jax_comp"),
+        )
+        try:
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1
+            )
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:
+            pass
 
 from . import units
 from .system import System, SinglePointCalculator

@@ -112,6 +112,52 @@ def _sgpr_forces(pos, cfg, model, radii, znum, vscale_atom, params, exponent,
     return e, f, beta_max
 
 
+def _committee_e(p, cell, cfg, models, radii, znum, vscale_atoms, mean_e,
+                 params, exponent, pair_terms, chem_z, mixL, kind):
+    """(weighted committee energy, committee covloss floor max) at
+    positions ``p`` under cell ``cell`` — the physics shared by every
+    device driver that serves a Bayesian committee.
+
+    Expert energies combine with the reference's covloss weights
+    ``scale_k = -log(covmax_k)/covmax_k`` (active_bcm.py:589-633); the
+    weights are scalars w.r.t. positions/strain (stop_gradient), exactly
+    like the host combination, so differentiating the return yields the
+    committee forces AND virial.  The sampling trigger is the committee
+    covloss floor ``min_k beta_k`` (:885-894).  ``models``: ModelArrays
+    with a leading expert axis; ``vscale_atoms``: (E, N)."""
+    nexp = mean_e.shape[0]
+
+    def one(mdl):
+        cov, lone, alpha = _total_cov(
+            p, cell, cfg, mdl.X_desc, mdl.X_num, mdl.X_lone,
+            radii, znum, params, exponent, pair_terms,
+            mdl.pair_d, mdl.pair_mask, chem_z=chem_z, mixL=mixL,
+            kind=kind, use_rev=True,
+        )
+        cov = cov * (cfg.atom_mask[:, None] & mdl.m_mask[None, :])
+        return precise_sum(cov @ mdl.mu), cov, alpha
+
+    e_k, cov_k, alpha_k = jax.vmap(one)(models)
+
+    def beta_one(mdl, cov, alpha, vs):
+        beta = covloss_beta(mdl.choli, cov, vs, mdl.m_mask, alpha=alpha)
+        return jnp.where(cfg.atom_mask, beta, -jnp.inf)
+
+    betas = jax.vmap(beta_one)(models, cov_k, alpha_k, vscale_atoms)
+    covmax = jnp.clip(betas.max(axis=1), 1e-12, 1.0)  # (E,)
+    scale = jnp.where(covmax < 1.0, -jnp.log(covmax), 0.0) / covmax
+    scale = jax.lax.stop_gradient(scale)
+    tot = scale.sum()
+    w = jnp.where(
+        tot > 0,
+        scale / jnp.where(tot > 0, tot, 1.0),
+        jnp.ones_like(scale) / nexp,
+    )
+    e_tot = precise_sum(w * (e_k + mean_e))
+    bmax = betas.min(axis=0).max()
+    return e_tot, bmax
+
+
 def _chunk_loop(forces_fn, pos_init, amask, velocities, masses, key, pos0,
                 dt, kT, friction, skin_half, beta_thresh, nsteps,
                 thermostat, check_beta, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
@@ -556,7 +602,6 @@ def md_chunk_committee(
     with e the weighted committee energy (means included) and beta_max
     the max-over-atoms committee covloss floor.
     """
-    nexp = mean_e.shape[0]
     amask = cfg.atom_mask[:, None]
     cfg_with, tbl0, rebuild_fn = _inloop_table(
         cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok
@@ -566,41 +611,9 @@ def md_chunk_committee(
         c = cfg_with(tbl)
 
         def energy(p):
-            def one(mdl):
-                cov, lone, alpha = _total_cov(
-                    p, c.cell, c, mdl.X_desc, mdl.X_num, mdl.X_lone,
-                    radii, znum, params, exponent, pair_terms,
-                    mdl.pair_d, mdl.pair_mask, chem_z=chem_z, mixL=mixL,
-                    kind=kind, use_rev=True,
-                )
-                cov = cov * (cfg.atom_mask[:, None] & mdl.m_mask[None, :])
-                return precise_sum(cov @ mdl.mu), cov, alpha
-
-            e_k, cov_k, alpha_k = jax.vmap(one)(models)
-
-            def beta_one(mdl, cov, alpha, vs):
-                beta = covloss_beta(mdl.choli, cov, vs, mdl.m_mask,
-                                    alpha=alpha)
-                return jnp.where(cfg.atom_mask, beta, -jnp.inf)
-
-            betas = jax.vmap(beta_one)(
-                models, cov_k, alpha_k, vscale_atoms
-            )  # (E, N)
-            covmax = jnp.clip(betas.max(axis=1), 1e-12, 1.0)  # (E,)
-            scale = jnp.where(covmax < 1.0, -jnp.log(covmax), 0.0) / covmax
-            # reference combines per-expert results with SCALAR weights
-            # (constants wrt positions): stop the gradient through them
-            scale = jax.lax.stop_gradient(scale)
-            tot = scale.sum()
-            w = jnp.where(
-                tot > 0,
-                scale / jnp.where(tot > 0, tot, 1.0),
-                jnp.ones_like(scale) / nexp,
-            )
-            e_tot = precise_sum(w * (e_k + mean_e))
-            # sampling trigger: committee covloss floor (min over experts)
-            bmax = betas.min(axis=0).max()
-            return e_tot, bmax
+            return _committee_e(p, c.cell, c, models, radii, znum,
+                                vscale_atoms, mean_e, params, exponent,
+                                pair_terms, chem_z, mixL, kind)
 
         (e, bmax), g = jax.value_and_grad(energy, has_aux=True)(pos)
         f = -g * amask
@@ -626,6 +639,91 @@ def md_chunk_committee(
         return pos, vel, key, f, e, beta_max, i, vxi, xi, tbl, pos0
     pos, vel, key, f, e, beta_max, vxi, xi, i = out
     return pos, vel, key, f, e, beta_max, i, vxi, xi
+
+
+def committee_models(calc):
+    """Frozen experts + live model when the calculator is a BCM with
+    experts (each solved, non-empty); [] for the single-model path.
+    Shared by every device driver that serves committees."""
+    from ..calculator.bcm import BCMActiveCalculator
+
+    if not (isinstance(calc, BCMActiveCalculator) and calc.experts):
+        return []
+    # with any frozen expert present the committee path serves (even a
+    # single servable model: the live one may be freshly-spawned/empty)
+    return [
+        m
+        for m in [*calc.experts.values(), calc.model]
+        if m.m > 0 and len(m.mu) == m.m
+    ]
+
+
+def committee_stack(calc, system, models, cfg, state):
+    """Stack expert model state (common mcap bucket) + per-expert
+    vscale/mean-energy onto the device.  ``state`` is a mutable dict
+    carrying 'mcap' (sticky bucket) and 'cache' (per-expert staging,
+    keyed on state_version) across chain rebuilds — per-driver, so MD /
+    NPT / FIRE drivers each amortize their own restaging."""
+    eng = calc.engine
+    if eng.mesh is not None:
+        raise NotImplementedError(
+            "device-resident committee chunks are single-chip for now; "
+            "unset engine.mesh or use the host drivers"
+        )
+    numbers = np.asarray(cfg.numbers)
+    # sticky mcap bucket with doubling growth: a fresh 32-granular cap
+    # per chain rebuild would recompile the whole committee chunk
+    # every time the live model crosses a 32-column boundary
+    mcap = max(state.get("mcap", 0), 32)
+    for m in models:
+        # share the config by restaging on the active engine's species
+        # table (kernel values are table-invariant)
+        m.adopt_engine(eng)
+        while mcap < m.m:
+            mcap *= 2
+    state["mcap"] = mcap
+    # per-expert staging cache: frozen experts are immutable between
+    # chain rebuilds, so restaging + re-uploading every expert's full
+    # model arrays on each rebuild (sampling events, table rebuilds)
+    # would redo O(E * m * dim) host work this path exists to avoid.
+    cache = state.get("cache", {})
+    new_cache = {}
+    num_tok = hash(numbers.tobytes())
+    sys_tok = hash(np.asarray(system.numbers).tobytes())
+    spec_tok = tuple(eng.species)
+    mas = []
+    vs_rows = []
+    mean_rows = []
+    for m in models:
+        token = (m.state_version, mcap, spec_tok, num_tok, sys_tok,
+                 bool(eng.pair_terms))
+        ent = cache.get(id(m))
+        if ent is not None and ent[0] is m and ent[1] == token:
+            ma, vs_row, mean_row = ent[2]
+        else:
+            Xd = (
+                np.stack([x.desc for x in m.X])
+                if m.m
+                else np.zeros((0, eng.dim))
+            )
+            Xn = np.array([x.number for x in m.X], dtype=np.int32)
+            Xl = np.array([x.lone for x in m.X], dtype=bool)
+            if eng.pair_terms:
+                for x in m.X:
+                    eng.grow_pair_kx(x)
+            ma = eng.model_arrays(Xd, Xn, Xl, m.mu, m.choli, mcap=mcap,
+                                  envs=m.X)
+            vs = m.vscale_for(numbers)
+            vs_row = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
+            mean_row = m.mean_energy(system.numbers)
+            ent = (m, token, (ma, vs_row, mean_row))
+        new_cache[id(m)] = ent
+        mas.append(ma)
+        vs_rows.append(vs_row)
+        mean_rows.append(mean_row)
+    state["cache"] = new_cache
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *mas)
+    return stacked, np.stack(vs_rows), np.asarray(mean_rows)
 
 
 def check_plain_surface(calc, what="DeviceMD", allow_covloss_meta=False):
@@ -732,21 +830,7 @@ class DeviceMD:
         self.in_loop_rebuild = in_loop_rebuild and self.device_rebuild
 
     def _committee_models(self):
-        """Frozen experts + live model when the calculator is a BCM with
-        experts (each solved, non-empty); [] for the single-model path."""
-        from ..calculator.bcm import BCMActiveCalculator
-
-        calc = self.calc
-        if not (isinstance(calc, BCMActiveCalculator) and calc.experts):
-            return []
-        models = [
-            m
-            for m in [*calc.experts.values(), calc.model]
-            if m.m > 0 and len(m.mu) == m.m
-        ]
-        # with any frozen expert present the committee path serves (even a
-        # single servable model: the live one may be freshly-spawned/empty)
-        return models
+        return committee_models(self.calc)
 
     # vscale sentinel for species an expert has never seen: host math uses
     # inf (always above any sampling threshold, and covmax saturates at 1
@@ -756,72 +840,12 @@ class DeviceMD:
     _VS_UNSEEN = 1e8
 
     def _committee_stack(self, models, cfg):
-        """Stack expert model state (common mcap bucket) + per-expert
-        vscale/mean-energy onto the device."""
-        import jax
-
-        eng = self.calc.engine
-        if eng.mesh is not None:
-            raise NotImplementedError(
-                "device-resident committee MD is single-chip for now; "
-                "unset engine.mesh or use the host drivers"
-            )
-        numbers = np.asarray(cfg.numbers)
-        # sticky mcap bucket with doubling growth: a fresh 32-granular cap
-        # per chain rebuild would recompile the whole committee chunk
-        # every time the live model crosses a 32-column boundary
-        mcap = max(getattr(self, "_committee_mcap", 0), 32)
-        for m in models:
-            # share the config by restaging on the active engine's species
-            # table (kernel values are table-invariant)
-            m.adopt_engine(eng)
-            while mcap < m.m:
-                mcap *= 2
-        self._committee_mcap = mcap
-        # per-expert staging cache: frozen experts are immutable between
-        # chain rebuilds, so restaging + re-uploading every expert's full
-        # model arrays on each rebuild (sampling events, table rebuilds)
-        # would redo O(E * m * dim) host work this path exists to avoid.
-        # Keyed on the model's exact state_version (bumped on every state
-        # mutation) + everything else the stack depends on.
-        cache = getattr(self, "_committee_cache", {})
-        new_cache = {}
-        num_tok = hash(numbers.tobytes())
-        sys_tok = hash(np.asarray(self.system.numbers).tobytes())
-        spec_tok = tuple(eng.species)
-        mas = []
-        vs_rows = []
-        mean_rows = []
-        for m in models:
-            token = (m.state_version, mcap, spec_tok, num_tok, sys_tok,
-                     bool(eng.pair_terms))
-            ent = cache.get(id(m))
-            if ent is not None and ent[0] is m and ent[1] == token:
-                ma, vs_row, mean_row = ent[2]
-            else:
-                Xd = (
-                    np.stack([x.desc for x in m.X])
-                    if m.m
-                    else np.zeros((0, eng.dim))
-                )
-                Xn = np.array([x.number for x in m.X], dtype=np.int32)
-                Xl = np.array([x.lone for x in m.X], dtype=bool)
-                if eng.pair_terms:
-                    for x in m.X:
-                        eng.grow_pair_kx(x)
-                ma = eng.model_arrays(Xd, Xn, Xl, m.mu, m.choli, mcap=mcap,
-                                      envs=m.X)
-                vs = m.vscale_for(numbers)
-                vs_row = np.where(np.isfinite(vs), vs, self._VS_UNSEEN)
-                mean_row = m.mean_energy(self.system.numbers)
-                ent = (m, token, (ma, vs_row, mean_row))
-            new_cache[id(m)] = ent
-            mas.append(ma)
-            vs_rows.append(vs_row)
-            mean_rows.append(mean_row)
-        self._committee_cache = new_cache
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *mas)
-        return stacked, np.stack(vs_rows), np.asarray(mean_rows)
+        state = {"mcap": getattr(self, "_committee_mcap", 0),
+                 "cache": getattr(self, "_committee_cache", {})}
+        out = committee_stack(self.calc, self.system, models, cfg, state)
+        self._committee_mcap = state["mcap"]
+        self._committee_cache = state["cache"]
+        return out
 
     def _rebuild_on_device(self, chain, pos_dev):
         """Rebuild the chain's neighbor table from the device positions

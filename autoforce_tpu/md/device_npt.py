@@ -40,7 +40,9 @@ import numpy as np
 from .. import units
 from ..engine import ConfigArrays, ModelArrays, _total_cov, precise_sum
 from ..kernels import covloss_beta
-from .device_md import _inloop_table, _nhc_half, check_plain_surface
+from .device_md import (_committee_e, _inloop_table, _nhc_half,
+                        check_plain_surface, committee_models,
+                        committee_stack)
 
 
 def _min_perp_width(cell):
@@ -101,10 +103,45 @@ def _sgpr_forces_virial(pos, cell, cfg, model, radii, znum, vscale_atom,
     return e, f, deps, beta_max
 
 
+def _committee_forces_virial(pos, cell, cfg, models, radii, znum,
+                             vscale_atoms, mean_e, params, exponent,
+                             pair_terms, chem_z, mixL, kind, check_beta,
+                             aniso=False):
+    """Committee counterpart of :func:`_sgpr_forces_virial`: the weighted
+    committee energy (device_md._committee_e, reference weight math) is
+    differentiated w.r.t. (positions, strain) jointly, so one backward
+    yields the committee forces AND virial — matching the host BCM
+    combination, which applies the same scalar weights to the per-expert
+    virials (calculator/bcm.py:_predict)."""
+
+    def energy(p, eps):
+        if aniso:
+            sc = jnp.eye(3, dtype=p.dtype) + eps
+            p_s, cell_s = p @ sc.T, cell @ sc.T
+        else:
+            p_s, cell_s = p * (1.0 + eps), cell * (1.0 + eps)
+        e_tot, bmax = _committee_e(
+            p_s, cell_s, cfg, models, radii, znum, vscale_atoms, mean_e,
+            params, exponent, pair_terms, chem_z, mixL, kind,
+        )
+        return e_tot, bmax
+
+    zero = jnp.zeros((3, 3) if aniso else (), dtype=pos.dtype)
+    (e, bmax), (g, deps) = jax.value_and_grad(
+        energy, argnums=(0, 1), has_aux=True
+    )(pos, zero)
+    if aniso:
+        deps = 0.5 * (deps + deps.T)
+    f = -g * cfg.atom_mask[:, None]
+    if not check_beta:
+        bmax = jnp.zeros((), dtype=pos.dtype)
+    return e, f, deps, bmax
+
+
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "kind", "rebuild", "aniso"),
+                     "kind", "rebuild", "aniso", "committee"),
 )
 def md_chunk_npt(
     cfg: ConfigArrays,
@@ -147,6 +184,8 @@ def md_chunk_npt(
     bch_dof=None,  # scalar cell-chain dof (aniso: count_nonzero(mask))
     tbl_cell=None,  # (3, 3) cell the incoming table was built with
     offmax=None,  # scalar max Sum|off| of the incoming table
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert constant mean energies (committee)
 ):
     """Up to ``nsteps`` MTK NPT steps on device; early exit on skin
     breach or uncertainty trip.  The exact Trotter splitting of
@@ -175,6 +214,12 @@ def md_chunk_npt(
     )
 
     def forces_fn(pos, cell, tbl=None):
+        if committee:
+            return _committee_forces_virial(
+                pos, cell, cfg_with(tbl), model, radii, znum,
+                vscale_atom, mean_e, params, exponent, pair_terms,
+                chem_z, mixL, kind, check_beta, aniso=aniso,
+            )
         return _sgpr_forces_virial(
             pos, cell, cfg_with(tbl), model, radii, znum, vscale_atom,
             params, exponent, pair_terms, chem_z, mixL, kind, check_beta,
@@ -372,8 +417,11 @@ class DeviceNPT:
     (inference or active) calculator — the NPT sibling of
     :class:`DeviceMD`.
 
-    Single-model, single-chip (no committee/mesh/replica variants; the
-    host MTKNPT driver covers those).  Skin breaches under the moving
+    Single-chip (the host MTKNPT driver covers meshes/replicas); BCM
+    committees are served on-device — the weighted committee energy AND
+    virial come from one backward pass (the host combination applies the
+    same scalar weights to per-expert virials).  Skin breaches under the
+    moving
     cell are rebuilt INSIDE the chunk by default (``in_loop_rebuild``,
     device MIC build from the current positions AND cell); host re-entry
     happens on uncertainty trips (sampling at the exact step, reference
@@ -395,13 +443,6 @@ class DeviceNPT:
             raise NotImplementedError(
                 "DeviceNPT is single-chip; use the host MTKNPT driver "
                 "under a mesh"
-            )
-        from ..calculator.bcm import BCMActiveCalculator
-
-        if isinstance(calc, BCMActiveCalculator) and calc.experts:
-            raise NotImplementedError(
-                "DeviceNPT integrates the live SGPR model only; BCM "
-                "committees must use the host MTKNPT driver"
             )
         if tchain != 3:
             raise NotImplementedError(
@@ -487,9 +528,19 @@ class DeviceNPT:
                 dtype = cfg.positions.dtype
                 from .device_md import DeviceMD
 
-                ma = model.full_model_arrays()
-                vs = model.vscale_for(np.asarray(cfg.numbers))
-                vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
+                committee = committee_models(calc)
+                if committee:
+                    if not hasattr(self, "_committee_state"):
+                        self._committee_state = {}
+                    ma, vs, mean_e = committee_stack(
+                        calc, system, committee, cfg,
+                        self._committee_state,
+                    )
+                else:
+                    mean_e = None
+                    ma = model.full_model_arrays()
+                    vs = model.vscale_for(np.asarray(cfg.numbers))
+                    vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
                 npad = cfg.positions.shape[0]
                 vel = np.zeros((npad, 3))
                 vel[: len(system)] = system.get_velocities()
@@ -522,6 +573,8 @@ class DeviceNPT:
                     offmax=None,
                     cfg=cfg,
                     ma=ma,
+                    mean_e=(None if mean_e is None
+                            else jnp.asarray(mean_e, dtype=dtype)),
                     radii=eng.radii_table(),
                     znum=eng.znum_table(),
                     vs=jnp.asarray(vs, dtype=dtype),
@@ -586,6 +639,8 @@ class DeviceNPT:
                 bch_dof=chain["bch_dof"],
                 tbl_cell=chain["tbl_cell"],
                 offmax=chain["offmax"],
+                committee=chain["mean_e"] is not None,
+                mean_e=chain["mean_e"],
                 **inloop_kw,
             )
             if chain["inloop"]:

@@ -29,13 +29,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..md.device_md import _inloop_table, _sgpr_forces, check_plain_surface
+from ..md.device_md import (_committee_e, _inloop_table, _sgpr_forces,
+                            check_plain_surface, committee_models,
+                            committee_stack)
+
+
+def _committee_forces(pos, cfg, models, radii, znum, vscale_atoms, mean_e,
+                      params, exponent, pair_terms, chem_z, mixL, kind,
+                      check_beta):
+    """(energy, forces, beta_max) of the weighted committee — the FIRE
+    counterpart of md_chunk_committee's physics (device_md._committee_e,
+    reference active_bcm.py weight math)."""
+
+    def energy(p):
+        return _committee_e(p, cfg.cell, cfg, models, radii, znum,
+                            vscale_atoms, mean_e, params, exponent,
+                            pair_terms, chem_z, mixL, kind)
+
+    (e, bmax), g = jax.value_and_grad(energy, has_aux=True)(pos)
+    f = -g * cfg.atom_mask[:, None]
+    if not check_beta:
+        bmax = jnp.zeros((), dtype=pos.dtype)
+    return e, f, bmax
 
 
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "kind", "rebuild"),
+                     "kind", "rebuild", "committee"),
 )
 def fire_cell_chunk(
     cfg,
@@ -77,6 +98,8 @@ def fire_cell_chunk(
     rebuild_cut=None,
     sidx_atom=None,
     sidx_ok=None,
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Variable-cell FIRE on device: the exact opt/filters.UnitCellFilter
     + opt/fire.FIRE composition — positions in the undeformed frame plus
@@ -101,6 +124,14 @@ def fire_cell_chunk(
 
     def forces_fn(pos, cell, tbl=None):
         # e, f (real frame), deps = vol*stress tensor, beta
+        if committee:
+            from ..md.device_npt import _committee_forces_virial
+
+            return _committee_forces_virial(
+                pos, cell, cfg_with(tbl), model, radii, znum,
+                vscale_atom, mean_e, params, exponent, pair_terms,
+                chem_z, mixL, kind, check_beta, aniso=True,
+            )
         return _sgpr_forces_virial(
             pos, cell, cfg_with(tbl), model, radii, znum, vscale_atom,
             params, exponent, pair_terms, chem_z, mixL, kind, check_beta,
@@ -238,7 +269,7 @@ def fire_cell_chunk(
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "kind", "rebuild"),
+                     "kind", "rebuild", "committee"),
 )
 def fire_chunk(
     cfg,
@@ -273,6 +304,8 @@ def fire_chunk(
     rebuild_cut=None,
     sidx_atom=None,
     sidx_ok=None,
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Up to ``nsteps`` FIRE steps on device; early exit on convergence
     (fmax < fmax_target, checked BEFORE stepping like Optimizer.run),
@@ -285,6 +318,12 @@ def fire_chunk(
     )
 
     def forces_fn(pos, tbl=None):
+        if committee:
+            return _committee_forces(
+                pos, cfg_with(tbl), model, radii, znum, vscale_atom,
+                mean_e, params, exponent, pair_terms, chem_z, mixL,
+                kind, check_beta,
+            )
         return _sgpr_forces(
             pos, cfg_with(tbl), model, radii, znum, vscale_atom, params,
             exponent, pair_terms, chem_z, mixL, kind, check_beta,
@@ -399,6 +438,8 @@ class DeviceFIRE:
     cell too — the exact opt/filters.UnitCellFilter composition runs
     on-chip, with the strain rows' forces (-vol*(stress + P*I)/
     cell_factor) taken from the same backward pass as the atom forces.
+    BCM committees are served on-device (the weighted committee energy
+    of device_md._committee_e, with forces/virial from its gradient).
     """
 
     def __init__(self, system, calc, dt=0.1, maxstep=0.2, dtmax=1.0, nmin=5,
@@ -409,13 +450,6 @@ class DeviceFIRE:
         if getattr(calc.engine, "mesh", None) is not None:
             raise NotImplementedError(
                 "DeviceFIRE is single-chip; use the host FIRE under a mesh"
-            )
-        from ..calculator.bcm import BCMActiveCalculator
-
-        if isinstance(calc, BCMActiveCalculator) and calc.experts:
-            raise NotImplementedError(
-                "DeviceFIRE relaxes on the live SGPR model only; BCM "
-                "committees use the host FIRE"
             )
         self.system = system
         self.calc = calc
@@ -483,9 +517,19 @@ class DeviceFIRE:
                 dtype = cfg.positions.dtype
                 from ..md.device_md import DeviceMD
 
-                ma = model.full_model_arrays()
-                vs = model.vscale_for(np.asarray(cfg.numbers))
-                vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
+                committee = committee_models(calc)
+                if committee:
+                    if not hasattr(self, "_committee_state"):
+                        self._committee_state = {}
+                    ma, vs, mean_e = committee_stack(
+                        calc, system, committee, cfg,
+                        self._committee_state,
+                    )
+                else:
+                    mean_e = None
+                    ma = model.full_model_arrays()
+                    vs = model.vscale_for(np.asarray(cfg.numbers))
+                    vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
                 npad = cfg.positions.shape[0]
                 pos0 = np.zeros((npad, 3))
                 pos0[: len(system)] = calc._nlcache._pos
@@ -515,6 +559,8 @@ class DeviceFIRE:
                     inloop=inloop, sidx_atom=sidx_atom, sidx_ok=sidx_ok,
                     cut=cut, cfg=cfg, ma=ma, radii=eng.radii_table(),
                     znum=eng.znum_table(), vs=jnp.asarray(vs, dtype=dtype),
+                    mean_e=(None if mean_e is None
+                            else jnp.asarray(mean_e, dtype=dtype)),
                     pos0=jnp.asarray(pos0, dtype=dtype),
                     skin=jnp.asarray(0.5 * calc._nlcache.skin, dtype=dtype),
                     bthr=jnp.asarray(beta_thresh, dtype=dtype),
@@ -558,7 +604,10 @@ class DeviceFIRE:
                 chem_z=chem_z, mixL=mixL,
                 params=eng.params, exponent=eng.exponent,
                 pair_terms=eng.pair_terms, check_beta=self.check_beta,
-                kind=eng.kernel_kind, **inloop_kw,
+                kind=eng.kernel_kind,
+                committee=chain["mean_e"] is not None,
+                mean_e=chain["mean_e"],
+                **inloop_kw,
             )
             if self.cell:
                 out = fire_cell_chunk(

@@ -429,6 +429,72 @@ def test_committee_stack_caches_frozen_experts(tmp_path, monkeypatch):
             assert ent[2][0] is first[k]
 
 
+def test_bcm_device_npt_matches_host(tmp_path, monkeypatch):
+    """DeviceNPT serves the WHOLE committee on-device: energy AND virial
+    come from one backward over the weighted committee energy, matching
+    the host MTKNPT driven by the BCM calculator (which combines the
+    per-expert virials with the same scalar weights)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.md import MTKNPT
+    from autoforce_tpu.md.device_npt import DeviceNPT
+
+    calc, s0 = _trained_bcm(tmp_path, pckl="bcmnpt.pckl")
+    calc._calc = None  # inference mode: deterministic comparison
+    s0 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s0.rattle(0.04, seed=4)
+    maxwell_boltzmann_velocities(s0, 300, seed=5)
+    v0 = s0.get_velocities()
+    kw = dict(temperature_K=300, pressure_GPa=0.3, tdamp=50 * units.fs,
+              pdamp=200 * units.fs)
+
+    host = s0.copy()
+    host.set_velocities(v0)
+    host.calc = calc
+    drv = MTKNPT(host, 2 * units.fs, isotropic=False, **kw)
+    drv.run(8)
+
+    dev = s0.copy()
+    dev.set_velocities(v0)
+    dev.calc = calc
+    dyn = DeviceNPT(dev, calc, 2 * units.fs, chunk=4, check_beta=False,
+                    isotropic=False, **kw)
+    dyn.run(8)
+    assert dyn.nsteps == 8
+    np.testing.assert_allclose(dev.positions, host.positions, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dev.cell), np.asarray(host.cell),
+                               atol=1e-10)
+    # non-trivial: the committee virial moved the cell
+    assert np.abs(np.asarray(dev.cell) - np.asarray(s0.cell)).max() > 1e-6
+
+
+def test_bcm_device_fire_matches_host(tmp_path, monkeypatch):
+    """DeviceFIRE relaxes under the full committee on-device, tracking
+    the host FIRE driven by the BCM calculator."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.opt import FIRE
+    from autoforce_tpu.opt.device_fire import DeviceFIRE
+
+    calc, _ = _trained_bcm(tmp_path, pckl="bcmfire.pckl")
+    calc._calc = None
+    s0 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s0.rattle(0.10, seed=6)
+
+    host = s0.copy()
+    host.calc = calc
+    opt = FIRE(host, dt=0.05)
+    for _ in range(10):
+        opt.step(host.get_forces())
+        opt.nsteps += 1
+
+    dev = s0.copy()
+    dev.calc = calc
+    dopt = DeviceFIRE(dev, calc, dt=0.05, chunk=5, check_beta=False)
+    dopt.run(fmax=1e-9, steps=10)
+    assert dopt.nsteps == 10
+    np.testing.assert_allclose(dev.positions, host.positions, atol=1e-9)
+    np.testing.assert_allclose(dopt.dt_cur, opt.dt, rtol=1e-12)
+
+
 def test_bcm_device_md_in_loop_rebuild(tmp_path, monkeypatch):
     """Committee chunks rebuild the neighbor table IN the loop too:
     trajectories match the between-chunk device-rebuild path."""

@@ -160,6 +160,30 @@ def test_device_fire_cell_matches_host_filter(tmp_path, monkeypatch):
     assert np.abs(np.asarray(dev.cell) - cell_start).max() > 1e-3
 
 
+def test_device_fire_cell_inloop_rebuild(tmp_path, monkeypatch):
+    """cell=True with a small skin: the moving cell breaches the Verlet
+    bound repeatedly, the in-loop (pos+cell) rebuild serves them, and
+    the relaxation reaches the same minimum as a no-breach run."""
+    monkeypatch.chdir(str(tmp_path))
+    results = {}
+    for skin in (0.10, 0.8):
+        calc = _frozen_calc(skin=skin)
+        s = bulk_fcc("Cu", 3.52).repeat((2, 2, 2))  # compressed start
+        s.rattle(0.05, seed=6)
+        s.calc = calc
+        dopt = DeviceFIRE(s, calc, dt=0.05, chunk=30, check_beta=False,
+                          cell=True)
+        conv = dopt.run(fmax=0.03, steps=400)
+        assert conv
+        results[skin] = np.asarray(s.cell).copy()
+        assert np.isfinite(s.positions).all()
+    # same minimum through many in-loop rebuilds vs none
+    np.testing.assert_allclose(results[0.10], results[0.8], atol=5e-3)
+    # the cell actually relaxed away from the compressed start
+    start = np.asarray(bulk_fcc("Cu", 3.52).repeat((2, 2, 2)).cell)
+    assert np.abs(results[0.8] - start).max() > 5e-3
+
+
 def test_device_fire_refuses_meta_and_committee(tmp_path, monkeypatch):
     monkeypatch.chdir(str(tmp_path))
     calc = _frozen_calc()
