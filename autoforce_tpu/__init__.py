@@ -33,12 +33,9 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 if not _os.environ.get("AUTOFORCE_NO_COMPILE_CACHE"):
-    try:
-        _on_cpu = _os.environ.get("JAX_PLATFORMS", "") == "cpu" or (
-            not _os.environ.get("PALLAS_AXON_POOL_IPS")
-        )
-    except Exception:
-        _on_cpu = True
+    _on_cpu = _os.environ.get("JAX_PLATFORMS", "") == "cpu" or (
+        not _os.environ.get("PALLAS_AXON_POOL_IPS")
+    )
     if not _on_cpu:
         _cache = _os.environ.get(
             "AUTOFORCE_COMPILE_CACHE",

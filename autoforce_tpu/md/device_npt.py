@@ -45,6 +45,26 @@ from .device_md import (_committee_e, _inloop_table, _nhc_half,
                         committee_stack)
 
 
+def offsum_max(off, msk, dtype):
+    """Max Sum|off| over the valid slots of a neighbor table — the
+    periodic-image lever arm of the moving-cell Verlet bound."""
+    s = jnp.abs(off.astype(jnp.int32)).sum(-1)
+    return jnp.where(msk, s, 0).max().astype(dtype)
+
+
+def moving_cell_breach(pos, p0, cell, tcell, omax, amask, skin_half):
+    """Verlet validity under a MOVING cell: a pair's relative motion is
+    bounded by 2*max|dpos| + |off @ (cell - tbl_cell)|; the image term
+    is NOT covered by atomic displacements (shear, or strain of a box
+    the atoms do not fill), so it consumes skin budget too — the device
+    counterpart of VerletNeighborCache's cell guard.  Shared by the NPT
+    and variable-cell FIRE chunks."""
+    disp = jnp.sqrt(((pos - p0) ** 2 * amask).sum(-1).max())
+    d = cell - tcell
+    drift = omax * jnp.sqrt((d * d).sum(-1)).max()
+    return disp + 0.5 * drift >= skin_half
+
+
 def _min_perp_width(cell):
     """Smallest perpendicular width of a cell (rows = lattice vectors):
     the in-loop MIC validity measure — the device rebuild is a
@@ -229,25 +249,14 @@ def md_chunk_npt(
     if not rebuild:
         tbl0 = ()
 
-    def offsum_max(off, msk):
-        s = jnp.abs(off.astype(jnp.int32)).sum(-1)
-        return jnp.where(msk, s, 0).max().astype(dtype)
-
     if tbl_cell is None:
         tbl_cell = cfg.cell  # host build: cfg.cell IS the table cell
     if offmax is None:
-        offmax = offsum_max(cfg.nbr_off, cfg.nbr_mask)
+        offmax = offsum_max(cfg.nbr_off, cfg.nbr_mask, dtype)
 
     def breach(pos, p0, cell, tcell, omax):
-        """Verlet validity under a MOVING cell: a pair's relative motion
-        is bounded by 2*max|dpos| + |off @ (cell - tbl_cell)|; the image
-        term is NOT covered by atomic displacements (shear, or strain of
-        a box the atoms do not fill), so it consumes skin budget too —
-        the device counterpart of VerletNeighborCache's cell guard."""
-        disp = jnp.sqrt(((pos - p0) ** 2 * amask).sum(-1).max())
-        d = cell - tcell
-        drift = omax * jnp.sqrt((d * d).sum(-1)).max()
-        return disp + 0.5 * drift >= skin_half
+        return moving_cell_breach(pos, p0, cell, tcell, omax, amask,
+                                  skin_half)
 
     def maybe_rebuild(pos, cell, tbl, p0, tcell, omax, e, f, deps,
                       beta_max):
@@ -267,7 +276,9 @@ def md_chunk_npt(
             p0_2 = jnp.where(rok, pos, p0)
             tcell2 = jnp.where(rok, cell, tcell)
             # new_tbl = (idx, off, sidx, mask[, rev])
-            omax2 = jnp.where(rok, offsum_max(new_tbl[1], new_tbl[3]), omax)
+            omax2 = jnp.where(
+                rok, offsum_max(new_tbl[1], new_tbl[3], dtype), omax
+            )
             e2, f2, d2, b2 = forces_fn(pos, cell, tbl2)
             return tbl2, p0_2, tcell2, omax2, rok, e2, f2, d2, b2
 

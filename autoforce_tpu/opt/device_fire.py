@@ -108,10 +108,13 @@ def fire_cell_chunk(
     tensor from the SAME backward pass as the forces
     (md/device_npt._sgpr_forces_virial, aniso).  Table validity under
     the moving cell uses the NPT chunk's displacement + image-drift
-    metric.  cfg.positions are REAL coordinates (pos_und @ deform.T).
-    Returns (pos_real, v, v_def, deform, f, e, beta_max, fmax, dt, a,
-    n_uphill, ndone[, tbl, pos0, tbl_cell, offmax])."""
-    from ..md.device_npt import _min_perp_width, _sgpr_forces_virial
+    metric (moving_cell_breach).  cfg.positions are REAL coordinates
+    (pos_und @ deform.T).  Returns (pos_real, v, v_def, deform, f, e,
+    beta_max, fmax, dt, a, n_uphill, ndone[, tbl, pos0, tbl_cell,
+    offmax])."""
+    from ..kernels import precise_sum
+    from ..md.device_npt import (_min_perp_width, _sgpr_forces_virial,
+                                 moving_cell_breach, offsum_max)
 
     dtype = cfg.positions.dtype
     amask = cfg.atom_mask[:, None]
@@ -138,15 +141,9 @@ def fire_cell_chunk(
             aniso=True,
         )
 
-    def offsum_max(off, msk):
-        s = jnp.abs(off.astype(jnp.int32)).sum(-1)
-        return jnp.where(msk, s, 0).max().astype(dtype)
-
     def breach(pos, p0, cell, tcell, omax):
-        disp = jnp.sqrt(((pos - p0) ** 2 * amask).sum(-1).max())
-        d = cell - tcell
-        drift = omax * jnp.sqrt((d * d).sum(-1)).max()
-        return disp + 0.5 * drift >= skin_half
+        return moving_cell_breach(pos, p0, cell, tcell, omax, amask,
+                                  skin_half)
 
     def maybe_rebuild(pos, cell, tbl, p0, tcell, omax):
         def do_rebuild(args):
@@ -158,7 +155,8 @@ def fire_cell_chunk(
             )
             return (tbl2, jnp.where(rok, pos, p0),
                     jnp.where(rok, cell, tcell),
-                    jnp.where(rok, offsum_max(new_tbl[1], new_tbl[3]),
+                    jnp.where(rok,
+                              offsum_max(new_tbl[1], new_tbl[3], dtype),
                               omax), rok)
 
         def no_rebuild(args):
@@ -186,10 +184,16 @@ def fire_cell_chunk(
 
     def move(pos_und, defc, v, v_def, f_und, f_def, dt, a, n_uphill):
         # FIRE over the stacked (positions + scaled-deform) vector;
-        # defc = deform * cell_factor (the filter's x rows)
-        vf = ((f_und * v) * amask).sum() + (f_def * v_def).sum()
+        # defc = deform * cell_factor (the filter's x rows).  f_und is a
+        # matmul product (f @ deform): its reductions go through
+        # precise_sum per the reduce-of-dot rule (CLAUDE.md; measured a
+        # null on the current backend for this minor-dim-3 shape, but
+        # the barrier costs nothing and the rule is load-bearing)
+        vf = (precise_sum((f_und * v) * amask)
+              + precise_sum(f_def * v_def))
         up = vf > 0
-        fn = jnp.sqrt(((f_und**2) * amask).sum() + (f_def**2).sum())
+        fn = jnp.sqrt(precise_sum((f_und**2) * amask)
+                      + precise_sum(f_def**2))
         vn = jnp.sqrt(((v**2) * amask).sum() + (v_def**2).sum())
         mixs = a * vn / (fn + 1e-30)
         v = jnp.where(up, (1.0 - a) * v + mixs * f_und, jnp.zeros_like(v))
@@ -609,6 +613,16 @@ class DeviceFIRE:
                 mean_e=chain["mean_e"],
                 **inloop_kw,
             )
+            def graft(tbl, p0):
+                # rebuilt table back onto the chain (device arrays)
+                c = chain["cfg"]
+                rv = tbl[4] if c.nbr_rev is not None else None
+                chain["cfg"] = c._replace(
+                    nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
+                    nbr_mask=tbl[3], nbr_rev=rv,
+                )
+                chain["pos0"] = p0
+
             if self.cell:
                 out = fire_cell_chunk(
                     chain["cfg"], chain["ma"], chain["radii"],
@@ -631,13 +645,7 @@ class DeviceFIRE:
                 if chain["inloop"]:
                     (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
                      a, nu, i, tbl, p0, tcell, omax) = out
-                    c = chain["cfg"]
-                    rv = tbl[4] if c.nbr_rev is not None else None
-                    chain["cfg"] = c._replace(
-                        nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
-                        nbr_mask=tbl[3], nbr_rev=rv,
-                    )
-                    chain["pos0"] = p0
+                    graft(tbl, p0)
                     chain["tbl_cell"] = tcell
                     chain["offmax"] = omax
                 else:
@@ -661,13 +669,7 @@ class DeviceFIRE:
                 if chain["inloop"]:
                     (pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i, tbl,
                      p0) = out
-                    c = chain["cfg"]
-                    rv = tbl[4] if c.nbr_rev is not None else None
-                    chain["cfg"] = c._replace(
-                        nbr_idx=tbl[0], nbr_off=tbl[1], nbr_sidx=tbl[2],
-                        nbr_mask=tbl[3], nbr_rev=rv,
-                    )
-                    chain["pos0"] = p0
+                    graft(tbl, p0)
                 else:
                     pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i = out
             self.dt_cur = float(dtc)

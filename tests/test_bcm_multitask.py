@@ -494,6 +494,27 @@ def test_bcm_device_fire_matches_host(tmp_path, monkeypatch):
     np.testing.assert_allclose(dev.positions, host.positions, atol=1e-9)
     np.testing.assert_allclose(dopt.dt_cur, opt.dt, rtol=1e-12)
 
+    # committee x variable-cell: the UnitCellFilter composition with the
+    # committee virial tracks the host filter under the same committee
+    from autoforce_tpu.opt import UnitCellFilter
+
+    hostc = s0.copy()
+    hostc.calc = calc
+    filt = UnitCellFilter(hostc)
+    optc = FIRE(filt, dt=0.05)
+    for _ in range(8):
+        optc.step(filt.get_forces())
+        optc.nsteps += 1
+    devc = s0.copy()
+    devc.calc = calc
+    doptc = DeviceFIRE(devc, calc, dt=0.05, chunk=4, check_beta=False,
+                       cell=True)
+    doptc.run(fmax=1e-9, steps=8)
+    assert doptc.nsteps == 8
+    np.testing.assert_allclose(devc.positions, hostc.positions, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(devc.cell),
+                               np.asarray(hostc.cell), atol=1e-10)
+
 
 def test_bcm_device_md_in_loop_rebuild(tmp_path, monkeypatch):
     """Committee chunks rebuild the neighbor table IN the loop too:

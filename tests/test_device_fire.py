@@ -184,7 +184,9 @@ def test_device_fire_cell_inloop_rebuild(tmp_path, monkeypatch):
     assert np.abs(results[0.8] - start).max() > 5e-3
 
 
-def test_device_fire_refuses_meta_and_committee(tmp_path, monkeypatch):
+def test_device_fire_refuses_meta(tmp_path, monkeypatch):
+    """(BCM committees are SERVED on-device now — see
+    tests/test_bcm_multitask.py — only a metadynamics bias refuses.)"""
     monkeypatch.chdir(str(tmp_path))
     calc = _frozen_calc()
     s = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
