@@ -254,6 +254,32 @@ def md_chunk_npt(
     if offmax is None:
         offmax = offsum_max(cfg.nbr_off, cfg.nbr_mask, dtype)
 
+    return _npt_loop(
+        forces_fn, cfg.positions, amask, velocities, masses, pos0, cell0,
+        dt, kT, p_ext, W, skin_half, beta_thresh, nsteps,
+        nhc_Q, nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof, bch_vxi, bch_xi,
+        vg, aniso, mask, check_beta, dtype, tbl_cell, offmax,
+        tbl0=tbl0, rebuild_fn=rebuild_fn, rebuild_cut=rebuild_cut,
+    )
+
+
+def _npt_loop(forces_fn, positions, amask, velocities, masses, pos0,
+              cell0, dt, kT, p_ext, W, skin_half, beta_thresh, nsteps,
+              nhc_Q, nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof, bch_vxi,
+              bch_xi, vg, aniso, mask, check_beta, dtype, tbl_cell,
+              offmax, tbl0=(), rebuild_fn=None, rebuild_cut=None):
+    """The MTK NPT integrator while-loop, shared by the single-device /
+    committee chunk (md_chunk_npt) and the mesh-sharded chunk
+    (parallel/mesh.sharded_npt_chunk).  ``forces_fn(pos, cell, tbl) ->
+    (e, f, deps, beta_max)`` supplies the physics (tbl is ignored by
+    callers without in-loop rebuilds); ``rebuild_fn(pos, cell) ->
+    (tbl, ok)`` enables in-loop table rebuilds under the moving cell.
+    Returns the final loop state (see md_chunk_npt's return contract).
+    """
+    rebuild = rebuild_fn is not None
+    one = jnp.ones((), dtype=dtype)
+    eye = jnp.eye(3, dtype=dtype)
+
     def breach(pos, p0, cell, tcell, omax):
         return moving_cell_breach(pos, p0, cell, tcell, omax, amask,
                                   skin_half)
@@ -317,8 +343,6 @@ def md_chunk_npt(
         )
         return (s2[0], s2[1], vxi2[0], xi2[0], vxi2[1], xi2[1])
 
-    eye = jnp.eye(3, dtype=dtype)
-
     def expm_sym(A):
         # exp of a symmetric 3x3 via eigendecomposition (host _expm_sym)
         w, V = jnp.linalg.eigh(A)
@@ -378,15 +402,15 @@ def md_chunk_npt(
         vel = vel * s
         return pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg
 
-    e0, f0, deps0, b0 = forces_fn(cfg.positions, cell0, tbl0)
+    e0, f0, deps0, b0 = forces_fn(positions, cell0, tbl0)
     if rebuild:
         (tbl0, p00, tcell0, omax0, ok0, e0, f0, deps0, b0) = maybe_rebuild(
-            cfg.positions, cell0, tbl0, pos0, tbl_cell, offmax,
+            positions, cell0, tbl0, pos0, tbl_cell, offmax,
             e0, f0, deps0, b0
         )
     else:
         p00, tcell0, omax0 = pos0, tbl_cell, offmax
-        ok0 = ~breach(cfg.positions, pos0, cell0, tbl_cell, offmax)
+        ok0 = ~breach(positions, pos0, cell0, tbl_cell, offmax)
 
     def cond(state):
         (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg,
@@ -412,7 +436,7 @@ def md_chunk_npt(
         return (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi,
                 vg, i + 1, tbl, p0, tcell, omax, ok)
 
-    init = (cfg.positions, velocities, cell0, f0, e0, deps0, b0,
+    init = (positions, velocities, cell0, f0, e0, deps0, b0,
             nhc_vxi, nhc_xi, bch_vxi, bch_xi, vg,
             jnp.zeros((), jnp.int32), tbl0, p00, tcell0, omax0, ok0)
     (pos, vel, cell, f, e, deps, beta_max, vxi, xi, bvxi, bxi, vg, i,
@@ -428,11 +452,13 @@ class DeviceNPT:
     (inference or active) calculator — the NPT sibling of
     :class:`DeviceMD`.
 
-    Single-chip (the host MTKNPT driver covers meshes/replicas); BCM
-    committees are served on-device — the weighted committee energy AND
-    virial come from one backward pass (the host combination applies the
-    same scalar weights to per-expert virials).  Skin breaches under the
-    moving
+    Under a mesh the whole barostat loop runs SPMD
+    (parallel/mesh.sharded_npt_chunk: forces AND virial globally reduced
+    by differentiating through the psum; rebuilds through the host);
+    BCM committees are served on-device — the weighted committee energy
+    AND virial come from one backward pass (the host combination applies
+    the same scalar weights to per-expert virials).  Skin breaches under
+    the moving
     cell are rebuilt INSIDE the chunk by default (``in_loop_rebuild``,
     device MIC build from the current positions AND cell); host re-entry
     happens on uncertainty trips (sampling at the exact step, reference
@@ -450,11 +476,10 @@ class DeviceNPT:
                  check_beta=None, tchain=3, in_loop_rebuild=True,
                  isotropic=False, mask=None):
         check_plain_surface(calc, "DeviceNPT")
-        if getattr(calc.engine, "mesh", None) is not None:
-            raise NotImplementedError(
-                "DeviceNPT is single-chip; use the host MTKNPT driver "
-                "under a mesh"
-            )
+        # under a mesh the whole NPT loop runs SPMD
+        # (parallel/mesh.sharded_npt_chunk); in-loop rebuilds then defer
+        # to the host (sharded tables are re-partitioned there)
+        self.mesh = getattr(calc.engine, "mesh", None)
         if tchain != 3:
             raise NotImplementedError(
                 "the device NHC is fixed at chain length 3 (the host "
@@ -552,6 +577,21 @@ class DeviceNPT:
                     ma = model.full_model_arrays()
                     vs = model.vscale_for(np.asarray(cfg.numbers))
                     vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
+                oidx = gmask = None
+                if self.mesh is not None:
+                    if committee:
+                        raise NotImplementedError(
+                            "committee NPT under a mesh is not wired; "
+                            "unset engine.mesh or use the host driver"
+                        )
+                    from ..parallel.mesh import mesh_pad
+
+                    cfg, ma, oidx, vsj = mesh_pad(
+                        cfg, ma, vs, self.mesh, dtype=dtype
+                    )
+                    gmask = jnp.asarray(
+                        np.asarray(cfg.atom_mask)[:, None], dtype=dtype
+                    )
                 npad = cfg.positions.shape[0]
                 vel = np.zeros((npad, 3))
                 vel[: len(system)] = system.get_velocities()
@@ -564,8 +604,10 @@ class DeviceNPT:
                 from ..neighbors_device import device_rebuild_ok
 
                 rcut = eng.params.rc + calc._nlcache.skin
-                inloop = self.in_loop_rebuild and device_rebuild_ok(
-                    system.cell, system.pbc, rcut
+                inloop = (
+                    self.in_loop_rebuild
+                    and self.mesh is None
+                    and device_rebuild_ok(system.cell, system.pbc, rcut)
                 )
                 sidx_atom = sidx_ok = cut = None
                 if inloop:
@@ -582,13 +624,16 @@ class DeviceNPT:
                     cut=cut,
                     tbl_cell=None,  # host build: derived from cfg.cell
                     offmax=None,
+                    oidx=oidx,
+                    gmask=gmask,
                     cfg=cfg,
                     ma=ma,
                     mean_e=(None if mean_e is None
                             else jnp.asarray(mean_e, dtype=dtype)),
                     radii=eng.radii_table(),
                     znum=eng.znum_table(),
-                    vs=jnp.asarray(vs, dtype=dtype),
+                    vs=(vsj if self.mesh is not None
+                        else jnp.asarray(vs, dtype=dtype)),
                     vel=jnp.asarray(vel, dtype=dtype),
                     masses=jnp.asarray(masses, dtype=dtype),
                     pos0=jnp.asarray(pos0, dtype=dtype),
@@ -624,36 +669,68 @@ class DeviceNPT:
                     sidx_atom=chain["sidx_atom"],
                     sidx_ok=chain["sidx_ok"],
                 )
-            out = md_chunk_npt(
-                chain["cfg"], chain["ma"], chain["radii"], chain["znum"],
-                chain["vs"], chain["vel"], chain["masses"],
-                chain["pos0"], chain["cell"],
-                chain["dt"], chain["kT"], chain["p_ext"], chain["W"],
-                chain["skin"], chain["bthr"],
-                jnp.asarray(n, dtype=jnp.int32),
-                chain["Q"], chain["dof"],
-                jnp.asarray(self.nhc_vxi, dtype=dtype),
-                jnp.asarray(self.nhc_xi, dtype=dtype),
-                chain["Qb"],
-                jnp.asarray(self.bch_vxi, dtype=dtype),
-                jnp.asarray(self.bch_xi, dtype=dtype),
-                jnp.asarray(self.vg, dtype=dtype),
-                chem_z=chem_z,
-                mixL=mixL,
-                params=eng.params,
-                exponent=eng.exponent,
-                pair_terms=eng.pair_terms,
-                check_beta=self.check_beta,
-                kind=eng.kernel_kind,
-                aniso=not self.isotropic,
-                mask=chain["mask"],
-                bch_dof=chain["bch_dof"],
-                tbl_cell=chain["tbl_cell"],
-                offmax=chain["offmax"],
-                committee=chain["mean_e"] is not None,
-                mean_e=chain["mean_e"],
-                **inloop_kw,
-            )
+            if self.mesh is not None:
+                from ..parallel.mesh import sharded_npt_chunk
+
+                out = sharded_npt_chunk(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], chain["gmask"],
+                    chain["vel"], chain["masses"], chain["pos0"],
+                    chain["cell"],
+                    chain["dt"], chain["kT"], chain["p_ext"], chain["W"],
+                    chain["skin"], chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    chain["Q"], chain["dof"],
+                    jnp.asarray(self.nhc_vxi, dtype=dtype),
+                    jnp.asarray(self.nhc_xi, dtype=dtype),
+                    chain["Qb"],
+                    (jnp.ones((), dtype=dtype)
+                     if chain["bch_dof"] is None else chain["bch_dof"]),
+                    jnp.asarray(self.bch_vxi, dtype=dtype),
+                    jnp.asarray(self.bch_xi, dtype=dtype),
+                    jnp.asarray(self.vg, dtype=dtype),
+                    (jnp.ones((3, 3), dtype=dtype)
+                     if chain["mask"] is None else chain["mask"]),
+                    chain["oidx"], mesh=self.mesh,
+                    chem_z=chem_z, mixL=mixL,
+                    params=eng.params, exponent=eng.exponent,
+                    pair_terms=eng.pair_terms,
+                    check_beta=self.check_beta,
+                    kind=eng.kernel_kind,
+                    aniso=not self.isotropic,
+                )
+            else:
+                out = md_chunk_npt(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"],
+                    chain["vs"], chain["vel"], chain["masses"],
+                    chain["pos0"], chain["cell"],
+                    chain["dt"], chain["kT"], chain["p_ext"], chain["W"],
+                    chain["skin"], chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    chain["Q"], chain["dof"],
+                    jnp.asarray(self.nhc_vxi, dtype=dtype),
+                    jnp.asarray(self.nhc_xi, dtype=dtype),
+                    chain["Qb"],
+                    jnp.asarray(self.bch_vxi, dtype=dtype),
+                    jnp.asarray(self.bch_xi, dtype=dtype),
+                    jnp.asarray(self.vg, dtype=dtype),
+                    chem_z=chem_z,
+                    mixL=mixL,
+                    params=eng.params,
+                    exponent=eng.exponent,
+                    pair_terms=eng.pair_terms,
+                    check_beta=self.check_beta,
+                    kind=eng.kernel_kind,
+                    aniso=not self.isotropic,
+                    mask=chain["mask"],
+                    bch_dof=chain["bch_dof"],
+                    tbl_cell=chain["tbl_cell"],
+                    offmax=chain["offmax"],
+                    committee=chain["mean_e"] is not None,
+                    mean_e=chain["mean_e"],
+                    **inloop_kw,
+                )
             if chain["inloop"]:
                 (pos, vel, cell, f, e, beta_max, i, vxi, xi, bvxi, bxi,
                  vg, tbl, p0, tcell, omax) = out

@@ -510,3 +510,140 @@ def sharded_md_chunk(
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
               masses, pos0, key, dt, kT, friction, skin_half, beta_thresh,
               nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi)
+
+
+def sharded_npt_chunk(
+    cfg: ConfigArrays,
+    model: ModelArrays,
+    radii,
+    znum,
+    vscale_atom,  # (N,) sharded over 'data'
+    amask,  # (N, 1) global atom mask, replicated
+    velocities,  # (N, 3) replicated
+    masses,  # (N, 1) replicated
+    pos0,  # (N, 3) positions at table-build time, replicated
+    cell0,  # (3, 3) current cell, replicated
+    dt,
+    kT,
+    p_ext,
+    W,
+    skin_half,
+    beta_thresh,
+    nsteps,
+    nhc_Q,
+    nhc_dof,
+    nhc_vxi,
+    nhc_xi,
+    bch_Q,
+    bch_dof,  # scalar cell-chain dof (1.0 isotropic / ncell aniso)
+    bch_vxi,
+    bch_xi,
+    vg,  # scalar (isotropic) or (3, 3) symmetric (aniso)
+    strain_mask,  # (3, 3) strain-component mask (ignored when not aniso)
+    own_idx,
+    mesh,
+    chem_z=None,
+    mixL=None,
+    params=None,
+    exponent=4,
+    pair_terms=(),
+    check_beta=True,
+    kind="dot",
+    aniso=False,
+):
+    """Device-resident MTK NPT over the ('data', 'model') mesh: the
+    ENTIRE barostat while-loop (md/device_npt._npt_loop) runs inside
+    one ``shard_map`` — constant-pressure MD scales out exactly like
+    :func:`sharded_md_chunk`.
+
+    The energy is psum'd over both mesh axes INSIDE the function that is
+    differentiated w.r.t. (positions, strain) jointly, so BOTH the
+    forces and the virial (trace or tensor) come out globally reduced on
+    every device; the replicated integrator state (positions, cell,
+    thermostat + barostat chains) then steps identically everywhere.
+    Skin breaches exit the chunk (host rebuild re-partitions the sharded
+    tables, like the NVT mesh path); the breach metric includes the
+    moving-cell image-drift term with the table's offmax pmax'd over
+    'data'.
+
+    Trajectories match the single-device ``md_chunk_npt`` (equality-
+    tested in tests/test_parallel.py).  Returns the md_chunk_npt
+    no-rebuild tuple (pos, vel, cell, f, e, beta_max, ndone, nhc_vxi,
+    nhc_xi, bch_vxi, bch_xi, vg), every output replicated.
+    """
+    from ..md.device_npt import _npt_loop, offsum_max
+
+    dtype = cfg.positions.dtype
+
+    def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses,
+                 pos0, cell0, dt, kT, p_ext, W, skin_half, beta_thresh,
+                 nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof,
+                 bch_vxi, bch_xi, vg, strain_mask):
+        eye = jnp.eye(3, dtype=dtype)
+
+        def forces_fn(pos, cell, tbl=None):
+            def energy(p, eps):
+                if aniso:
+                    sc = eye + eps
+                    p_s, cell_s = p @ sc.T, cell @ sc.T
+                else:
+                    p_s, cell_s = p * (1.0 + eps), cell * (1.0 + eps)
+                cov, lone, alpha = _total_cov(
+                    p_s, cell_s, cfg_l, model_l.X_desc, model_l.X_num,
+                    model_l.X_lone, rad, znum, params, exponent,
+                    pair_terms, model_l.pair_d, model_l.pair_mask,
+                    chem_z=chem_z, mixL=mixL, kind=kind, oidx=oidx,
+                )
+                cov = cov * (
+                    cfg_l.atom_mask[:, None] & model_l.m_mask[None, :]
+                )
+                # psum inside the differentiated function: position AND
+                # strain gradients come out globally reduced (the
+                # sharded_md_chunk idiom, extended to the virial)
+                e = jax.lax.psum(
+                    precise_sum(cov @ model_l.mu), ("data", "model")
+                )
+                return e, (cov, alpha)
+
+            zero = jnp.zeros((3, 3) if aniso else (), dtype=dtype)
+            (e, (cov, alpha)), (g, deps) = jax.value_and_grad(
+                energy, argnums=(0, 1), has_aux=True
+            )(pos, zero)
+            if aniso:
+                deps = 0.5 * (deps + deps.T)
+            f = -g * amask
+            if check_beta:
+                _, beta = _gathered_beta(
+                    model_l.choli, cov, alpha, vs_l, cfg_l.atom_mask
+                )
+                beta_max = jax.lax.pmax(jnp.max(beta), "data")
+            else:
+                beta_max = jnp.zeros((), dtype=dtype)
+            return e, f, deps, beta_max
+
+        # the sharded table was built with cell0 on the host; its image
+        # lever arm is the global max over the 'data' shards
+        omax = jax.lax.pmax(
+            offsum_max(cfg_l.nbr_off, cfg_l.nbr_mask, dtype), "data"
+        )
+        # positions are replicated in the cfg spec (neighbors cross
+        # shards), exactly like sharded_md_chunk's pos_init
+        return _npt_loop(
+            forces_fn, cfg_l.positions, amask, vel, masses, pos0, cell0,
+            dt, kT, p_ext, W, skin_half, beta_thresh, nsteps, nhc_Q,
+            nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof, bch_vxi, bch_xi,
+            vg, aniso, strain_mask, check_beta, dtype, cell0, omax,
+        )
+
+    rep = (P(),) * 22
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"),
+                  P("data")) + rep,
+        out_specs=(P(),) * 12,
+    )
+    return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
+              masses, pos0, cell0, dt, kT, p_ext, W, skin_half,
+              beta_thresh, nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
+              bch_Q, bch_dof, bch_vxi, bch_xi, vg, strain_mask)

@@ -228,6 +228,53 @@ def test_device_md_driver_with_mesh(tmp_path, monkeypatch):
     np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-10)
 
 
+def test_device_npt_driver_with_mesh(tmp_path, monkeypatch):
+    """DeviceNPT end-to-end over the mesh == single-device DeviceNPT:
+    the whole MTK barostat loop runs SPMD (sharded_npt_chunk), with the
+    forces AND the virial globally reduced by differentiating through
+    the psum — isotropic and flexible-cell."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.md.device_npt import DeviceNPT
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    # flexible-cell only: it is the superset machinery (3x3 vg, eigh
+    # expm, mask, tensor virial); the isotropic specialization is
+    # host-equality-tested on a single device, and each mesh NPT compile
+    # costs minutes on the 8-virtual-device CPU backend
+    for iso in (False,):
+        out = {}
+        for mesh in (None, make_mesh(n_data=4, n_model=2)):
+            eng, model, s = build_state()
+            eng.mesh = mesh
+            s2 = s.copy()
+            calc = ActiveCalculator(
+                covariance=model, calculator=None, logfile=None, pckl=None,
+                tape=None, skin=0.3,
+            )
+            s2.calc = calc
+            maxwell_boltzmann_velocities(s2, 500, seed=3)
+            dyn = DeviceNPT(
+                s2, calc, 2.0 * units.fs, temperature_K=300,
+                pressure_GPa=0.2, tdamp=50 * units.fs,
+                pdamp=200 * units.fs, chunk=7, check_beta=False,
+                isotropic=iso, in_loop_rebuild=False,
+            )
+            dyn.run(16)
+            assert dyn.nsteps == 16
+            out[mesh is None] = (
+                s2.positions.copy(), np.asarray(s2.cell).copy(),
+                s2.get_velocities().copy(),
+            )
+        np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-10)
+        np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-12)
+        np.testing.assert_allclose(out[False][2], out[True][2], atol=1e-10)
+        # non-trivial: the cell moved under 0.2 GPa
+        eng0, model0, s0 = build_state()
+        assert np.abs(out[True][1] - np.asarray(s0.cell)).max() > 1e-8
+
+
 def test_mesh_bench_harness(capsys):
     """The collective-accounting harness runs and the sharded trajectory
     matches single-device (VERDICT r2 weak #6)."""
