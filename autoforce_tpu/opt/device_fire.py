@@ -335,6 +335,24 @@ def fire_chunk(
 
     if not rebuild:
         tbl0 = ()
+    return _fire_loop(
+        forces_fn, cfg.positions, amask, v, pos0, dt, a, n_uphill,
+        skin_half, fmax_target, beta_thresh, nsteps, maxstep, dtmax,
+        nmin, finc, fdec, astart, fa, check_beta,
+        tbl0=tbl0, rebuild_fn=rebuild_fn,
+    )
+
+
+def _fire_loop(forces_fn, positions, amask, v, pos0, dt, a, n_uphill,
+               skin_half, fmax_target, beta_thresh, nsteps, maxstep,
+               dtmax, nmin, finc, fdec, astart, fa, check_beta,
+               tbl0=(), rebuild_fn=None):
+    """The FIRE while-loop, shared by the single-device/committee chunk
+    (fire_chunk) and the mesh-sharded chunk
+    (parallel/mesh.sharded_fire_chunk).  ``forces_fn(pos, tbl) ->
+    (e, f, beta_max)``; ``rebuild_fn(pos) -> (tbl, ok)`` enables in-loop
+    table rebuilds.  Returns fire_chunk's tuple contract."""
+    rebuild = rebuild_fn is not None
 
     def fmax_of(f):
         return jnp.sqrt(((f * f) * amask).sum(-1).max())
@@ -390,11 +408,11 @@ def fire_chunk(
         return pos, v, dt, a, n_uphill
 
     if rebuild:
-        tbl0, p00, ok0 = maybe_rebuild(cfg.positions, tbl0, pos0)
+        tbl0, p00, ok0 = maybe_rebuild(positions, tbl0, pos0)
     else:
         p00 = pos0
-        ok0 = ~breach(cfg.positions, pos0)
-    e0, f0, b0 = forces_fn(cfg.positions, tbl0)
+        ok0 = ~breach(positions, pos0)
+    e0, f0, b0 = forces_fn(positions, tbl0)
     # the while condition reads SCALARS only (fmax is reduced in the
     # body and carried); see maybe_rebuild for the scheduling rationale
     fm0 = fmax_of(f0)
@@ -419,7 +437,7 @@ def fire_chunk(
         return (pos, v, f, e, beta_max, fmax_of(f), dt, a, nu, i + 1, tbl,
                 p0, ok)
 
-    init = (cfg.positions, v, f0, e0, b0, fm0, dt, a, n_uphill,
+    init = (positions, v, f0, e0, b0, fm0, dt, a, n_uphill,
             jnp.zeros((), jnp.int32), tbl0, p00, ok0)
     (pos, v, f, e, beta_max, fm, dt, a, nu, i, tbl, p0, ok) = (
         jax.lax.while_loop(cond, body, init)
@@ -451,9 +469,14 @@ class DeviceFIRE:
                  chunk=50, check_beta=None, in_loop_rebuild=True,
                  cell=False, scalar_pressure=0.0, cell_factor=None):
         check_plain_surface(calc, "DeviceFIRE")
-        if getattr(calc.engine, "mesh", None) is not None:
+        # under a mesh the whole FIRE loop runs SPMD
+        # (parallel/mesh.sharded_fire_chunk); positions-only there — the
+        # variable-cell filter stays single-chip
+        self.mesh = getattr(calc.engine, "mesh", None)
+        if self.mesh is not None and cell:
             raise NotImplementedError(
-                "DeviceFIRE is single-chip; use the host FIRE under a mesh"
+                "variable-cell DeviceFIRE is single-chip; unset "
+                "engine.mesh or use the host FIRE + UnitCellFilter"
             )
         self.system = system
         self.calc = calc
@@ -534,6 +557,21 @@ class DeviceFIRE:
                     ma = model.full_model_arrays()
                     vs = model.vscale_for(np.asarray(cfg.numbers))
                     vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
+                oidx = gmask = vsj = None
+                if self.mesh is not None:
+                    if committee:
+                        raise NotImplementedError(
+                            "committee FIRE under a mesh is not wired; "
+                            "unset engine.mesh or use the host FIRE"
+                        )
+                    from ..parallel.mesh import mesh_pad
+
+                    cfg, ma, oidx, vsj = mesh_pad(
+                        cfg, ma, vs, self.mesh, dtype=dtype
+                    )
+                    gmask = jnp.asarray(
+                        np.asarray(cfg.atom_mask)[:, None], dtype=dtype
+                    )
                 npad = cfg.positions.shape[0]
                 pos0 = np.zeros((npad, 3))
                 pos0[: len(system)] = calc._nlcache._pos
@@ -548,8 +586,10 @@ class DeviceFIRE:
                 from ..neighbors_device import device_rebuild_ok
 
                 rcut = eng.params.rc + calc._nlcache.skin
-                inloop = self.in_loop_rebuild and device_rebuild_ok(
-                    system.cell, system.pbc, rcut
+                inloop = (
+                    self.in_loop_rebuild
+                    and self.mesh is None
+                    and device_rebuild_ok(system.cell, system.pbc, rcut)
                 )
                 sidx_atom = sidx_ok = cut = None
                 if inloop:
@@ -562,7 +602,10 @@ class DeviceFIRE:
                 chain = dict(
                     inloop=inloop, sidx_atom=sidx_atom, sidx_ok=sidx_ok,
                     cut=cut, cfg=cfg, ma=ma, radii=eng.radii_table(),
-                    znum=eng.znum_table(), vs=jnp.asarray(vs, dtype=dtype),
+                    znum=eng.znum_table(),
+                    vs=(vsj if self.mesh is not None
+                        else jnp.asarray(vs, dtype=dtype)),
+                    oidx=oidx, gmask=gmask,
                     mean_e=(None if mean_e is None
                             else jnp.asarray(mean_e, dtype=dtype)),
                     pos0=jnp.asarray(pos0, dtype=dtype),
@@ -653,6 +696,29 @@ class DeviceFIRE:
                      a, nu, i) = out
                 self.deform = np.asarray(deform)
                 self._v_def = np.asarray(vd)
+            elif self.mesh is not None:
+                from ..parallel.mesh import sharded_fire_chunk
+
+                chem_z, mixL = eng.chem_args()
+                out = sharded_fire_chunk(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], chain["gmask"], v_dev,
+                    chain["pos0"],
+                    jnp.asarray(self.dt_cur, dtype=dtype),
+                    jnp.asarray(self.a, dtype=dtype),
+                    jnp.asarray(self.n_uphill, dtype=dtype),
+                    chain["skin"],
+                    jnp.asarray(fmax, dtype=dtype), chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    *fire_consts,
+                    chain["oidx"], mesh=self.mesh,
+                    chem_z=chem_z, mixL=mixL,
+                    params=eng.params, exponent=eng.exponent,
+                    pair_terms=eng.pair_terms,
+                    check_beta=self.check_beta,
+                    kind=eng.kernel_kind,
+                )
+                pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i = out
             else:
                 out = fire_chunk(
                     chain["cfg"], chain["ma"], chain["radii"],

@@ -647,3 +647,101 @@ def sharded_npt_chunk(
               masses, pos0, cell0, dt, kT, p_ext, W, skin_half,
               beta_thresh, nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
               bch_Q, bch_dof, bch_vxi, bch_xi, vg, strain_mask)
+
+
+def sharded_fire_chunk(
+    cfg: ConfigArrays,
+    model: ModelArrays,
+    radii,
+    znum,
+    vscale_atom,  # (N,) sharded over 'data'
+    amask,  # (N, 1) global atom mask, replicated
+    v,  # (N, 3) FIRE velocity, replicated
+    pos0,  # (N, 3) table-build origin, replicated
+    dt,
+    a,
+    n_uphill,
+    skin_half,
+    fmax_target,
+    beta_thresh,
+    nsteps,
+    maxstep,
+    dtmax,
+    nmin,
+    finc,
+    fdec,
+    astart,
+    fa,
+    own_idx,
+    mesh,
+    chem_z=None,
+    mixL=None,
+    params=None,
+    exponent=4,
+    pair_terms=(),
+    check_beta=True,
+    kind="dot",
+):
+    """Device-resident FIRE relaxation over the ('data', 'model') mesh:
+    the whole optimizer while-loop (opt/device_fire._fire_loop) runs
+    inside one ``shard_map`` — structure relaxation scales out exactly
+    like :func:`sharded_md_chunk` (forces globally reduced by
+    differentiating through the psum; the replicated FIRE state steps
+    identically everywhere).  Skin breaches exit the chunk (host
+    rebuild re-partitions the sharded tables).  Returns fire_chunk's
+    no-rebuild tuple (pos, v, f, e, beta_max, fmax, dt, a, n_uphill,
+    ndone), every output replicated."""
+    from ..md.device_md import _sgpr_forces  # noqa: F401 (parity docs)
+    from ..opt.device_fire import _fire_loop
+
+    dtype = cfg.positions.dtype
+
+    def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, v, pos0, dt, a,
+                 n_uphill, skin_half, fmax_target, beta_thresh, nsteps,
+                 maxstep, dtmax, nmin, finc, fdec, astart, fa):
+        def forces_fn(pos, tbl=None):
+            def energy(p):
+                cov, lone, alpha = _total_cov(
+                    p, cfg_l.cell, cfg_l, model_l.X_desc, model_l.X_num,
+                    model_l.X_lone, rad, znum, params, exponent,
+                    pair_terms, model_l.pair_d, model_l.pair_mask,
+                    chem_z=chem_z, mixL=mixL, kind=kind, oidx=oidx,
+                )
+                cov = cov * (
+                    cfg_l.atom_mask[:, None] & model_l.m_mask[None, :]
+                )
+                e = jax.lax.psum(
+                    precise_sum(cov @ model_l.mu), ("data", "model")
+                )
+                return e, (cov, alpha)
+
+            (e, (cov, alpha)), g = jax.value_and_grad(
+                energy, has_aux=True
+            )(pos)
+            f = -g * amask
+            if check_beta:
+                _, beta = _gathered_beta(
+                    model_l.choli, cov, alpha, vs_l, cfg_l.atom_mask
+                )
+                beta_max = jax.lax.pmax(jnp.max(beta), "data")
+            else:
+                beta_max = jnp.zeros((), dtype=dtype)
+            return e, f, beta_max
+
+        return _fire_loop(
+            forces_fn, cfg_l.positions, amask, v, pos0, dt, a, n_uphill,
+            skin_half, fmax_target, beta_thresh, nsteps, maxstep, dtmax,
+            nmin, finc, fdec, astart, fa, check_beta,
+        )
+
+    rep = (P(),) * 17
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"),
+                  P("data")) + rep,
+        out_specs=(P(),) * 10,
+    )
+    return fn(cfg, model, radii, vscale_atom, own_idx, amask, v, pos0,
+              dt, a, n_uphill, skin_half, fmax_target, beta_thresh,
+              nsteps, maxstep, dtmax, nmin, finc, fdec, astart, fa)

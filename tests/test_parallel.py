@@ -275,6 +275,37 @@ def test_device_npt_driver_with_mesh(tmp_path, monkeypatch):
         assert np.abs(out[True][1] - np.asarray(s0.cell)).max() > 1e-8
 
 
+def test_device_fire_driver_with_mesh(tmp_path, monkeypatch):
+    """DeviceFIRE end-to-end over the mesh == single-device DeviceFIRE:
+    the whole optimizer while-loop runs SPMD (sharded_fire_chunk)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.opt.device_fire import DeviceFIRE
+
+    out = {}
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        eng, model, s = build_state()
+        eng.mesh = mesh
+        s2 = s.copy()
+        s2.rattle(0.06, seed=7)
+        calc = ActiveCalculator(
+            covariance=model, calculator=None, logfile=None, pckl=None,
+            tape=None, skin=0.3,
+        )
+        s2.calc = calc
+        dopt = DeviceFIRE(s2, calc, dt=0.05, chunk=6, check_beta=False,
+                          in_loop_rebuild=False)
+        conv = dopt.run(fmax=0.05, steps=40)
+        out[mesh is None] = (s2.positions.copy(), dopt.nsteps, conv)
+    assert out[False][1] == out[True][1]
+    assert out[False][2] == out[True][2]
+    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
+    # non-trivial: the relaxation moved the structure
+    eng0, model0, s0 = build_state()
+    s0.rattle(0.06, seed=7)
+    assert np.abs(out[True][0] - s0.positions).max() > 1e-4
+
+
 def test_mesh_bench_harness(capsys):
     """The collective-accounting harness runs and the sharded trajectory
     matches single-device (VERDICT r2 weak #6)."""
