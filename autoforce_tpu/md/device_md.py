@@ -952,13 +952,10 @@ class DeviceMD:
                     # model knows nothing)
                     vs = np.where(np.isfinite(vs), vs, self._VS_UNSEEN)
                     if self.mesh is not None:
-                        from ..parallel.mesh import mesh_pad
+                        from ..parallel.mesh import pad_for_mesh
 
-                        cfg, ma, oidx, vsj = mesh_pad(
-                            cfg, ma, vs, self.mesh, dtype=dtype
-                        )
-                        amask = jnp.asarray(
-                            np.asarray(cfg.atom_mask)[:, None], dtype=dtype
+                        cfg, ma, oidx, vsj, amask = pad_for_mesh(
+                            cfg, ma, vs, self.mesh, dtype
                         )
                     else:
                         vsj = jnp.asarray(vs, dtype=dtype)

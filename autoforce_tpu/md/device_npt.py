@@ -228,7 +228,6 @@ def md_chunk_npt(
     """
     dtype = cfg.positions.dtype
     amask = cfg.atom_mask[:, None]
-    one = jnp.ones((), dtype=dtype)
     cfg_with, tbl0, rebuild_fn = _inloop_table(
         cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok
     )
@@ -584,13 +583,10 @@ class DeviceNPT:
                             "committee NPT under a mesh is not wired; "
                             "unset engine.mesh or use the host driver"
                         )
-                    from ..parallel.mesh import mesh_pad
+                    from ..parallel.mesh import pad_for_mesh
 
-                    cfg, ma, oidx, vsj = mesh_pad(
-                        cfg, ma, vs, self.mesh, dtype=dtype
-                    )
-                    gmask = jnp.asarray(
-                        np.asarray(cfg.atom_mask)[:, None], dtype=dtype
+                    cfg, ma, oidx, vsj, gmask = pad_for_mesh(
+                        cfg, ma, vs, self.mesh, dtype
                     )
                 npad = cfg.positions.shape[0]
                 vel = np.zeros((npad, 3))

@@ -564,13 +564,10 @@ class DeviceFIRE:
                             "committee FIRE under a mesh is not wired; "
                             "unset engine.mesh or use the host FIRE"
                         )
-                    from ..parallel.mesh import mesh_pad
+                    from ..parallel.mesh import pad_for_mesh
 
-                    cfg, ma, oidx, vsj = mesh_pad(
-                        cfg, ma, vs, self.mesh, dtype=dtype
-                    )
-                    gmask = jnp.asarray(
-                        np.asarray(cfg.atom_mask)[:, None], dtype=dtype
+                    cfg, ma, oidx, vsj, gmask = pad_for_mesh(
+                        cfg, ma, vs, self.mesh, dtype
                     )
                 npad = cfg.positions.shape[0]
                 pos0 = np.zeros((npad, 3))
@@ -699,7 +696,6 @@ class DeviceFIRE:
             elif self.mesh is not None:
                 from ..parallel.mesh import sharded_fire_chunk
 
-                chem_z, mixL = eng.chem_args()
                 out = sharded_fire_chunk(
                     chain["cfg"], chain["ma"], chain["radii"],
                     chain["znum"], chain["vs"], chain["gmask"], v_dev,

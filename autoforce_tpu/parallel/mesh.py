@@ -85,6 +85,41 @@ def _gathered_beta(choli, cov, alpha, vscale_atom, atom_mask):
     return cov_full, jnp.where(atom_mask, beta, -jnp.inf)
 
 
+def _psum_energy(cfg_l, model_l, rad, oidx, znum, params, exponent,
+                 pair_terms, chem_z, mixL, kind):
+    """Build the sharded energy closure used by every sharded_*_chunk:
+    ``energy(p, cell) -> (E, (cov, alpha))`` with the masked covariance
+    from `_total_cov` (this device's atom rows x inducing columns) and
+    the energy psum'd over BOTH mesh axes INSIDE the closure — so
+    differentiating it yields globally reduced position/strain
+    gradients (full forces and virial on every device)."""
+
+    def energy(p, cell):
+        cov, lone, alpha = _total_cov(
+            p, cell, cfg_l, model_l.X_desc, model_l.X_num,
+            model_l.X_lone, rad, znum, params, exponent, pair_terms,
+            model_l.pair_d, model_l.pair_mask, chem_z=chem_z, mixL=mixL,
+            kind=kind, oidx=oidx,
+        )
+        cov = cov * (cfg_l.atom_mask[:, None] & model_l.m_mask[None, :])
+        e = jax.lax.psum(precise_sum(cov @ model_l.mu), ("data", "model"))
+        return e, (cov, alpha)
+
+    return energy
+
+
+def _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l, check_beta, dtype):
+    """Committee-free covloss trigger for the sharded chunks: beta from
+    the model-axis-gathered covariance, maxed over this shard's atoms
+    and pmax'd over 'data'."""
+    if not check_beta:
+        return jnp.zeros((), dtype=dtype)
+    _, beta = _gathered_beta(
+        model_l.choli, cov, alpha, vs_l, cfg_l.atom_mask
+    )
+    return jax.lax.pmax(jnp.max(beta), "data")
+
+
 def _cfg_spec():
     """Per-leaf partition specs of a sharded ConfigArrays: positions/cell
     replicated (neighbors cross shards), per-atom tables over 'data'."""
@@ -162,6 +197,18 @@ def mesh_pad(cfg: ConfigArrays, model: ModelArrays, vscale_atom, mesh,
     )
     vs = jnp.asarray(vscale_atom, dtype=dtype or cfg.positions.dtype)
     return cfg2, model2, own_idx, pad_to(vs, n2)
+
+
+def pad_for_mesh(cfg, model, vscale_atom, mesh, dtype):
+    """mesh_pad plus the replicated global atom-mask column the sharded
+    chunk loops consume — the one-call driver-side entry used by
+    DeviceMD/DeviceNPT/DeviceFIRE when engine.mesh is set."""
+    cfg2, ma2, oidx, vsj = mesh_pad(cfg, model, vscale_atom, mesh,
+                                    dtype=dtype)
+    gmask = jnp.asarray(
+        np.asarray(cfg2.atom_mask)[:, None], dtype=dtype
+    )
+    return cfg2, ma2, oidx, vsj, gmask
 
 
 @partial(
@@ -462,34 +509,16 @@ def sharded_md_chunk(
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses, pos0,
                  key, dt, kT, friction, skin_half, beta_thresh, nsteps,
                  nhc_Q, nhc_dof, nhc_vxi, nhc_xi):
-        def forces_fn(pos):
-            def energy(p):
-                cov, lone, alpha = _total_cov(
-                    p, cfg_l.cell, cfg_l, model_l.X_desc, model_l.X_num,
-                    model_l.X_lone, rad, znum, params, exponent, pair_terms,
-                    model_l.pair_d, model_l.pair_mask, chem_z=chem_z,
-                    mixL=mixL, kind=kind, oidx=oidx,
-                )
-                cov = cov * (cfg_l.atom_mask[:, None] & model_l.m_mask[None, :])
-                # differentiating through the psum makes the position
-                # gradient come out globally reduced (full forces on
-                # every device)
-                e = jax.lax.psum(
-                    precise_sum(cov @ model_l.mu), ("data", "model")
-                )
-                return e, (cov, alpha)
+        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
+                                exponent, pair_terms, chem_z, mixL, kind)
 
+        def forces_fn(pos):
             (e, (cov, alpha)), g = jax.value_and_grad(
-                energy, has_aux=True
+                lambda p: energy_g(p, cfg_l.cell), has_aux=True
             )(pos)
             f = -g * amask
-            if check_beta:
-                _, beta = _gathered_beta(
-                    model_l.choli, cov, alpha, vs_l, cfg_l.atom_mask
-                )
-                beta_max = jax.lax.pmax(jnp.max(beta), "data")
-            else:
-                beta_max = jnp.zeros((), dtype=pos.dtype)
+            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
+                                         check_beta, pos.dtype)
             return e, f, beta_max
 
         pos, vel, key, f, e, beta_max, vxi, xi, i = _chunk_loop(
@@ -512,6 +541,11 @@ def sharded_md_chunk(
               nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "params", "exponent", "pair_terms",
+                     "check_beta", "kind", "aniso"),
+)
 def sharded_npt_chunk(
     cfg: ConfigArrays,
     model: ModelArrays,
@@ -580,30 +614,18 @@ def sharded_npt_chunk(
                  nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof,
                  bch_vxi, bch_xi, vg, strain_mask):
         eye = jnp.eye(3, dtype=dtype)
+        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
+                                exponent, pair_terms, chem_z, mixL, kind)
 
         def forces_fn(pos, cell, tbl=None):
             def energy(p, eps):
-                if aniso:
-                    sc = eye + eps
-                    p_s, cell_s = p @ sc.T, cell @ sc.T
-                else:
-                    p_s, cell_s = p * (1.0 + eps), cell * (1.0 + eps)
-                cov, lone, alpha = _total_cov(
-                    p_s, cell_s, cfg_l, model_l.X_desc, model_l.X_num,
-                    model_l.X_lone, rad, znum, params, exponent,
-                    pair_terms, model_l.pair_d, model_l.pair_mask,
-                    chem_z=chem_z, mixL=mixL, kind=kind, oidx=oidx,
-                )
-                cov = cov * (
-                    cfg_l.atom_mask[:, None] & model_l.m_mask[None, :]
-                )
                 # psum inside the differentiated function: position AND
                 # strain gradients come out globally reduced (the
                 # sharded_md_chunk idiom, extended to the virial)
-                e = jax.lax.psum(
-                    precise_sum(cov @ model_l.mu), ("data", "model")
-                )
-                return e, (cov, alpha)
+                if aniso:
+                    sc = eye + eps
+                    return energy_g(p @ sc.T, cell @ sc.T)
+                return energy_g(p * (1.0 + eps), cell * (1.0 + eps))
 
             zero = jnp.zeros((3, 3) if aniso else (), dtype=dtype)
             (e, (cov, alpha)), (g, deps) = jax.value_and_grad(
@@ -612,13 +634,8 @@ def sharded_npt_chunk(
             if aniso:
                 deps = 0.5 * (deps + deps.T)
             f = -g * amask
-            if check_beta:
-                _, beta = _gathered_beta(
-                    model_l.choli, cov, alpha, vs_l, cfg_l.atom_mask
-                )
-                beta_max = jax.lax.pmax(jnp.max(beta), "data")
-            else:
-                beta_max = jnp.zeros((), dtype=dtype)
+            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
+                                         check_beta, dtype)
             return e, f, deps, beta_max
 
         # the sharded table was built with cell0 on the host; its image
@@ -627,12 +644,17 @@ def sharded_npt_chunk(
             offsum_max(cfg_l.nbr_off, cfg_l.nbr_mask, dtype), "data"
         )
         # positions are replicated in the cfg spec (neighbors cross
-        # shards), exactly like sharded_md_chunk's pos_init
+        # shards), exactly like sharded_md_chunk's pos_init.  The
+        # image-drift baseline is the TABLE-BUILD cell (cfg_l.cell, the
+        # md_chunk_npt contract) — NOT the chunk-entry cell: on chained
+        # chunks the table persists while cell0 has moved, and measuring
+        # drift from cell0 would let cumulative strain silently stale
+        # the neighbor list.
         return _npt_loop(
             forces_fn, cfg_l.positions, amask, vel, masses, pos0, cell0,
             dt, kT, p_ext, W, skin_half, beta_thresh, nsteps, nhc_Q,
             nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof, bch_vxi, bch_xi,
-            vg, aniso, strain_mask, check_beta, dtype, cell0, omax,
+            vg, aniso, strain_mask, check_beta, dtype, cfg_l.cell, omax,
         )
 
     rep = (P(),) * 22
@@ -649,6 +671,11 @@ def sharded_npt_chunk(
               bch_Q, bch_dof, bch_vxi, bch_xi, vg, strain_mask)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "params", "exponent", "pair_terms",
+                     "check_beta", "kind"),
+)
 def sharded_fire_chunk(
     cfg: ConfigArrays,
     model: ModelArrays,
@@ -699,33 +726,16 @@ def sharded_fire_chunk(
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, v, pos0, dt, a,
                  n_uphill, skin_half, fmax_target, beta_thresh, nsteps,
                  maxstep, dtmax, nmin, finc, fdec, astart, fa):
-        def forces_fn(pos, tbl=None):
-            def energy(p):
-                cov, lone, alpha = _total_cov(
-                    p, cfg_l.cell, cfg_l, model_l.X_desc, model_l.X_num,
-                    model_l.X_lone, rad, znum, params, exponent,
-                    pair_terms, model_l.pair_d, model_l.pair_mask,
-                    chem_z=chem_z, mixL=mixL, kind=kind, oidx=oidx,
-                )
-                cov = cov * (
-                    cfg_l.atom_mask[:, None] & model_l.m_mask[None, :]
-                )
-                e = jax.lax.psum(
-                    precise_sum(cov @ model_l.mu), ("data", "model")
-                )
-                return e, (cov, alpha)
+        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
+                                exponent, pair_terms, chem_z, mixL, kind)
 
+        def forces_fn(pos, tbl=None):
             (e, (cov, alpha)), g = jax.value_and_grad(
-                energy, has_aux=True
+                lambda p: energy_g(p, cfg_l.cell), has_aux=True
             )(pos)
             f = -g * amask
-            if check_beta:
-                _, beta = _gathered_beta(
-                    model_l.choli, cov, alpha, vs_l, cfg_l.atom_mask
-                )
-                beta_max = jax.lax.pmax(jnp.max(beta), "data")
-            else:
-                beta_max = jnp.zeros((), dtype=dtype)
+            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
+                                         check_beta, dtype)
             return e, f, beta_max
 
         return _fire_loop(
