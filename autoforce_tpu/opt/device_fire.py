@@ -112,13 +112,7 @@ def fire_cell_chunk(
     (pos_und @ deform.T).  Returns (pos_real, v, v_def, deform, f, e,
     beta_max, fmax, dt, a, n_uphill, ndone[, tbl, pos0, tbl_cell,
     offmax])."""
-    from ..kernels import precise_sum
-    from ..md.device_npt import (_min_perp_width, _sgpr_forces_virial,
-                                 moving_cell_breach, offsum_max)
-
-    dtype = cfg.positions.dtype
     amask = cfg.atom_mask[:, None]
-    eye = jnp.eye(3, dtype=dtype)
     cfg_with, tbl0, rebuild_fn = _inloop_table(
         cfg, rebuild, rebuild_cut, sidx_atom, sidx_ok
     )
@@ -135,11 +129,42 @@ def fire_cell_chunk(
                 vscale_atom, mean_e, params, exponent, pair_terms,
                 chem_z, mixL, kind, check_beta, aniso=True,
             )
+        from ..md.device_npt import _sgpr_forces_virial
+
         return _sgpr_forces_virial(
             pos, cell, cfg_with(tbl), model, radii, znum, vscale_atom,
             params, exponent, pair_terms, chem_z, mixL, kind, check_beta,
             aniso=True,
         )
+
+    return _fire_cell_loop(
+        forces_fn, cfg.positions, amask, v, v_def, deform, cell0, pos0,
+        tbl_cell, offmax, dt, a, n_uphill, skin_half, fmax_target,
+        beta_thresh, nsteps, cell_factor, pressure, maxstep, dtmax, nmin,
+        finc, fdec, astart, fa, check_beta,
+        tbl0=tbl0, rebuild_fn=rebuild_fn, rebuild_cut=rebuild_cut,
+    )
+
+
+def _fire_cell_loop(forces_fn, positions, amask, v, v_def, deform, cell0,
+                    pos0, tbl_cell, offmax, dt, a, n_uphill, skin_half,
+                    fmax_target, beta_thresh, nsteps, cell_factor,
+                    pressure, maxstep, dtmax, nmin, finc, fdec, astart,
+                    fa, check_beta, tbl0=(), rebuild_fn=None,
+                    rebuild_cut=None):
+    """The variable-cell FIRE while-loop, shared by the single-device/
+    committee chunk (:func:`fire_cell_chunk`) and the mesh-sharded chunk
+    (parallel/mesh.sharded_fire_cell_chunk).  ``forces_fn(pos, cell,
+    tbl) -> (e, f_real, deps=vol*stress, beta_max)``; ``rebuild_fn(pos,
+    cell) -> (tbl, ok)`` enables in-loop table rebuilds.  Returns
+    fire_cell_chunk's tuple contract."""
+    from ..kernels import precise_sum
+    from ..md.device_npt import (_min_perp_width, moving_cell_breach,
+                                 offsum_max)
+
+    rebuild = rebuild_fn is not None
+    dtype = positions.dtype
+    eye = jnp.eye(3, dtype=dtype)
 
     def breach(pos, p0, cell, tcell, omax):
         return moving_cell_breach(pos, p0, cell, tcell, omax, amask,
@@ -218,15 +243,15 @@ def fire_cell_chunk(
         return pos_und, defc, v, v_def, dt, a, n_uphill
 
     # initial state: real positions -> undeformed frame
-    pos_und0 = jnp.linalg.solve(deform.T, cfg.positions.T).T * amask
+    pos_und0 = jnp.linalg.solve(deform.T, positions.T).T * amask
     defc0 = deform * cell_factor
     if rebuild:
         tbl0, p00, tcell0, omax0, ok0 = maybe_rebuild(
-            cfg.positions, cell0 @ deform.T, tbl0, pos0, tbl_cell, offmax
+            positions, cell0 @ deform.T, tbl0, pos0, tbl_cell, offmax
         )
     else:
         p00, tcell0, omax0 = pos0, tbl_cell, offmax
-        ok0 = ~breach(cfg.positions, pos0, cell0 @ deform.T, tbl_cell,
+        ok0 = ~breach(positions, pos0, cell0 @ deform.T, tbl_cell,
                       offmax)
     _, _, e0, fu0, fd0, b0 = eval_all(pos_und0, deform, tbl0)
     fm0 = fmax_of(fu0, fd0)
@@ -470,14 +495,8 @@ class DeviceFIRE:
                  cell=False, scalar_pressure=0.0, cell_factor=None):
         check_plain_surface(calc, "DeviceFIRE")
         # under a mesh the whole FIRE loop runs SPMD
-        # (parallel/mesh.sharded_fire_chunk); positions-only there — the
-        # variable-cell filter stays single-chip
+        # (parallel/mesh.sharded_fire_chunk / sharded_fire_cell_chunk)
         self.mesh = getattr(calc.engine, "mesh", None)
-        if self.mesh is not None and cell:
-            raise NotImplementedError(
-                "variable-cell DeviceFIRE is single-chip; unset "
-                "engine.mesh or use the host FIRE + UnitCellFilter"
-            )
         self.system = system
         self.calc = calc
         self.params = dict(dt=float(dt), maxstep=float(maxstep),
@@ -663,7 +682,36 @@ class DeviceFIRE:
                 )
                 chain["pos0"] = p0
 
-            if self.cell:
+            if self.cell and self.mesh is not None:
+                from ..parallel.mesh import sharded_fire_cell_chunk
+
+                out = sharded_fire_cell_chunk(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], chain["gmask"], v_dev,
+                    jnp.asarray(self._v_def, dtype=dtype),
+                    jnp.asarray(self.deform, dtype=dtype),
+                    chain["cell0"], chain["pos0"],
+                    jnp.asarray(self.dt_cur, dtype=dtype),
+                    jnp.asarray(self.a, dtype=dtype),
+                    jnp.asarray(self.n_uphill, dtype=dtype),
+                    chain["skin"],
+                    jnp.asarray(fmax, dtype=dtype), chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    jnp.asarray(self.cell_factor, dtype=dtype),
+                    jnp.asarray(self.pressure, dtype=dtype),
+                    *fire_consts,
+                    chain["oidx"], mesh=self.mesh,
+                    chem_z=chem_z, mixL=mixL,
+                    params=eng.params, exponent=eng.exponent,
+                    pair_terms=eng.pair_terms,
+                    check_beta=self.check_beta,
+                    kind=eng.kernel_kind,
+                )
+                (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
+                 a, nu, i) = out
+                self.deform = np.asarray(deform)
+                self._v_def = np.asarray(vd)
+            elif self.cell:
                 out = fire_cell_chunk(
                     chain["cfg"], chain["ma"], chain["radii"],
                     chain["znum"], chain["vs"], v_dev,

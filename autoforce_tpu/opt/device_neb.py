@@ -35,14 +35,14 @@ from ..md.device_md import _sgpr_forces, check_plain_surface
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "kind", "climb"),
+                     "kind", "climb", "committee"),
 )
 def neb_chunk(
     cfgs,  # ConfigArrays, every leaf with a leading image axis R
     model,
     radii,
     znum,
-    vscale_atom,  # (N,) shared across images
+    vscale_atom,  # (N,) shared across images ((E, N) for committees)
     v,  # (R, N, 3) band FIRE velocity (zeros on endpoints)
     pos0,  # (R, N, 3) table-build origins
     dt,
@@ -68,31 +68,78 @@ def neb_chunk(
     check_beta=True,
     kind="dot",
     climb=False,
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Up to ``nsteps`` band-FIRE iterations on device; early exit on
     band convergence (max interior |F_neb| < fmax_target, checked BEFORE
     the step like Optimizer.run), an uncertainty trip on any image, or a
-    skin breach on any image.  Returns (pos, v, f_neb, e (R,), beta_max,
-    fmax, dt, a, n_uphill, ndone)."""
-    R = cfgs.positions.shape[0]
+    skin breach on any image.  ``committee=True`` relaxes the band on a
+    weighted BCM committee (device_md._committee_e, reference
+    active_bcm.py:589-633 weight math); the trip scalar is then the
+    committee covloss floor maxed over images.  Returns (pos, v, f_neb,
+    e (R,), beta_max, fmax, dt, a, n_uphill, ndone)."""
     amask = cfgs.atom_mask[0][:, None]  # (N, 1): images share the system
-    # interior-image mask for the FIRE reductions / position updates
-    imask = jnp.arange(R)
-    imask = ((imask > 0) & (imask < R - 1)).astype(cfgs.positions.dtype)
-    imask3 = imask[:, None, None]
 
-    def forces_one(pos, cfg):
-        return _sgpr_forces(
-            pos, cfg, model, radii, znum, vscale_atom, params, exponent,
-            pair_terms, chem_z, mixL, kind, check_beta,
-        )
+    if committee:
+        from ..md.device_md import _committee_e
+
+        def forces_one(pos, cfg):
+            def energy(p):
+                return _committee_e(
+                    p, cfg.cell, cfg, model, radii, znum, vscale_atom,
+                    mean_e, params, exponent, pair_terms, chem_z, mixL,
+                    kind,
+                )
+
+            (e, bmax), g = jax.value_and_grad(energy, has_aux=True)(pos)
+            if not check_beta:
+                bmax = jnp.zeros((), dtype=pos.dtype)
+            return e, -g * amask, bmax
+
+    else:
+
+        def forces_one(pos, cfg):
+            return _sgpr_forces(
+                pos, cfg, model, radii, znum, vscale_atom, params,
+                exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            )
 
     forces_v = jax.vmap(forces_one, in_axes=(0, 0))
+
+    def forces_all(pos):
+        e, f, beta = forces_v(pos, cfgs)  # (R,), (R,N,3), (R,)
+        bmax = beta.max() if check_beta else jnp.zeros((), pos.dtype)
+        return e, f, bmax
+
+    return _neb_loop(
+        forces_all, cfgs.positions, amask, v, pos0, dt, a, n_uphill,
+        skin_half, fmax_target, beta_thresh, nsteps, k_spring, maxstep,
+        dtmax, nmin, finc, fdec, astart, fa, check_beta, climb,
+    )
+
+
+def _neb_loop(forces_all, positions, amask, v, pos0, dt, a, n_uphill,
+              skin_half, fmax_target, beta_thresh, nsteps, k_spring,
+              maxstep, dtmax, nmin, finc, fdec, astart, fa, check_beta,
+              climb):
+    """The band while-loop shared by the single-device/committee chunk
+    (:func:`neb_chunk`) and the mesh-sharded chunk
+    (parallel/mesh.sharded_neb_chunk).  ``forces_all(pos (R,N,3)) ->
+    (e (R,), f (R,N,3), beta_max scalar)`` returns the raw per-image
+    energies/forces with the trip scalar already fully reduced; the
+    improved-tangent projection, springs, climbing image, and the band
+    FIRE update live here.  Returns neb_chunk's tuple contract."""
+    R = positions.shape[0]
+    # interior-image mask for the FIRE reductions / position updates
+    imask = jnp.arange(R)
+    imask = ((imask > 0) & (imask < R - 1)).astype(positions.dtype)
+    imask3 = imask[:, None, None]
 
     def neb_forces(pos):
         """Energies + NEB-projected forces (opt/neb.NEB.get_forces with
         the improved tangent, vectorized over interior images)."""
-        e, f, beta = forces_v(pos, cfgs)  # (R,), (R,N,3), (R,)
+        e, f, beta_max = forces_all(pos)  # (R,), (R,N,3), ()
         Em, E0, Ep = e[:-2], e[1:-1], e[2:]  # neighbors of interior i
         tp = (pos[2:] - pos[1:-1]) * amask  # (R-2, N, 3)
         tm = (pos[1:-1] - pos[:-2]) * amask
@@ -127,7 +174,6 @@ def neb_chunk(
         f_out = jnp.concatenate(
             [jnp.zeros_like(f[:1]), f_neb, jnp.zeros_like(f[:1])], axis=0
         )
-        beta_max = beta.max() if check_beta else jnp.zeros((), e.dtype)
         return e, f_out, beta_max
 
     def fmax_of(f):
@@ -161,9 +207,9 @@ def neb_chunk(
         pos = pos + dr * m
         return pos, v, dt, a, n_uphill
 
-    e0, f0, b0 = neb_forces(cfgs.positions)
+    e0, f0, b0 = neb_forces(positions)
     fm0 = fmax_of(f0)
-    ok0 = ~breach(cfgs.positions)
+    ok0 = ~breach(positions)
 
     def cond(state):
         pos, v, f, e, beta_max, fm, dt, a, nu, i, ok = state
@@ -179,7 +225,7 @@ def neb_chunk(
         e, f, beta_max = neb_forces(pos)
         return pos, v, f, e, beta_max, fmax_of(f), dt, a, nu, i + 1, ok
 
-    init = (cfgs.positions, v, f0, e0, b0, fm0, dt, a, n_uphill,
+    init = (positions, v, f0, e0, b0, fm0, dt, a, n_uphill,
             jnp.zeros((), jnp.int32), ok0)
     pos, v, f, e, beta_max, fm, dt, a, nu, i, ok = jax.lax.while_loop(
         cond, body, init
@@ -201,17 +247,11 @@ class DeviceNEB:
                  maxstep=0.1, dtmax=1.0, nmin=5, finc=1.1, fdec=0.5,
                  astart=0.1, fa=0.99, chunk=50, check_beta=None):
         check_plain_surface(calc, "DeviceNEB")
-        if getattr(calc.engine, "mesh", None) is not None:
-            raise NotImplementedError(
-                "DeviceNEB is single-chip; use the host NEB under a mesh"
-            )
-        from ..calculator.bcm import BCMActiveCalculator
-
-        if isinstance(calc, BCMActiveCalculator) and calc.experts:
-            raise NotImplementedError(
-                "DeviceNEB relaxes on the live SGPR model only; BCM "
-                "committees use the host NEB"
-            )
+        # under a mesh the whole band loop runs SPMD
+        # (parallel/mesh.sharded_neb_chunk); BCM committees are served
+        # on-device via device_md._committee_e (single-chip, like the
+        # other committee chunks)
+        self.mesh = getattr(calc.engine, "mesh", None)
         n0 = len(images[0])
         for im in images:
             if len(im) != n0 or not np.array_equal(
@@ -266,15 +306,36 @@ class DeviceNEB:
         ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cfgs)
         model = calc.model
-        ma = model.full_model_arrays()
         dtype = stacked.positions.dtype
-        from ..md.device_md import DeviceMD
+        from ..md.device_md import (DeviceMD, committee_models,
+                                    committee_stack)
 
-        vs = model.vscale_for(self.images[0].numbers)
-        vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
-        vs = np.concatenate([vs, np.zeros(self._npad - n0)])
+        committee = committee_models(calc)
+        if committee:
+            # committee_stack raises under a mesh (single-chip guard)
+            if not hasattr(self, "_committee_state"):
+                self._committee_state = {}
+            cfg0 = jax.tree.map(lambda x: x[0], stacked)
+            ma, vs, mean_e = committee_stack(
+                calc, self.images[0], committee, cfg0,
+                self._committee_state,
+            )
+        else:
+            mean_e = None
+            ma = model.full_model_arrays()
+            vs = model.vscale_for(self.images[0].numbers)
+            vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
+            vs = np.concatenate([vs, np.zeros(self._npad - n0)])
+        oidx = gmask = None
+        if self.mesh is not None:
+            from ..parallel.mesh import pad_images_for_mesh
+
+            stacked, ma, oidx, vs, gmask = pad_images_for_mesh(
+                stacked, ma, vs, self.mesh, dtype
+            )
+        npad = stacked.positions.shape[1]
         R = len(self.images)
-        varr = np.zeros((R, self._npad, 3))
+        varr = np.zeros((R, npad, 3))
         if self._v is not None:
             varr[:, :n0] = self._v
         beta_thresh = calc.ediff if self.check_beta else np.inf
@@ -283,7 +344,12 @@ class DeviceNEB:
             ma=ma,
             radii=eng.radii_table(),
             znum=eng.znum_table(),
-            vs=jnp.asarray(vs, dtype=dtype),
+            vs=(vs if self.mesh is not None
+                else jnp.asarray(vs, dtype=dtype)),
+            oidx=oidx,
+            gmask=gmask,
+            mean_e=(None if mean_e is None
+                    else jnp.asarray(mean_e, dtype=dtype)),
             v=jnp.asarray(varr, dtype=dtype),
             pos0=stacked.positions,
             skin=jnp.asarray(0.5 * calc._nlcache.skin, dtype=dtype),
@@ -327,9 +393,7 @@ class DeviceNEB:
             dtype = chain["dtype"]
             p = self.params
             chem_z, mixL = eng.chem_args()
-            (pos, v, f, e, beta_max, fm, dtc, a, nu, i) = neb_chunk(
-                chain["cfgs"], chain["ma"], chain["radii"], chain["znum"],
-                chain["vs"], v_dev, chain["pos0"],
+            band_args = (
                 jnp.asarray(self.dt_cur, dtype=dtype),
                 jnp.asarray(self.a, dtype=dtype),
                 jnp.asarray(self.n_uphill, dtype=dtype),
@@ -344,11 +408,32 @@ class DeviceNEB:
                 jnp.asarray(p["fdec"], dtype=dtype),
                 jnp.asarray(p["astart"], dtype=dtype),
                 jnp.asarray(p["fa"], dtype=dtype),
+            )
+            common_kw = dict(
                 chem_z=chem_z, mixL=mixL,
                 params=eng.params, exponent=eng.exponent,
                 pair_terms=eng.pair_terms, check_beta=self.check_beta,
                 kind=eng.kernel_kind, climb=self.climb,
             )
+            if self.mesh is not None:
+                from ..parallel.mesh import sharded_neb_chunk
+
+                (pos, v, f, e, beta_max, fm, dtc, a, nu, i) = (
+                    sharded_neb_chunk(
+                        chain["cfgs"], chain["ma"], chain["radii"],
+                        chain["znum"], chain["vs"], chain["gmask"],
+                        v_dev, chain["pos0"], *band_args,
+                        chain["oidx"], mesh=self.mesh, **common_kw,
+                    )
+                )
+            else:
+                (pos, v, f, e, beta_max, fm, dtc, a, nu, i) = neb_chunk(
+                    chain["cfgs"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], v_dev, chain["pos0"],
+                    *band_args,
+                    committee=chain["mean_e"] is not None,
+                    mean_e=chain["mean_e"], **common_kw,
+                )
             self.dt_cur = float(dtc)
             self.a = float(a)
             self.n_uphill = float(nu)

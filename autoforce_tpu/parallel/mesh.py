@@ -150,6 +150,48 @@ def _model_spec(model: ModelArrays):
     )
 
 
+def _pad_to(x, size, axis=0):
+    extra = size - x.shape[axis]
+    if extra <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, extra)
+    return jnp.pad(x, widths)
+
+
+def _pad_cfg(cfg: ConfigArrays, n2, axis=0):
+    """Pad a config's atom axis to ``n2``.  ``axis=1`` handles the
+    image-stacked layout ((R, N, ...) leaves, DeviceNEB bands).  The
+    reverse-slot table is dropped: padding invalidates its flat i*K+k
+    indexing, and the mesh paths use the oidx/psum energy (no rev VJP)."""
+    return ConfigArrays(
+        positions=_pad_to(cfg.positions, n2, axis),
+        cell=cfg.cell,
+        numbers=_pad_to(cfg.numbers, n2, axis),
+        atom_mask=_pad_to(cfg.atom_mask, n2, axis),
+        nbr_idx=_pad_to(cfg.nbr_idx, n2, axis),
+        nbr_off=_pad_to(cfg.nbr_off, n2, axis),
+        nbr_sidx=_pad_to(cfg.nbr_sidx, n2, axis),
+        nbr_mask=_pad_to(cfg.nbr_mask, n2, axis),
+    )
+
+
+def _pad_model(model: ModelArrays, m2):
+    return ModelArrays(
+        X_desc=_pad_to(model.X_desc, m2),
+        X_num=_pad_to(model.X_num, m2),
+        X_lone=_pad_to(model.X_lone, m2),
+        m_mask=_pad_to(model.m_mask, m2),
+        mu=_pad_to(model.mu, m2),
+        choli=_pad_to(_pad_to(model.choli, m2, 0), m2, 1),
+        pair_d=None if model.pair_d is None else _pad_to(model.pair_d, m2, 1),
+        pair_mask=(
+            None if model.pair_mask is None
+            else _pad_to(model.pair_mask, m2, 1)
+        ),
+    )
+
+
 def mesh_pad(cfg: ConfigArrays, model: ModelArrays, vscale_atom, mesh,
              dtype=None):
     """Pad a (ConfigArrays, ModelArrays) pair to mesh-divisible sizes.
@@ -161,42 +203,13 @@ def mesh_pad(cfg: ConfigArrays, model: ModelArrays, vscale_atom, mesh,
     nm = mesh.shape["model"]
     npad = cfg.positions.shape[0]
     mpad = model.mu.shape[0]
-
-    def pad_to(x, size, axis=0):
-        extra = size - x.shape[axis]
-        if extra <= 0:
-            return x
-        widths = [(0, 0)] * x.ndim
-        widths[axis] = (0, extra)
-        return jnp.pad(x, widths)
-
     n2 = -(-npad // nd) * nd
     m2 = -(-mpad // nm) * nm
     own_idx = jnp.arange(n2, dtype=jnp.int32)
-    cfg2 = ConfigArrays(
-        positions=pad_to(cfg.positions, n2),
-        cell=cfg.cell,
-        numbers=pad_to(cfg.numbers, n2),
-        atom_mask=pad_to(cfg.atom_mask, n2),
-        nbr_idx=pad_to(cfg.nbr_idx, n2),
-        nbr_off=pad_to(cfg.nbr_off, n2),
-        nbr_sidx=pad_to(cfg.nbr_sidx, n2),
-        nbr_mask=pad_to(cfg.nbr_mask, n2),
-    )
-    model2 = ModelArrays(
-        X_desc=pad_to(model.X_desc, m2),
-        X_num=pad_to(model.X_num, m2),
-        X_lone=pad_to(model.X_lone, m2),
-        m_mask=pad_to(model.m_mask, m2),
-        mu=pad_to(model.mu, m2),
-        choli=pad_to(pad_to(model.choli, m2, 0), m2, 1),
-        pair_d=None if model.pair_d is None else pad_to(model.pair_d, m2, 1),
-        pair_mask=(
-            None if model.pair_mask is None else pad_to(model.pair_mask, m2, 1)
-        ),
-    )
+    cfg2 = _pad_cfg(cfg, n2)
+    model2 = _pad_model(model, m2)
     vs = jnp.asarray(vscale_atom, dtype=dtype or cfg.positions.dtype)
-    return cfg2, model2, own_idx, pad_to(vs, n2)
+    return cfg2, model2, own_idx, _pad_to(vs, n2)
 
 
 def pad_for_mesh(cfg, model, vscale_atom, mesh, dtype):
@@ -209,6 +222,45 @@ def pad_for_mesh(cfg, model, vscale_atom, mesh, dtype):
         np.asarray(cfg2.atom_mask)[:, None], dtype=dtype
     )
     return cfg2, ma2, oidx, vsj, gmask
+
+
+def _cfg_spec_images():
+    """_cfg_spec for an image-stacked ConfigArrays (leading band axis R,
+    DeviceNEB): positions/cell replicated, per-atom tables sharded over
+    'data' on the ATOM axis (axis 1) — images are a local vmapped axis
+    on every device."""
+    return ConfigArrays(
+        positions=P(),
+        cell=P(),
+        numbers=P(None, "data"),
+        atom_mask=P(None, "data"),
+        nbr_idx=P(None, "data"),
+        nbr_off=P(None, "data"),
+        nbr_sidx=P(None, "data"),
+        nbr_mask=P(None, "data"),
+    )
+
+
+def pad_images_for_mesh(cfgs, model, vscale_atom, mesh, dtype):
+    """pad_for_mesh for an image-stacked ConfigArrays (DeviceNEB bands):
+    pads the ATOM axis (axis 1 of every per-atom leaf) to a
+    mesh-divisible size.  Returns (cfgs2, model2, own_idx, vscale2,
+    gmask) with gmask the replicated (N, 1) global atom-mask column of
+    the shared system (images share atom count/species)."""
+    nd = mesh.shape["data"]
+    nm = mesh.shape["model"]
+    npad = cfgs.positions.shape[1]
+    mpad = model.mu.shape[0]
+    n2 = -(-npad // nd) * nd
+    m2 = -(-mpad // nm) * nm
+    own_idx = jnp.arange(n2, dtype=jnp.int32)
+    cfgs2 = _pad_cfg(cfgs, n2, axis=1)
+    model2 = _pad_model(model, m2)
+    vs = _pad_to(jnp.asarray(vscale_atom, dtype=dtype), n2)
+    gmask = jnp.asarray(
+        np.asarray(cfgs2.atom_mask[0])[:, None], dtype=dtype
+    )
+    return cfgs2, model2, own_idx, vs, gmask
 
 
 @partial(
@@ -755,3 +807,212 @@ def sharded_fire_chunk(
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, v, pos0,
               dt, a, n_uphill, skin_half, fmax_target, beta_thresh,
               nsteps, maxstep, dtmax, nmin, finc, fdec, astart, fa)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "params", "exponent", "pair_terms",
+                     "check_beta", "kind", "climb"),
+)
+def sharded_neb_chunk(
+    cfgs,  # ConfigArrays, leading image axis R; atom tables over 'data'
+    model: ModelArrays,
+    radii,
+    znum,
+    vscale_atom,  # (N,) sharded over 'data', shared across images
+    amask,  # (N, 1) global atom mask, replicated
+    v,  # (R, N, 3) band FIRE velocity, replicated
+    pos0,  # (R, N, 3) table-build origins, replicated
+    dt,
+    a,
+    n_uphill,
+    skin_half,
+    fmax_target,
+    beta_thresh,
+    nsteps,
+    k_spring,
+    maxstep,
+    dtmax,
+    nmin,
+    finc,
+    fdec,
+    astart,
+    fa,
+    own_idx,
+    mesh,
+    chem_z=None,
+    mixL=None,
+    params=None,
+    exponent=4,
+    pair_terms=(),
+    check_beta=True,
+    kind="dot",
+    climb=False,
+):
+    """Device-resident NEB over the ('data', 'model') mesh: the whole
+    band while-loop (opt/device_neb._neb_loop) runs inside one
+    ``shard_map``.  Each device evaluates EVERY image (a local vmapped
+    axis) on ITS shard of atoms; per-image energies and forces come out
+    globally reduced because the per-image energy ``psum`` is vmapped
+    and differentiated through, so the replicated band state (positions,
+    FIRE velocity, tangent/spring projection, climbing image) steps
+    identically everywhere.  This is the reference's MPI-scaled saddle
+    search (cl/neb.py over per-rank atoms, README.md:89-92) as SPMD.
+
+    Trajectories match the single-device ``neb_chunk`` (equality-tested
+    in tests/test_parallel.py).  Returns neb_chunk's tuple (pos, v,
+    f_neb, e (R,), beta_max, fmax, dt, a, n_uphill, ndone), every
+    output replicated."""
+    from ..opt.device_neb import _neb_loop
+
+    def block_fn(cfgs_l, model_l, rad, vs_l, oidx, amask, v, pos0, dt, a,
+                 n_uphill, skin_half, fmax_target, beta_thresh, nsteps,
+                 k_spring, maxstep, dtmax, nmin, finc, fdec, astart, fa):
+        def forces_one(pos, cfg_l):
+            energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum,
+                                    params, exponent, pair_terms, chem_z,
+                                    mixL, kind)
+            (e, (cov, alpha)), g = jax.value_and_grad(
+                lambda p: energy_g(p, cfg_l.cell), has_aux=True
+            )(pos)
+            f = -g * amask
+            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
+                                         check_beta, pos.dtype)
+            return e, f, beta_max
+
+        forces_v = jax.vmap(forces_one, in_axes=(0, 0))
+
+        def forces_all(pos):
+            e, f, beta = forces_v(pos, cfgs_l)
+            bmax = (beta.max() if check_beta
+                    else jnp.zeros((), pos.dtype))
+            return e, f, bmax
+
+        return _neb_loop(
+            forces_all, cfgs_l.positions, amask, v, pos0, dt, a,
+            n_uphill, skin_half, fmax_target, beta_thresh, nsteps,
+            k_spring, maxstep, dtmax, nmin, finc, fdec, astart, fa,
+            check_beta, climb,
+        )
+
+    rep = (P(),) * 18
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec_images(), _model_spec(model), P(),
+                  P("data"), P("data")) + rep,
+        out_specs=(P(),) * 10,
+    )
+    return fn(cfgs, model, radii, vscale_atom, own_idx, amask, v, pos0,
+              dt, a, n_uphill, skin_half, fmax_target, beta_thresh,
+              nsteps, k_spring, maxstep, dtmax, nmin, finc, fdec,
+              astart, fa)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "params", "exponent", "pair_terms",
+                     "check_beta", "kind"),
+)
+def sharded_fire_cell_chunk(
+    cfg: ConfigArrays,
+    model: ModelArrays,
+    radii,
+    znum,
+    vscale_atom,  # (N,) sharded over 'data'
+    amask,  # (N, 1) global atom mask, replicated
+    v,  # (N, 3) FIRE velocity of the undeformed positions, replicated
+    v_def,  # (3, 3) FIRE velocity of the scaled deformation rows
+    deform,  # (3, 3) current deformation gradient
+    cell0,  # (3, 3) reference cell (deform applies to it)
+    pos0,  # (N, 3) REAL-coordinate table-build origin, replicated
+    dt,
+    a,
+    n_uphill,
+    skin_half,
+    fmax_target,
+    beta_thresh,
+    nsteps,
+    cell_factor,
+    pressure,
+    maxstep,
+    dtmax,
+    nmin,
+    finc,
+    fdec,
+    astart,
+    fa,
+    own_idx,
+    mesh,
+    chem_z=None,
+    mixL=None,
+    params=None,
+    exponent=4,
+    pair_terms=(),
+    check_beta=True,
+    kind="dot",
+):
+    """Variable-cell FIRE over the ('data', 'model') mesh: the whole
+    UnitCellFilter + FIRE while-loop (opt/device_fire._fire_cell_loop)
+    runs inside one ``shard_map``.  The energy is psum'd over both mesh
+    axes INSIDE the function differentiated w.r.t. (positions, strain)
+    jointly — the sharded_npt_chunk idiom — so the forces AND the
+    stress tensor driving the three deformation rows come out globally
+    reduced on every device.  Table validity under the moving cell uses
+    the NPT chunk's displacement + image-drift metric against the
+    TABLE-BUILD cell (cfg.cell; the driver only ever replaces
+    positions), with the table's offmax pmax'd over 'data'.  Skin
+    breaches exit the chunk (host rebuild re-partitions the sharded
+    tables).  Returns fire_cell_chunk's no-rebuild tuple (pos_real, v,
+    v_def, deform, f_und, e, beta_max, fmax, dt, a, n_uphill, ndone),
+    every output replicated."""
+    from ..md.device_npt import offsum_max
+    from ..opt.device_fire import _fire_cell_loop
+
+    dtype = cfg.positions.dtype
+
+    def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, v, v_def,
+                 deform, cell0, pos0, dt, a, n_uphill, skin_half,
+                 fmax_target, beta_thresh, nsteps, cell_factor, pressure,
+                 maxstep, dtmax, nmin, finc, fdec, astart, fa):
+        eye = jnp.eye(3, dtype=dtype)
+        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
+                                exponent, pair_terms, chem_z, mixL, kind)
+
+        def forces_fn(pos, cell, tbl=None):
+            def energy(p, eps):
+                sc = eye + eps
+                return energy_g(p @ sc.T, cell @ sc.T)
+
+            zero = jnp.zeros((3, 3), dtype=dtype)
+            (e, (cov, alpha)), (g, deps) = jax.value_and_grad(
+                energy, argnums=(0, 1), has_aux=True
+            )(pos, zero)
+            deps = 0.5 * (deps + deps.T)
+            f = -g * amask
+            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l,
+                                         cfg_l, check_beta, dtype)
+            return e, f, deps, beta_max
+
+        omax = jax.lax.pmax(
+            offsum_max(cfg_l.nbr_off, cfg_l.nbr_mask, dtype), "data"
+        )
+        return _fire_cell_loop(
+            forces_fn, cfg_l.positions, amask, v, v_def, deform, cell0,
+            pos0, cfg_l.cell, omax, dt, a, n_uphill, skin_half,
+            fmax_target, beta_thresh, nsteps, cell_factor, pressure,
+            maxstep, dtmax, nmin, finc, fdec, astart, fa, check_beta,
+        )
+
+    rep = (P(),) * 22
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"),
+                  P("data")) + rep,
+        out_specs=(P(),) * 12,
+    )
+    return fn(cfg, model, radii, vscale_atom, own_idx, amask, v, v_def,
+              deform, cell0, pos0, dt, a, n_uphill, skin_half,
+              fmax_target, beta_thresh, nsteps, cell_factor, pressure,
+              maxstep, dtmax, nmin, finc, fdec, astart, fa)

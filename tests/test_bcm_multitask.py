@@ -516,6 +516,50 @@ def test_bcm_device_fire_matches_host(tmp_path, monkeypatch):
                                np.asarray(hostc.cell), atol=1e-10)
 
 
+def test_bcm_device_neb_matches_host_committee(tmp_path, monkeypatch):
+    """DeviceNEB relaxes the band under the full committee on-device
+    (the weighted committee energies feed the improved-tangent
+    projection), tracking the host NEB + FIRE driven by the BCM
+    calculator."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.opt import FIRE, NEB
+    from autoforce_tpu.opt.device_neb import DeviceNEB
+    from autoforce_tpu.opt.neb import interpolate_images
+
+    calc, _ = _trained_bcm(tmp_path, pckl="bcmneb.pckl")
+    calc._calc = None
+
+    def band():
+        first = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        first.rattle(0.08, seed=1)
+        last = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        last.rattle(0.08, seed=2)
+        for im in (first, last):
+            im.calc = calc
+        images = interpolate_images(first, last, 5)
+        for im in images:
+            im.calc = calc
+        return images
+
+    images_h = band()
+    neb = NEB(images_h, k=0.1)
+    opt = FIRE(neb, dt=0.05, maxstep=0.1)
+    for _ in range(8):
+        opt.step(neb.get_forces())
+        opt.nsteps += 1
+
+    images_d = band()
+    dopt = DeviceNEB(images_d, calc, k=0.1, dt=0.05, maxstep=0.1,
+                     chunk=4, check_beta=False)
+    dopt.run(fmax=1e-9, steps=8)
+    assert dopt.nsteps == 8
+    for h, d in zip(images_h, images_d):
+        np.testing.assert_allclose(d.positions, h.positions, atol=1e-9)
+    np.testing.assert_allclose(dopt.dt_cur, opt.dt, rtol=1e-12)
+    # non-trivial: more than one expert served
+    assert len(calc.experts) >= 2
+
+
 def test_bcm_device_md_in_loop_rebuild(tmp_path, monkeypatch):
     """Committee chunks rebuild the neighbor table IN the loop too:
     trajectories match the between-chunk device-rebuild path."""

@@ -306,6 +306,157 @@ def test_device_fire_driver_with_mesh(tmp_path, monkeypatch):
     assert np.abs(out[True][0] - s0.positions).max() > 1e-4
 
 
+def test_device_fire_cell_driver_with_mesh(tmp_path, monkeypatch):
+    """Variable-cell DeviceFIRE end-to-end over the mesh == single-device:
+    the whole UnitCellFilter + FIRE while-loop runs SPMD
+    (sharded_fire_cell_chunk), with the stress tensor driving the
+    deformation rows globally reduced by differentiating through the
+    psum (the sharded_npt_chunk idiom)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.opt.device_fire import DeviceFIRE
+
+    out = {}
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        eng, model, s = build_state()
+        eng.mesh = mesh
+        s2 = s.copy()
+        s2.rattle(0.05, seed=7)
+        calc = ActiveCalculator(
+            covariance=model, calculator=None, logfile=None, pckl=None,
+            tape=None, skin=0.3,
+        )
+        s2.calc = calc
+        dopt = DeviceFIRE(s2, calc, dt=0.05, chunk=5, check_beta=False,
+                          in_loop_rebuild=False, cell=True,
+                          scalar_pressure=0.0)
+        conv = dopt.run(fmax=0.05, steps=15)
+        out[mesh is None] = (
+            s2.positions.copy(), np.asarray(s2.cell).copy(),
+            dopt.deform.copy(), dopt.nsteps, conv,
+        )
+    assert out[False][3] == out[True][3]
+    assert out[False][4] == out[True][4]
+    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
+    np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-10)
+    np.testing.assert_allclose(out[False][2], out[True][2], atol=1e-10)
+    # non-trivial: the cell relaxed away from the starting deformation
+    assert np.abs(out[True][2] - np.eye(3)).max() > 1e-6
+
+
+@pytest.mark.parametrize("shape,climb", [((4, 2), False), ((2, 4), True)])
+def test_sharded_neb_chunk_matches_single_device(shape, climb):
+    """The device-resident band loop over the mesh produces the SAME band
+    as the single-device neb_chunk: per-image energies/forces come out
+    globally reduced (vmapped psum energies), so the replicated tangent/
+    spring/climb projection and band FIRE step identically."""
+    import jax
+    import jax.numpy as jnp
+
+    from autoforce_tpu.opt.device_neb import neb_chunk
+    from autoforce_tpu.opt.neb import interpolate_images
+    from autoforce_tpu.parallel.mesh import (pad_images_for_mesh,
+                                             sharded_neb_chunk)
+
+    eng, model, s = build_state()
+    first = s.copy()
+    last = s.copy()
+    last.rattle(0.05, seed=21)
+    images = interpolate_images(first, last, 5)
+    # common kpad across images so the configs stack (DeviceNEB recipe)
+    from autoforce_tpu.neighbors import neighbor_table, round_up
+
+    tables = [
+        neighbor_table(im.positions, im.cell, im.pbc, eng.params.rc)
+        for im in images
+    ]
+    kpad = round_up(max(t.kmax for t in tables) + 4, 16)
+    cfgs = [
+        eng.make_config(im, kpad=kpad, table=t.pad_to(kpad))
+        for im, t in zip(images, tables)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cfgs)
+    ma = model.full_model_arrays()
+    npad = stacked.positions.shape[1]
+    R = len(images)
+    vs = np.ones(npad)
+    v = jnp.zeros((R, npad, 3))
+    consts = dict(
+        dt=jnp.asarray(0.05), a=jnp.asarray(0.1),
+        n_uphill=jnp.asarray(0.0), skin=jnp.asarray(10.0),
+        fmax=jnp.asarray(1e-9), bthr=jnp.asarray(1e9),
+        nsteps=jnp.asarray(6, np.int32), k=jnp.asarray(0.1),
+        maxstep=jnp.asarray(0.1), dtmax=jnp.asarray(1.0),
+        nmin=jnp.asarray(5.0), finc=jnp.asarray(1.1),
+        fdec=jnp.asarray(0.5), astart=jnp.asarray(0.1),
+        fa=jnp.asarray(0.99),
+    )
+    chem_z, mixL = eng.chem_args()
+    kw = dict(chem_z=chem_z, mixL=mixL, params=eng.params,
+              exponent=eng.exponent, pair_terms=eng.pair_terms,
+              check_beta=True, kind=eng.kernel_kind, climb=climb)
+    out0 = neb_chunk(
+        stacked, ma, eng.radii_table(), eng.znum_table(),
+        jnp.asarray(vs), v, stacked.positions, *consts.values(), **kw,
+    )
+    mesh = make_mesh(n_data=shape[0], n_model=shape[1])
+    cfgs2, ma2, oidx, vs2, gmask = pad_images_for_mesh(
+        stacked, ma, vs, mesh, stacked.positions.dtype
+    )
+    npad2 = cfgs2.positions.shape[1]
+    v2 = jnp.zeros((R, npad2, 3))
+    out1 = sharded_neb_chunk(
+        cfgs2, ma2, eng.radii_table(), eng.znum_table(), vs2, gmask,
+        v2, cfgs2.positions, *consts.values(), oidx, mesh=mesh, **kw,
+    )
+    assert int(out0[9]) == int(out1[9]) == 6
+    for k, name in [(0, "pos"), (1, "v"), (2, "f_neb"), (3, "e"),
+                    (4, "beta_max"), (5, "fmax")]:
+        a0 = np.asarray(out0[k])
+        a1 = np.asarray(out1[k])
+        if a1.ndim >= 2 and a1.shape[1] == npad2 and npad2 != npad:
+            a1 = a1[:, :npad]
+        np.testing.assert_allclose(a1, a0, atol=1e-10, err_msg=name)
+
+
+def test_device_neb_driver_with_mesh(tmp_path, monkeypatch):
+    """DeviceNEB end-to-end over the mesh == single-device DeviceNEB,
+    across chunk boundaries (the reference's MPI-scaled saddle search,
+    cl/neb.py, as SPMD)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.opt.device_neb import DeviceNEB
+    from autoforce_tpu.opt.neb import interpolate_images
+
+    out = {}
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        eng, model, s = build_state()
+        eng.mesh = mesh
+        calc = ActiveCalculator(
+            covariance=model, calculator=None, logfile=None, pckl=None,
+            tape=None, skin=0.3,
+        )
+        first = s.copy()
+        last = s.copy()
+        last.rattle(0.05, seed=21)
+        for im in (first, last):
+            im.calc = calc
+        images = interpolate_images(first, last, 5)
+        for im in images:
+            im.calc = calc
+        dopt = DeviceNEB(images, calc, k=0.1, dt=0.05, chunk=4,
+                         check_beta=False)
+        conv = dopt.run(fmax=0.05, steps=12)
+        out[mesh is None] = (
+            np.stack([im.positions for im in images]), dopt.nsteps, conv,
+        )
+    assert out[False][1] == out[True][1]
+    assert out[False][2] == out[True][2]
+    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
+    # non-trivial: the interior images moved
+    assert np.abs(out[True][0][1] - out[True][0][0]).max() > 1e-4
+
+
 def test_mesh_bench_harness(capsys):
     """The collective-accounting harness runs and the sharded trajectory
     matches single-device (VERDICT r2 weak #6)."""
