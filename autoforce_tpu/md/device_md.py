@@ -665,11 +665,6 @@ def committee_stack(calc, system, models, cfg, state):
     keyed on state_version) across chain rebuilds — per-driver, so MD /
     NPT / FIRE drivers each amortize their own restaging."""
     eng = calc.engine
-    if eng.mesh is not None:
-        raise NotImplementedError(
-            "device-resident committee chunks are single-chip for now; "
-            "unset engine.mesh or use the host drivers"
-        )
     numbers = np.asarray(cfg.numbers)
     # sticky mcap bucket with doubling growth: a fresh 32-granular cap
     # per chain rebuild would recompile the whole committee chunk
@@ -935,8 +930,16 @@ class DeviceMD:
                 meta_vs = None
                 if committee:
                     ma, vs_c, mean_e = self._committee_stack(committee, cfg)
-                    vsj = jnp.asarray(vs_c, dtype=dtype)
                     mean_e = jnp.asarray(mean_e, dtype=dtype)
+                    if self.mesh is not None:
+                        from ..parallel.mesh import pad_for_mesh
+
+                        cfg, ma, oidx, vsj, amask = pad_for_mesh(
+                            cfg, ma, vs_c, self.mesh, dtype,
+                            committee=True,
+                        )
+                    else:
+                        vsj = jnp.asarray(vs_c, dtype=dtype)
                 else:
                     ma = model.full_model_arrays()
                     vs = model.vscale_for(np.asarray(cfg.numbers))
@@ -1044,7 +1047,32 @@ class DeviceMD:
                 chain["pos0"] = p0
                 return pos, vel, key, f, e, beta_max, i, vxi, xi
 
-            if chain["mean_e"] is not None:
+            if self.mesh is not None:
+                from ..parallel.mesh import sharded_md_chunk
+
+                chem_z, mixL = eng.chem_args()
+                pos, vel, self.key, f, e, beta_max, i, vxi, xi = (
+                    sharded_md_chunk(
+                        chain["cfg"], chain["ma"], chain["radii"],
+                        chain["znum"], chain["vs"], chain["amask"],
+                        chain["vel"], chain["masses"], chain["pos0"],
+                        self.key, chain["dt"], chain["kT"], chain["fric"],
+                        chain["skin"], chain["bthr"],
+                        jnp.asarray(n, dtype=jnp.int32),
+                        chain["oidx"], mesh=self.mesh,
+                        chem_z=chem_z, mixL=mixL,
+                        params=eng.params,
+                        exponent=eng.exponent,
+                        pair_terms=eng.pair_terms,
+                        check_beta=self.check_beta,
+                        thermostat=self.thermostat,
+                        kind=eng.kernel_kind,
+                        committee=chain["mean_e"] is not None,
+                        mean_e=chain["mean_e"],
+                        **nhc_kw,
+                    )
+                )
+            elif chain["mean_e"] is not None:
                 out = md_chunk_committee(
                     chain["cfg"], chain["ma"], chain["radii"],
                     chain["znum"], chain["vs"], chain["mean_e"],
@@ -1065,29 +1093,6 @@ class DeviceMD:
                 if chain["inloop"]:
                     out = chain_table(out)
                 pos, vel, self.key, f, e, beta_max, i, vxi, xi = out
-            elif self.mesh is not None:
-                from ..parallel.mesh import sharded_md_chunk
-
-                chem_z, mixL = eng.chem_args()
-                pos, vel, self.key, f, e, beta_max, i, vxi, xi = (
-                    sharded_md_chunk(
-                        chain["cfg"], chain["ma"], chain["radii"],
-                        chain["znum"], chain["vs"], chain["amask"],
-                        chain["vel"], chain["masses"], chain["pos0"],
-                        self.key, chain["dt"], chain["kT"], chain["fric"],
-                        chain["skin"], chain["bthr"],
-                        jnp.asarray(n, dtype=jnp.int32),
-                        chain["oidx"], mesh=self.mesh,
-                        chem_z=chem_z, mixL=mixL,
-                        params=eng.params,
-                        exponent=eng.exponent,
-                        pair_terms=eng.pair_terms,
-                        check_beta=self.check_beta,
-                        thermostat=self.thermostat,
-                        kind=eng.kernel_kind,
-                        **nhc_kw,
-                    )
-                )
             else:
                 meta_kw = {}
                 if chain["meta_vs"] is not None:

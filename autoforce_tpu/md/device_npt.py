@@ -578,15 +578,11 @@ class DeviceNPT:
                     vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
                 oidx = gmask = None
                 if self.mesh is not None:
-                    if committee:
-                        raise NotImplementedError(
-                            "committee NPT under a mesh is not wired; "
-                            "unset engine.mesh or use the host driver"
-                        )
                     from ..parallel.mesh import pad_for_mesh
 
                     cfg, ma, oidx, vsj, gmask = pad_for_mesh(
-                        cfg, ma, vs, self.mesh, dtype
+                        cfg, ma, vs, self.mesh, dtype,
+                        committee=bool(committee),
                     )
                 npad = cfg.positions.shape[0]
                 vel = np.zeros((npad, 3))
@@ -694,6 +690,8 @@ class DeviceNPT:
                     check_beta=self.check_beta,
                     kind=eng.kernel_kind,
                     aniso=not self.isotropic,
+                    committee=chain["mean_e"] is not None,
+                    mean_e=chain["mean_e"],
                 )
             else:
                 out = md_chunk_npt(

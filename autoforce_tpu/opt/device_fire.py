@@ -578,15 +578,11 @@ class DeviceFIRE:
                     vs = np.where(np.isfinite(vs), vs, DeviceMD._VS_UNSEEN)
                 oidx = gmask = vsj = None
                 if self.mesh is not None:
-                    if committee:
-                        raise NotImplementedError(
-                            "committee FIRE under a mesh is not wired; "
-                            "unset engine.mesh or use the host FIRE"
-                        )
                     from ..parallel.mesh import pad_for_mesh
 
                     cfg, ma, oidx, vsj, gmask = pad_for_mesh(
-                        cfg, ma, vs, self.mesh, dtype
+                        cfg, ma, vs, self.mesh, dtype,
+                        committee=bool(committee),
                     )
                 npad = cfg.positions.shape[0]
                 pos0 = np.zeros((npad, 3))
@@ -706,6 +702,8 @@ class DeviceFIRE:
                     pair_terms=eng.pair_terms,
                     check_beta=self.check_beta,
                     kind=eng.kernel_kind,
+                    committee=chain["mean_e"] is not None,
+                    mean_e=chain["mean_e"],
                 )
                 (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
                  a, nu, i) = out
@@ -761,6 +759,8 @@ class DeviceFIRE:
                     pair_terms=eng.pair_terms,
                     check_beta=self.check_beta,
                     kind=eng.kernel_kind,
+                    committee=chain["mean_e"] is not None,
+                    mean_e=chain["mean_e"],
                 )
                 pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i = out
             else:

@@ -312,7 +312,6 @@ class DeviceNEB:
 
         committee = committee_models(calc)
         if committee:
-            # committee_stack raises under a mesh (single-chip guard)
             if not hasattr(self, "_committee_state"):
                 self._committee_state = {}
             cfg0 = jax.tree.map(lambda x: x[0], stacked)
@@ -331,7 +330,8 @@ class DeviceNEB:
             from ..parallel.mesh import pad_images_for_mesh
 
             stacked, ma, oidx, vs, gmask = pad_images_for_mesh(
-                stacked, ma, vs, self.mesh, dtype
+                stacked, ma, vs, self.mesh, dtype,
+                committee=bool(committee),
             )
         npad = stacked.positions.shape[1]
         R = len(self.images)
@@ -423,7 +423,9 @@ class DeviceNEB:
                         chain["cfgs"], chain["ma"], chain["radii"],
                         chain["znum"], chain["vs"], chain["gmask"],
                         v_dev, chain["pos0"], *band_args,
-                        chain["oidx"], mesh=self.mesh, **common_kw,
+                        chain["oidx"], mesh=self.mesh,
+                        committee=chain["mean_e"] is not None,
+                        mean_e=chain["mean_e"], **common_kw,
                     )
                 )
             else:

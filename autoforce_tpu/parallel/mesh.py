@@ -150,6 +150,170 @@ def _model_spec(model: ModelArrays):
     )
 
 
+def _model_spec_committee(models: ModelArrays):
+    """_model_spec for an expert-stacked committee ModelArrays (leading
+    expert axis E, device_md.committee_stack layout): the expert axis is
+    a local vmapped axis on every device; the inducing axis shards over
+    'model' exactly like the single-model spec."""
+    return ModelArrays(
+        X_desc=P(None, "model"),
+        X_num=P(None, "model"),
+        X_lone=P(None, "model"),
+        m_mask=P(None, "model"),
+        mu=P(None, "model"),
+        choli=P(),
+        pair_d=None if models.pair_d is None else P(None, None, "model"),
+        pair_mask=(
+            None if models.pair_mask is None else P(None, None, "model")
+        ),
+    )
+
+
+def _psum_committee_energy(cfg_l, models_l, rad, oidx, znum, params,
+                           exponent, pair_terms, chem_z, mixL, kind,
+                           vs_l, mean_e):
+    """Committee counterpart of :func:`_psum_energy`: ``energy(p, cell)
+    -> (E_committee, beta_floor_max)`` — the weighted BCM committee
+    energy (device_md._committee_e math, reference active_bcm.py:589-633)
+    with every expert evaluated on THIS device's atom shard under one
+    vmap.  Per-expert energies are psum'd over both mesh axes inside the
+    closure (globally reduced forces/virial on differentiation); the
+    covloss weights use the per-expert GLOBAL covmax (shard max pmax'd
+    over 'data'), and the aux trip scalar is the committee covloss floor
+    ``max_atoms min_k beta_k``, also globally reduced.  The weights are
+    constants w.r.t. positions/strain (stop_gradient), exactly like the
+    host combination."""
+    nexp = mean_e.shape[0]
+
+    def energy(p, cell):
+        def one(mdl, vs):
+            cov, lone, alpha = _total_cov(
+                p, cell, cfg_l, mdl.X_desc, mdl.X_num, mdl.X_lone, rad,
+                znum, params, exponent, pair_terms, mdl.pair_d,
+                mdl.pair_mask, chem_z=chem_z, mixL=mixL, kind=kind,
+                oidx=oidx,
+            )
+            cov = cov * (cfg_l.atom_mask[:, None] & mdl.m_mask[None, :])
+            e = jax.lax.psum(
+                precise_sum(cov @ mdl.mu), ("data", "model")
+            )
+            _, beta = _gathered_beta(
+                mdl.choli, cov, alpha, vs, cfg_l.atom_mask
+            )
+            return e, beta
+
+        e_k, betas = jax.vmap(one)(models_l, vs_l)  # (E,), (E, n_loc)
+        # weights and the trip scalar are constants w.r.t. positions/
+        # strain (host semantics) — and pmax has no differentiation
+        # rule, so the cut must come BEFORE the collective
+        betas = jax.lax.stop_gradient(betas)
+        covmax = jnp.clip(
+            jax.lax.pmax(betas.max(axis=1), "data"), 1e-12, 1.0
+        )
+        scale = jnp.where(covmax < 1.0, -jnp.log(covmax), 0.0) / covmax
+        tot = scale.sum()
+        w = jnp.where(
+            tot > 0,
+            scale / jnp.where(tot > 0, tot, 1.0),
+            jnp.ones_like(scale) / nexp,
+        )
+        e_tot = precise_sum(w * (e_k + mean_e))
+        bmax = jax.lax.pmax(betas.min(axis=0).max(), "data")
+        return e_tot, bmax
+
+    return energy
+
+
+def _sharded_forces_fn(cfg_l, model_l, rad, vs_l, oidx, amask, znum,
+                       params, exponent, pair_terms, chem_z, mixL, kind,
+                       check_beta, committee, mean_e):
+    """``(e, f, beta_max)`` closure shared by the position-only sharded
+    chunks (MD / FIRE / per-image NEB): single-model psum energy or the
+    weighted committee energy, forces from its gradient, the trip scalar
+    fully reduced over the mesh."""
+    if committee:
+        energy_c = _psum_committee_energy(
+            cfg_l, model_l, rad, oidx, znum, params, exponent,
+            pair_terms, chem_z, mixL, kind, vs_l, mean_e,
+        )
+
+        def forces_fn(pos, tbl=None):
+            (e, bmax), g = jax.value_and_grad(
+                lambda p: energy_c(p, cfg_l.cell), has_aux=True
+            )(pos)
+            f = -g * amask
+            if not check_beta:
+                bmax = jnp.zeros((), dtype=pos.dtype)
+            return e, f, bmax
+
+        return forces_fn
+
+    energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
+                            exponent, pair_terms, chem_z, mixL, kind)
+
+    def forces_fn(pos, tbl=None):
+        (e, (cov, alpha)), g = jax.value_and_grad(
+            lambda p: energy_g(p, cfg_l.cell), has_aux=True
+        )(pos)
+        f = -g * amask
+        beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
+                                     check_beta, pos.dtype)
+        return e, f, beta_max
+
+    return forces_fn
+
+
+def _sharded_forces_virial_fn(cfg_l, model_l, rad, vs_l, oidx, amask,
+                              znum, params, exponent, pair_terms, chem_z,
+                              mixL, kind, check_beta, committee, mean_e,
+                              aniso):
+    """``(e, f, deps, beta_max)`` closure shared by the strain-carrying
+    sharded chunks (NPT / variable-cell FIRE): the energy — single-model
+    or committee — is differentiated w.r.t. (positions, strain) jointly,
+    so the forces AND the virial (trace or tensor) come out globally
+    reduced on every device."""
+    dtype = cfg_l.positions.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    if committee:
+        energy_raw = _psum_committee_energy(
+            cfg_l, model_l, rad, oidx, znum, params, exponent,
+            pair_terms, chem_z, mixL, kind, vs_l, mean_e,
+        )
+    else:
+        energy_raw = _psum_energy(cfg_l, model_l, rad, oidx, znum,
+                                  params, exponent, pair_terms, chem_z,
+                                  mixL, kind)
+
+    def forces_fn(pos, cell, tbl=None):
+        def energy(p, eps):
+            # psum inside the differentiated function: position AND
+            # strain gradients come out globally reduced (the
+            # sharded_md_chunk idiom, extended to the virial)
+            if aniso:
+                sc = eye + eps
+                return energy_raw(p @ sc.T, cell @ sc.T)
+            return energy_raw(p * (1.0 + eps), cell * (1.0 + eps))
+
+        zero = jnp.zeros((3, 3) if aniso else (), dtype=dtype)
+        (e, aux), (g, deps) = jax.value_and_grad(
+            energy, argnums=(0, 1), has_aux=True
+        )(pos, zero)
+        if aniso:
+            deps = 0.5 * (deps + deps.T)
+        f = -g * amask
+        if committee:
+            beta_max = aux
+            if not check_beta:
+                beta_max = jnp.zeros((), dtype=dtype)
+        else:
+            cov, alpha = aux
+            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l,
+                                         cfg_l, check_beta, dtype)
+        return e, f, deps, beta_max
+
+    return forces_fn
+
+
 def _pad_to(x, size, axis=0):
     extra = size - x.shape[axis]
     if extra <= 0:
@@ -176,18 +340,24 @@ def _pad_cfg(cfg: ConfigArrays, n2, axis=0):
     )
 
 
-def _pad_model(model: ModelArrays, m2):
+def _pad_model(model: ModelArrays, m2, lead=0):
+    """Pad the inducing axis to ``m2``.  ``lead=1`` handles the
+    expert-stacked committee layout ((E, m, ...) leaves)."""
+    ax = lead
     return ModelArrays(
-        X_desc=_pad_to(model.X_desc, m2),
-        X_num=_pad_to(model.X_num, m2),
-        X_lone=_pad_to(model.X_lone, m2),
-        m_mask=_pad_to(model.m_mask, m2),
-        mu=_pad_to(model.mu, m2),
-        choli=_pad_to(_pad_to(model.choli, m2, 0), m2, 1),
-        pair_d=None if model.pair_d is None else _pad_to(model.pair_d, m2, 1),
+        X_desc=_pad_to(model.X_desc, m2, ax),
+        X_num=_pad_to(model.X_num, m2, ax),
+        X_lone=_pad_to(model.X_lone, m2, ax),
+        m_mask=_pad_to(model.m_mask, m2, ax),
+        mu=_pad_to(model.mu, m2, ax),
+        choli=_pad_to(_pad_to(model.choli, m2, ax), m2, ax + 1),
+        pair_d=(
+            None if model.pair_d is None
+            else _pad_to(model.pair_d, m2, ax + 1)
+        ),
         pair_mask=(
             None if model.pair_mask is None
-            else _pad_to(model.pair_mask, m2, 1)
+            else _pad_to(model.pair_mask, m2, ax + 1)
         ),
     )
 
@@ -212,16 +382,28 @@ def mesh_pad(cfg: ConfigArrays, model: ModelArrays, vscale_atom, mesh,
     return cfg2, model2, own_idx, _pad_to(vs, n2)
 
 
-def pad_for_mesh(cfg, model, vscale_atom, mesh, dtype):
+def pad_for_mesh(cfg, model, vscale_atom, mesh, dtype, committee=False):
     """mesh_pad plus the replicated global atom-mask column the sharded
     chunk loops consume — the one-call driver-side entry used by
-    DeviceMD/DeviceNPT/DeviceFIRE when engine.mesh is set."""
-    cfg2, ma2, oidx, vsj = mesh_pad(cfg, model, vscale_atom, mesh,
-                                    dtype=dtype)
+    DeviceMD/DeviceNPT/DeviceFIRE when engine.mesh is set.
+
+    ``committee=True``: ``model`` leaves carry a leading expert axis E
+    (device_md.committee_stack layout) and ``vscale_atom`` is (E, N)."""
+    nd = mesh.shape["data"]
+    nm = mesh.shape["model"]
+    lead = 1 if committee else 0
+    npad = cfg.positions.shape[0]
+    mpad = model.mu.shape[lead]
+    n2 = -(-npad // nd) * nd
+    m2 = -(-mpad // nm) * nm
+    own_idx = jnp.arange(n2, dtype=jnp.int32)
+    cfg2 = _pad_cfg(cfg, n2)
+    ma2 = _pad_model(model, m2, lead=lead)
+    vsj = _pad_to(jnp.asarray(vscale_atom, dtype=dtype), n2, axis=lead)
     gmask = jnp.asarray(
         np.asarray(cfg2.atom_mask)[:, None], dtype=dtype
     )
-    return cfg2, ma2, oidx, vsj, gmask
+    return cfg2, ma2, own_idx, vsj, gmask
 
 
 def _cfg_spec_images():
@@ -241,22 +423,25 @@ def _cfg_spec_images():
     )
 
 
-def pad_images_for_mesh(cfgs, model, vscale_atom, mesh, dtype):
+def pad_images_for_mesh(cfgs, model, vscale_atom, mesh, dtype,
+                        committee=False):
     """pad_for_mesh for an image-stacked ConfigArrays (DeviceNEB bands):
     pads the ATOM axis (axis 1 of every per-atom leaf) to a
     mesh-divisible size.  Returns (cfgs2, model2, own_idx, vscale2,
     gmask) with gmask the replicated (N, 1) global atom-mask column of
-    the shared system (images share atom count/species)."""
+    the shared system (images share atom count/species).
+    ``committee=True``: expert-stacked model leaves / (E, N) vscale."""
     nd = mesh.shape["data"]
     nm = mesh.shape["model"]
+    lead = 1 if committee else 0
     npad = cfgs.positions.shape[1]
-    mpad = model.mu.shape[0]
+    mpad = model.mu.shape[lead]
     n2 = -(-npad // nd) * nd
     m2 = -(-mpad // nm) * nm
     own_idx = jnp.arange(n2, dtype=jnp.int32)
     cfgs2 = _pad_cfg(cfgs, n2, axis=1)
-    model2 = _pad_model(model, m2)
-    vs = _pad_to(jnp.asarray(vscale_atom, dtype=dtype), n2)
+    model2 = _pad_model(model, m2, lead=lead)
+    vs = _pad_to(jnp.asarray(vscale_atom, dtype=dtype), n2, axis=lead)
     gmask = jnp.asarray(
         np.asarray(cfgs2.atom_mask[0])[:, None], dtype=dtype
     )
@@ -495,7 +680,7 @@ def sharded_kernel_block_jac(cfg: ConfigArrays, model: ModelArrays, radii,
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "thermostat", "kind"),
+                     "check_beta", "thermostat", "kind", "committee"),
 )
 def sharded_md_chunk(
     cfg: ConfigArrays,
@@ -528,9 +713,17 @@ def sharded_md_chunk(
     check_beta=True,
     thermostat="langevin",
     kind="dot",
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Device-resident MD over the ('data', 'model') mesh: the ENTIRE
     ``lax.while_loop`` integrator runs inside one ``shard_map``.
+
+    ``committee=True`` integrates the weighted BCM committee surface
+    (:func:`_psum_committee_energy`; ``model`` leaves expert-stacked,
+    ``vscale_atom`` (E, N) sharded on the atom axis) — the reference's
+    flagship MPI configuration (committee MD over per-rank atoms,
+    active_bcm.py:589-633) as SPMD.
 
     This is the reference's core scaling promise — more ranks for more
     atoms *during MD* (README.md:89-92; per-rank atom ownership
@@ -557,22 +750,17 @@ def sharded_md_chunk(
         nhc_xi = jnp.zeros(3, dtype=dtype)
         nhc_Q = jnp.ones(3, dtype=dtype)
         nhc_dof = jnp.ones((), dtype=dtype)
+    if mean_e is None:
+        mean_e = jnp.zeros(1, dtype=dtype)
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses, pos0,
                  key, dt, kT, friction, skin_half, beta_thresh, nsteps,
-                 nhc_Q, nhc_dof, nhc_vxi, nhc_xi):
-        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
-                                exponent, pair_terms, chem_z, mixL, kind)
-
-        def forces_fn(pos):
-            (e, (cov, alpha)), g = jax.value_and_grad(
-                lambda p: energy_g(p, cfg_l.cell), has_aux=True
-            )(pos)
-            f = -g * amask
-            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
-                                         check_beta, pos.dtype)
-            return e, f, beta_max
-
+                 nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e):
+        forces_fn = _sharded_forces_fn(
+            cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
+            exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            committee, mean_e,
+        )
         pos, vel, key, f, e, beta_max, vxi, xi, i = _chunk_loop(
             forces_fn, cfg_l.positions, amask, vel, masses, key, pos0,
             dt, kT, friction, skin_half, beta_thresh, nsteps,
@@ -580,23 +768,28 @@ def sharded_md_chunk(
         )
         return pos, vel, key, f, e, beta_max, i, vxi, xi
 
-    rep = (P(),) * 15
+    rep = (P(),) * 16
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"), P("data"))
-        + rep,
+        in_specs=(
+            _cfg_spec(),
+            _model_spec_committee(model) if committee else _model_spec(model),
+            P(),
+            P(None, "data") if committee else P("data"),
+            P("data"),
+        ) + rep,
         out_specs=(P(),) * 9,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
               masses, pos0, key, dt, kT, friction, skin_half, beta_thresh,
-              nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi)
+              nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e)
 
 
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "kind", "aniso"),
+                     "check_beta", "kind", "aniso", "committee"),
 )
 def sharded_npt_chunk(
     cfg: ConfigArrays,
@@ -636,11 +829,15 @@ def sharded_npt_chunk(
     check_beta=True,
     kind="dot",
     aniso=False,
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Device-resident MTK NPT over the ('data', 'model') mesh: the
     ENTIRE barostat while-loop (md/device_npt._npt_loop) runs inside
     one ``shard_map`` — constant-pressure MD scales out exactly like
-    :func:`sharded_md_chunk`.
+    :func:`sharded_md_chunk`.  ``committee=True`` integrates the
+    weighted BCM committee surface with the committee virial from the
+    same joint (positions, strain) backward.
 
     The energy is psum'd over both mesh axes INSIDE the function that is
     differentiated w.r.t. (positions, strain) jointly, so BOTH the
@@ -660,36 +857,18 @@ def sharded_npt_chunk(
     from ..md.device_npt import _npt_loop, offsum_max
 
     dtype = cfg.positions.dtype
+    if mean_e is None:
+        mean_e = jnp.zeros(1, dtype=dtype)
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses,
                  pos0, cell0, dt, kT, p_ext, W, skin_half, beta_thresh,
                  nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof,
-                 bch_vxi, bch_xi, vg, strain_mask):
-        eye = jnp.eye(3, dtype=dtype)
-        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
-                                exponent, pair_terms, chem_z, mixL, kind)
-
-        def forces_fn(pos, cell, tbl=None):
-            def energy(p, eps):
-                # psum inside the differentiated function: position AND
-                # strain gradients come out globally reduced (the
-                # sharded_md_chunk idiom, extended to the virial)
-                if aniso:
-                    sc = eye + eps
-                    return energy_g(p @ sc.T, cell @ sc.T)
-                return energy_g(p * (1.0 + eps), cell * (1.0 + eps))
-
-            zero = jnp.zeros((3, 3) if aniso else (), dtype=dtype)
-            (e, (cov, alpha)), (g, deps) = jax.value_and_grad(
-                energy, argnums=(0, 1), has_aux=True
-            )(pos, zero)
-            if aniso:
-                deps = 0.5 * (deps + deps.T)
-            f = -g * amask
-            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
-                                         check_beta, dtype)
-            return e, f, deps, beta_max
-
+                 bch_vxi, bch_xi, vg, strain_mask, mean_e):
+        forces_fn = _sharded_forces_virial_fn(
+            cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
+            exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            committee, mean_e, aniso,
+        )
         # the sharded table was built with cell0 on the host; its image
         # lever arm is the global max over the 'data' shards
         omax = jax.lax.pmax(
@@ -709,24 +888,29 @@ def sharded_npt_chunk(
             vg, aniso, strain_mask, check_beta, dtype, cfg_l.cell, omax,
         )
 
-    rep = (P(),) * 22
+    rep = (P(),) * 23
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"),
-                  P("data")) + rep,
+        in_specs=(
+            _cfg_spec(),
+            _model_spec_committee(model) if committee else _model_spec(model),
+            P(),
+            P(None, "data") if committee else P("data"),
+            P("data"),
+        ) + rep,
         out_specs=(P(),) * 12,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
               masses, pos0, cell0, dt, kT, p_ext, W, skin_half,
               beta_thresh, nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
-              bch_Q, bch_dof, bch_vxi, bch_xi, vg, strain_mask)
+              bch_Q, bch_dof, bch_vxi, bch_xi, vg, strain_mask, mean_e)
 
 
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "kind"),
+                     "check_beta", "kind", "committee"),
 )
 def sharded_fire_chunk(
     cfg: ConfigArrays,
@@ -760,59 +944,62 @@ def sharded_fire_chunk(
     pair_terms=(),
     check_beta=True,
     kind="dot",
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Device-resident FIRE relaxation over the ('data', 'model') mesh:
     the whole optimizer while-loop (opt/device_fire._fire_loop) runs
     inside one ``shard_map`` — structure relaxation scales out exactly
     like :func:`sharded_md_chunk` (forces globally reduced by
     differentiating through the psum; the replicated FIRE state steps
-    identically everywhere).  Skin breaches exit the chunk (host
-    rebuild re-partitions the sharded tables).  Returns fire_chunk's
-    no-rebuild tuple (pos, v, f, e, beta_max, fmax, dt, a, n_uphill,
-    ndone), every output replicated."""
-    from ..md.device_md import _sgpr_forces  # noqa: F401 (parity docs)
+    identically everywhere; ``committee=True`` relaxes the weighted BCM
+    committee surface).  Skin breaches exit the chunk (host rebuild
+    re-partitions the sharded tables).  Returns fire_chunk's no-rebuild
+    tuple (pos, v, f, e, beta_max, fmax, dt, a, n_uphill, ndone), every
+    output replicated."""
     from ..opt.device_fire import _fire_loop
 
     dtype = cfg.positions.dtype
+    if mean_e is None:
+        mean_e = jnp.zeros(1, dtype=dtype)
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, v, pos0, dt, a,
                  n_uphill, skin_half, fmax_target, beta_thresh, nsteps,
-                 maxstep, dtmax, nmin, finc, fdec, astart, fa):
-        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
-                                exponent, pair_terms, chem_z, mixL, kind)
-
-        def forces_fn(pos, tbl=None):
-            (e, (cov, alpha)), g = jax.value_and_grad(
-                lambda p: energy_g(p, cfg_l.cell), has_aux=True
-            )(pos)
-            f = -g * amask
-            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
-                                         check_beta, dtype)
-            return e, f, beta_max
-
+                 maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e):
+        forces_fn = _sharded_forces_fn(
+            cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
+            exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            committee, mean_e,
+        )
         return _fire_loop(
             forces_fn, cfg_l.positions, amask, v, pos0, dt, a, n_uphill,
             skin_half, fmax_target, beta_thresh, nsteps, maxstep, dtmax,
             nmin, finc, fdec, astart, fa, check_beta,
         )
 
-    rep = (P(),) * 17
+    rep = (P(),) * 18
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"),
-                  P("data")) + rep,
+        in_specs=(
+            _cfg_spec(),
+            _model_spec_committee(model) if committee else _model_spec(model),
+            P(),
+            P(None, "data") if committee else P("data"),
+            P("data"),
+        ) + rep,
         out_specs=(P(),) * 10,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, v, pos0,
               dt, a, n_uphill, skin_half, fmax_target, beta_thresh,
-              nsteps, maxstep, dtmax, nmin, finc, fdec, astart, fa)
+              nsteps, maxstep, dtmax, nmin, finc, fdec, astart, fa,
+              mean_e)
 
 
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "kind", "climb"),
+                     "check_beta", "kind", "climb", "committee"),
 )
 def sharded_neb_chunk(
     cfgs,  # ConfigArrays, leading image axis R; atom tables over 'data'
@@ -848,6 +1035,8 @@ def sharded_neb_chunk(
     check_beta=True,
     kind="dot",
     climb=False,
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Device-resident NEB over the ('data', 'model') mesh: the whole
     band while-loop (opt/device_neb._neb_loop) runs inside one
@@ -856,8 +1045,10 @@ def sharded_neb_chunk(
     globally reduced because the per-image energy ``psum`` is vmapped
     and differentiated through, so the replicated band state (positions,
     FIRE velocity, tangent/spring projection, climbing image) steps
-    identically everywhere.  This is the reference's MPI-scaled saddle
-    search (cl/neb.py over per-rank atoms, README.md:89-92) as SPMD.
+    identically everywhere.  ``committee=True`` relaxes the band on the
+    weighted BCM committee surface.  This is the reference's MPI-scaled
+    saddle search (cl/neb.py over per-rank atoms, README.md:89-92) as
+    SPMD.
 
     Trajectories match the single-device ``neb_chunk`` (equality-tested
     in tests/test_parallel.py).  Returns neb_chunk's tuple (pos, v,
@@ -865,20 +1056,20 @@ def sharded_neb_chunk(
     output replicated."""
     from ..opt.device_neb import _neb_loop
 
+    if mean_e is None:
+        mean_e = jnp.zeros(1, dtype=cfgs.positions.dtype)
+
     def block_fn(cfgs_l, model_l, rad, vs_l, oidx, amask, v, pos0, dt, a,
                  n_uphill, skin_half, fmax_target, beta_thresh, nsteps,
-                 k_spring, maxstep, dtmax, nmin, finc, fdec, astart, fa):
+                 k_spring, maxstep, dtmax, nmin, finc, fdec, astart, fa,
+                 mean_e):
         def forces_one(pos, cfg_l):
-            energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum,
-                                    params, exponent, pair_terms, chem_z,
-                                    mixL, kind)
-            (e, (cov, alpha)), g = jax.value_and_grad(
-                lambda p: energy_g(p, cfg_l.cell), has_aux=True
-            )(pos)
-            f = -g * amask
-            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
-                                         check_beta, pos.dtype)
-            return e, f, beta_max
+            fn_ = _sharded_forces_fn(
+                cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
+                exponent, pair_terms, chem_z, mixL, kind, check_beta,
+                committee, mean_e,
+            )
+            return fn_(pos)
 
         forces_v = jax.vmap(forces_one, in_axes=(0, 0))
 
@@ -895,24 +1086,29 @@ def sharded_neb_chunk(
             check_beta, climb,
         )
 
-    rep = (P(),) * 18
+    rep = (P(),) * 19
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(_cfg_spec_images(), _model_spec(model), P(),
-                  P("data"), P("data")) + rep,
+        in_specs=(
+            _cfg_spec_images(),
+            _model_spec_committee(model) if committee else _model_spec(model),
+            P(),
+            P(None, "data") if committee else P("data"),
+            P("data"),
+        ) + rep,
         out_specs=(P(),) * 10,
     )
     return fn(cfgs, model, radii, vscale_atom, own_idx, amask, v, pos0,
               dt, a, n_uphill, skin_half, fmax_target, beta_thresh,
               nsteps, k_spring, maxstep, dtmax, nmin, finc, fdec,
-              astart, fa)
+              astart, fa, mean_e)
 
 
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "kind"),
+                     "check_beta", "kind", "committee"),
 )
 def sharded_fire_cell_chunk(
     cfg: ConfigArrays,
@@ -951,16 +1147,19 @@ def sharded_fire_cell_chunk(
     pair_terms=(),
     check_beta=True,
     kind="dot",
+    committee=False,  # model/vscale carry a leading expert axis
+    mean_e=None,  # (E,) per-expert mean energies (committee)
 ):
     """Variable-cell FIRE over the ('data', 'model') mesh: the whole
     UnitCellFilter + FIRE while-loop (opt/device_fire._fire_cell_loop)
-    runs inside one ``shard_map``.  The energy is psum'd over both mesh
-    axes INSIDE the function differentiated w.r.t. (positions, strain)
-    jointly — the sharded_npt_chunk idiom — so the forces AND the
-    stress tensor driving the three deformation rows come out globally
-    reduced on every device.  Table validity under the moving cell uses
-    the NPT chunk's displacement + image-drift metric against the
-    TABLE-BUILD cell (cfg.cell; the driver only ever replaces
+    runs inside one ``shard_map``.  The energy — single-model or the
+    weighted BCM committee (``committee=True``) — is psum'd over both
+    mesh axes INSIDE the function differentiated w.r.t. (positions,
+    strain) jointly — the sharded_npt_chunk idiom — so the forces AND
+    the stress tensor driving the three deformation rows come out
+    globally reduced on every device.  Table validity under the moving
+    cell uses the NPT chunk's displacement + image-drift metric against
+    the TABLE-BUILD cell (cfg.cell; the driver only ever replaces
     positions), with the table's offmax pmax'd over 'data'.  Skin
     breaches exit the chunk (host rebuild re-partitions the sharded
     tables).  Returns fire_cell_chunk's no-rebuild tuple (pos_real, v,
@@ -970,30 +1169,18 @@ def sharded_fire_cell_chunk(
     from ..opt.device_fire import _fire_cell_loop
 
     dtype = cfg.positions.dtype
+    if mean_e is None:
+        mean_e = jnp.zeros(1, dtype=dtype)
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, v, v_def,
                  deform, cell0, pos0, dt, a, n_uphill, skin_half,
                  fmax_target, beta_thresh, nsteps, cell_factor, pressure,
-                 maxstep, dtmax, nmin, finc, fdec, astart, fa):
-        eye = jnp.eye(3, dtype=dtype)
-        energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
-                                exponent, pair_terms, chem_z, mixL, kind)
-
-        def forces_fn(pos, cell, tbl=None):
-            def energy(p, eps):
-                sc = eye + eps
-                return energy_g(p @ sc.T, cell @ sc.T)
-
-            zero = jnp.zeros((3, 3), dtype=dtype)
-            (e, (cov, alpha)), (g, deps) = jax.value_and_grad(
-                energy, argnums=(0, 1), has_aux=True
-            )(pos, zero)
-            deps = 0.5 * (deps + deps.T)
-            f = -g * amask
-            beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l,
-                                         cfg_l, check_beta, dtype)
-            return e, f, deps, beta_max
-
+                 maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e):
+        forces_fn = _sharded_forces_virial_fn(
+            cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
+            exponent, pair_terms, chem_z, mixL, kind, check_beta,
+            committee, mean_e, aniso=True,
+        )
         omax = jax.lax.pmax(
             offsum_max(cfg_l.nbr_off, cfg_l.nbr_mask, dtype), "data"
         )
@@ -1004,15 +1191,20 @@ def sharded_fire_cell_chunk(
             maxstep, dtmax, nmin, finc, fdec, astart, fa, check_beta,
         )
 
-    rep = (P(),) * 22
+    rep = (P(),) * 23
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(_cfg_spec(), _model_spec(model), P(), P("data"),
-                  P("data")) + rep,
+        in_specs=(
+            _cfg_spec(),
+            _model_spec_committee(model) if committee else _model_spec(model),
+            P(),
+            P(None, "data") if committee else P("data"),
+            P("data"),
+        ) + rep,
         out_specs=(P(),) * 12,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, v, v_def,
               deform, cell0, pos0, dt, a, n_uphill, skin_half,
               fmax_target, beta_thresh, nsteps, cell_factor, pressure,
-              maxstep, dtmax, nmin, finc, fdec, astart, fa)
+              maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e)
