@@ -776,12 +776,11 @@ class DeviceMD:
                 and not getattr(eng, "chemical", None)
                 and getattr(eng, "kernel_kind", "dot") == "dot"
             )
-            if not plain or getattr(eng, "mesh", None) is not None:
+            if not plain:
                 raise NotImplementedError(
                     "device-fused ActiveMeta needs the plain dot kernel "
-                    "on a single chip (the host bias formula, "
-                    "engine.meta_covloss_fn, is defined there) — use the "
-                    "host MD drivers"
+                    "(the host bias formula, engine.meta_covloss_fn, is "
+                    "defined there) — use the host MD drivers"
                 )
         self.meta_scale = float(meta.scale) if meta is not None else None
         self.system = system
@@ -943,12 +942,11 @@ class DeviceMD:
                 else:
                     ma = model.full_model_arrays()
                     vs = model.vscale_for(np.asarray(cfg.numbers))
+                    meta_np = None
                     if self.meta_scale is not None:
                         # host bias formula: inf (unseen species) -> 0,
                         # NOT the sampling sentinel (engine.meta_covloss_fn)
-                        meta_vs = jnp.asarray(
-                            np.where(np.isfinite(vs), vs, 0.0), dtype=dtype
-                        )
+                        meta_np = np.where(np.isfinite(vs), vs, 0.0)
                     # unseen species: huge finite sentinel (host inf
                     # semantics: any uncertainty trips sampling), not 0
                     # (which would silence the trigger exactly where the
@@ -960,8 +958,15 @@ class DeviceMD:
                         cfg, ma, oidx, vsj, amask = pad_for_mesh(
                             cfg, ma, vs, self.mesh, dtype
                         )
+                        if meta_np is not None:
+                            meta_np = np.pad(
+                                meta_np,
+                                (0, cfg.positions.shape[0] - len(meta_np)),
+                            )
                     else:
                         vsj = jnp.asarray(vs, dtype=dtype)
+                    if meta_np is not None:
+                        meta_vs = jnp.asarray(meta_np, dtype=dtype)
                 npad = cfg.positions.shape[0]
                 vel = np.zeros((npad, 3))
                 vel[: len(system)] = system.get_velocities()
@@ -1051,6 +1056,13 @@ class DeviceMD:
                 from ..parallel.mesh import sharded_md_chunk
 
                 chem_z, mixL = eng.chem_args()
+                meta_kw = {}
+                if chain["meta_vs"] is not None:
+                    meta_kw = dict(
+                        meta_kind="covloss",
+                        meta_scale=jnp.asarray(self.meta_scale, dtype=dtype),
+                        meta_vs=chain["meta_vs"],
+                    )
                 pos, vel, self.key, f, e, beta_max, i, vxi, xi = (
                     sharded_md_chunk(
                         chain["cfg"], chain["ma"], chain["radii"],
@@ -1070,6 +1082,7 @@ class DeviceMD:
                         committee=chain["mean_e"] is not None,
                         mean_e=chain["mean_e"],
                         **nhc_kw,
+                        **meta_kw,
                     )
                 )
             elif chain["mean_e"] is not None:

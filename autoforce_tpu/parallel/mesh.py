@@ -86,13 +86,22 @@ def _gathered_beta(choli, cov, alpha, vscale_atom, atom_mask):
 
 
 def _psum_energy(cfg_l, model_l, rad, oidx, znum, params, exponent,
-                 pair_terms, chem_z, mixL, kind):
+                 pair_terms, chem_z, mixL, kind, meta_scale=None,
+                 meta_vs=None):
     """Build the sharded energy closure used by every sharded_*_chunk:
     ``energy(p, cell) -> (E, (cov, alpha))`` with the masked covariance
     from `_total_cov` (this device's atom rows x inducing columns) and
     the energy psum'd over BOTH mesh axes INSIDE the closure — so
     differentiating it yields globally reduced position/strain
-    gradients (full forces and virial on every device)."""
+    gradients (full forces and virial on every device).
+
+    ``meta_scale``/``meta_vs`` fuse the ActiveMeta uncertainty-seeking
+    bias ``E -= scale * sum_i beta_i sqrt(meta_vs_i)`` INTO the closure
+    (the exact host math of engine.meta_covloss_fn, reference
+    active.py:1170-1186) — the bias needs the FULL covariance row, so
+    it all_gathers over 'model' (differentiable, unlike pmax) and
+    psums the local bias over 'data' only (it is already replicated
+    over 'model' after the gather)."""
 
     def energy(p, cell):
         cov, lone, alpha = _total_cov(
@@ -103,6 +112,17 @@ def _psum_energy(cfg_l, model_l, rad, oidx, znum, params, exponent,
         )
         cov = cov * (cfg_l.atom_mask[:, None] & model_l.m_mask[None, :])
         e = jax.lax.psum(precise_sum(cov @ model_l.mu), ("data", "model"))
+        if meta_scale is not None:
+            cov_full = jax.lax.all_gather(cov, "model", axis=1, tiled=True)
+            cov_full = jax.lax.pmean(cov_full, "model")
+            b = model_l.choli @ cov_full.T
+            c = (b * b).sum(axis=0)
+            beta = jnp.sqrt(jnp.clip(1.0 - c, 1e-12, None))
+            bias = jax.lax.psum(
+                precise_sum(beta * jnp.sqrt(meta_vs) * cfg_l.atom_mask),
+                "data",
+            )
+            e = e - meta_scale * bias
         return e, (cov, alpha)
 
     return energy
@@ -226,7 +246,8 @@ def _psum_committee_energy(cfg_l, models_l, rad, oidx, znum, params,
 
 def _sharded_forces_fn(cfg_l, model_l, rad, vs_l, oidx, amask, znum,
                        params, exponent, pair_terms, chem_z, mixL, kind,
-                       check_beta, committee, mean_e):
+                       check_beta, committee, mean_e, meta_scale=None,
+                       meta_vs=None):
     """``(e, f, beta_max)`` closure shared by the position-only sharded
     chunks (MD / FIRE / per-image NEB): single-model psum energy or the
     weighted committee energy, forces from its gradient, the trip scalar
@@ -249,7 +270,8 @@ def _sharded_forces_fn(cfg_l, model_l, rad, vs_l, oidx, amask, znum,
         return forces_fn
 
     energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
-                            exponent, pair_terms, chem_z, mixL, kind)
+                            exponent, pair_terms, chem_z, mixL, kind,
+                            meta_scale=meta_scale, meta_vs=meta_vs)
 
     def forces_fn(pos, tbl=None):
         (e, (cov, alpha)), g = jax.value_and_grad(
@@ -680,7 +702,8 @@ def sharded_kernel_block_jac(cfg: ConfigArrays, model: ModelArrays, radii,
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "thermostat", "kind", "committee"),
+                     "check_beta", "thermostat", "kind", "committee",
+                     "meta_kind"),
 )
 def sharded_md_chunk(
     cfg: ConfigArrays,
@@ -715,6 +738,9 @@ def sharded_md_chunk(
     kind="dot",
     committee=False,  # model/vscale carry a leading expert axis
     mean_e=None,  # (E,) per-expert mean energies (committee)
+    meta_kind=None,  # "covloss" = ActiveMeta bias fused into the step
+    meta_scale=None,  # traced bias strength (eV)
+    meta_vs=None,  # (N,) vscale with inf -> 0, sharded over 'data'
 ):
     """Device-resident MD over the ('data', 'model') mesh: the ENTIRE
     ``lax.while_loop`` integrator runs inside one ``shard_map``.
@@ -723,7 +749,9 @@ def sharded_md_chunk(
     (:func:`_psum_committee_energy`; ``model`` leaves expert-stacked,
     ``vscale_atom`` (E, N) sharded on the atom axis) — the reference's
     flagship MPI configuration (committee MD over per-rank atoms,
-    active_bcm.py:589-633) as SPMD.
+    active_bcm.py:589-633) as SPMD.  ``meta_kind="covloss"`` fuses the
+    ActiveMeta uncertainty bias into the sharded step (see
+    :func:`_psum_energy`; single-model only, like md_chunk).
 
     This is the reference's core scaling promise — more ranks for more
     atoms *during MD* (README.md:89-92; per-rank atom ownership
@@ -752,14 +780,21 @@ def sharded_md_chunk(
         nhc_dof = jnp.ones((), dtype=dtype)
     if mean_e is None:
         mean_e = jnp.zeros(1, dtype=dtype)
+    meta = meta_kind == "covloss"
+    if not meta:
+        meta_scale = jnp.zeros((), dtype=dtype)
+        meta_vs = jnp.zeros(cfg.positions.shape[0], dtype=dtype)
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses, pos0,
                  key, dt, kT, friction, skin_half, beta_thresh, nsteps,
-                 nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e):
+                 nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e, meta_scale,
+                 meta_vs):
         forces_fn = _sharded_forces_fn(
             cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
             exponent, pair_terms, chem_z, mixL, kind, check_beta,
             committee, mean_e,
+            meta_scale=meta_scale if meta else None,
+            meta_vs=meta_vs if meta else None,
         )
         pos, vel, key, f, e, beta_max, vxi, xi, i = _chunk_loop(
             forces_fn, cfg_l.positions, amask, vel, masses, key, pos0,
@@ -768,7 +803,7 @@ def sharded_md_chunk(
         )
         return pos, vel, key, f, e, beta_max, i, vxi, xi
 
-    rep = (P(),) * 16
+    rep = (P(),) * 17
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
@@ -778,12 +813,13 @@ def sharded_md_chunk(
             P(),
             P(None, "data") if committee else P("data"),
             P("data"),
-        ) + rep,
+        ) + rep + (P("data"),),
         out_specs=(P(),) * 9,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
               masses, pos0, key, dt, kT, friction, skin_half, beta_thresh,
-              nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e)
+              nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e, meta_scale,
+              meta_vs)
 
 
 @partial(

@@ -457,6 +457,53 @@ def test_device_neb_driver_with_mesh(tmp_path, monkeypatch):
     assert np.abs(out[True][0][1] - out[True][0][0]).max() > 1e-4
 
 
+def test_device_md_meta_with_mesh(tmp_path, monkeypatch):
+    """ActiveMeta fused into the SHARDED MD chunk: the bias all_gathers
+    the covariance over 'model' inside the differentiated energy, so the
+    uncertainty-biased trajectory over the mesh == single-device."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.meta import ActiveMeta
+    from autoforce_tpu.md.device_md import DeviceMD
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    out = {}
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        eng, model, s = build_state()
+        # build_state's hand-made model has no stats: vscale would be
+        # inf -> the meta formula maps it to 0 and the bias vanishes
+        model.vscale = {29: 1.0}
+        eng.mesh = mesh
+        s2 = s.copy()
+        calc = ActiveCalculator(
+            covariance=model, calculator=None, logfile=None, pckl=None,
+            tape=None, skin=0.3,
+        )
+        calc.meta = ActiveMeta(scale=0.05)
+        s2.calc = calc
+        maxwell_boltzmann_velocities(s2, 400, seed=3)
+        dyn = DeviceMD(s2, calc, dt=2.0 * units.fs, chunk=5, seed=1,
+                       check_beta=False, thermostat="none",
+                       device_rebuild=False)
+        dyn.run(10)
+        out[mesh is None] = s2.positions.copy()
+    np.testing.assert_allclose(out[False], out[True], atol=1e-9)
+    # non-trivial: the bias bends the trajectory vs the plain surface
+    eng, model, s = build_state()
+    s3 = s.copy()
+    calc = ActiveCalculator(
+        covariance=model, calculator=None, logfile=None, pckl=None,
+        tape=None, skin=0.3,
+    )
+    s3.calc = calc
+    maxwell_boltzmann_velocities(s3, 400, seed=3)
+    DeviceMD(s3, calc, dt=2.0 * units.fs, chunk=5, seed=1,
+             check_beta=False, thermostat="none",
+             device_rebuild=False).run(10)
+    assert np.abs(s3.positions - out[True]).max() > 1e-7
+
+
 def test_mesh_bench_harness(capsys):
     """The collective-accounting harness runs and the sharded trajectory
     matches single-device (VERDICT r2 weak #6)."""
