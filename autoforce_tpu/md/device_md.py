@@ -805,23 +805,25 @@ class DeviceMD:
         self.nhc_xi = np.zeros(3)
         # on-device neighbor rebuild at skin breaches (liquids/diffusive
         # systems never pay the host table + upload); valid when the MIC
-        # condition holds for this (fixed NVT) box.  Under a mesh the
-        # rebuild goes through the host path (the sharded tables are
-        # re-partitioned there).
+        # condition holds for this (fixed NVT) box.
         self.mesh = getattr(calc.engine, "mesh", None)
+        rebuild_ok = device_rebuild_ok(
+            system.cell, system.pbc,
+            calc.engine.params.rc + calc._nlcache.skin,
+        )
+        # between-chunk device rebuild stays single-chip (it rebuilds the
+        # FULL table; sharded chains re-partition through the host)
         self.device_rebuild = (
-            device_rebuild
-            and self.mesh is None
-            and device_rebuild_ok(
-                system.cell, system.pbc,
-                calc.engine.params.rc + calc._nlcache.skin,
-            )
+            device_rebuild and self.mesh is None and rebuild_ok
         )
         # in-loop rebuild: skin breaches are handled INSIDE the chunk's
         # while_loop (no chunk exit, no dispatch round trips) — the
-        # single-model counterpart of _rebuild_on_device; committee/mesh
-        # chunks keep the between-chunk rebuild
-        self.in_loop_rebuild = in_loop_rebuild and self.device_rebuild
+        # single-model counterpart of _rebuild_on_device.  Under a mesh
+        # each device rebuilds ITS OWN rows from the replicated
+        # positions (parallel/mesh._sharded_inloop)
+        self.in_loop_rebuild = in_loop_rebuild and (
+            self.device_rebuild or (self.mesh is not None and rebuild_ok)
+        )
 
     def _committee_models(self):
         return committee_models(self.calc)
@@ -975,7 +977,7 @@ class DeviceMD:
                 pos0 = np.zeros((npad, 3))
                 pos0[: len(system)] = calc._nlcache._pos
                 beta_thresh = calc.ediff if self.check_beta else np.inf
-                inloop = self.in_loop_rebuild and self.mesh is None
+                inloop = self.in_loop_rebuild
                 sidx_atom = sidx_ok = cut = None
                 if inloop:
                     sidx = eng.species_index(np.asarray(cfg.numbers))
@@ -1063,28 +1065,30 @@ class DeviceMD:
                         meta_scale=jnp.asarray(self.meta_scale, dtype=dtype),
                         meta_vs=chain["meta_vs"],
                     )
-                pos, vel, self.key, f, e, beta_max, i, vxi, xi = (
-                    sharded_md_chunk(
-                        chain["cfg"], chain["ma"], chain["radii"],
-                        chain["znum"], chain["vs"], chain["amask"],
-                        chain["vel"], chain["masses"], chain["pos0"],
-                        self.key, chain["dt"], chain["kT"], chain["fric"],
-                        chain["skin"], chain["bthr"],
-                        jnp.asarray(n, dtype=jnp.int32),
-                        chain["oidx"], mesh=self.mesh,
-                        chem_z=chem_z, mixL=mixL,
-                        params=eng.params,
-                        exponent=eng.exponent,
-                        pair_terms=eng.pair_terms,
-                        check_beta=self.check_beta,
-                        thermostat=self.thermostat,
-                        kind=eng.kernel_kind,
-                        committee=chain["mean_e"] is not None,
-                        mean_e=chain["mean_e"],
-                        **nhc_kw,
-                        **meta_kw,
-                    )
+                out = sharded_md_chunk(
+                    chain["cfg"], chain["ma"], chain["radii"],
+                    chain["znum"], chain["vs"], chain["amask"],
+                    chain["vel"], chain["masses"], chain["pos0"],
+                    self.key, chain["dt"], chain["kT"], chain["fric"],
+                    chain["skin"], chain["bthr"],
+                    jnp.asarray(n, dtype=jnp.int32),
+                    chain["oidx"], mesh=self.mesh,
+                    chem_z=chem_z, mixL=mixL,
+                    params=eng.params,
+                    exponent=eng.exponent,
+                    pair_terms=eng.pair_terms,
+                    check_beta=self.check_beta,
+                    thermostat=self.thermostat,
+                    kind=eng.kernel_kind,
+                    committee=chain["mean_e"] is not None,
+                    mean_e=chain["mean_e"],
+                    **nhc_kw,
+                    **meta_kw,
+                    **inloop_kw,
                 )
+                if chain["inloop"]:
+                    out = chain_table(out)
+                pos, vel, self.key, f, e, beta_max, i, vxi, xi = out
             elif chain["mean_e"] is not None:
                 out = md_chunk_committee(
                     chain["cfg"], chain["ma"], chain["radii"],

@@ -52,7 +52,7 @@ def device_rebuild_ok(cell, pbc, cutoff):
 
 @partial(jax.jit, static_argnames=("kpad", "block"))
 def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
-                          block=512):
+                          block=512, row_ids=None, row_mask=None):
     """Rebuild the padded neighbor table on device.
 
     Args:
@@ -62,13 +62,20 @@ def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
         cutoff: scalar (rc + skin).
         kpad: static neighbor-slot count of the existing table bucket.
         block: static row-block size.
+        row_ids: optional (n,) i32 GLOBAL atom ids to build rows for —
+            the mesh shards' in-loop rebuild (each device owns a block
+            of rows; candidates j still span all N replicated
+            positions).  Default: all N rows.
+        row_mask: (n,) bool validity of the row_ids rows (defaults to
+            ``atom_mask[row_ids]``).
     Returns:
-        (idx (N, kpad) i32, off (N, kpad, 3) i8, mask (N, kpad) bool,
+        (idx (n, kpad) i32, off (n, kpad, 3) i8, mask (n, kpad) bool,
          kmax (scalar i32), off_over (scalar bool)) — callers must check
         kmax <= kpad AND not off_over on host and fall back otherwise
         (bucket overflow drops slots silently; off_over means some image
         offset exceeded the int8 range — positions drifted >127 boxes
-        apart, host path wraps and handles it).
+        apart, host path wraps and handles it).  ``idx`` entries are
+        GLOBAL atom indices; empty slots self-point at the row's id.
     """
     N = positions.shape[0]
     dtype = positions.dtype
@@ -76,11 +83,18 @@ def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
     frac = positions @ inv  # (N, 3) possibly unwrapped
     cut2 = cutoff * cutoff
 
-    nblk = -(-N // block)
+    if row_ids is None:
+        row_ids = jnp.arange(N, dtype=jnp.int32)
+        row_mask = atom_mask
+    elif row_mask is None:
+        row_mask = atom_mask[row_ids]
+    nrow = row_ids.shape[0]
+    nblk = -(-nrow // block)
     npad = nblk * block
-    fpad = jnp.pad(frac, ((0, npad - N), (0, 0)))
-    rows = jnp.arange(npad, dtype=jnp.int32)
-    mpad = jnp.pad(atom_mask, (0, npad - N))
+    rows = jnp.arange(N, dtype=jnp.int32)  # candidate (j) ids, global
+    fpad = jnp.pad(frac[row_ids], ((0, npad - nrow), (0, 0)))
+    rpad = jnp.pad(row_ids, (0, npad - nrow))
+    mpad = jnp.pad(row_mask, (0, npad - nrow))
 
     def one_block(args):
         fi, ri, mi = args  # (B, 3), (B,), (B,)
@@ -116,15 +130,15 @@ def device_neighbor_table(positions, cell, atom_mask, cutoff, kpad,
         return idx_b, off_b, msk_b, count, off_over.any()
 
     fblk = fpad.reshape(nblk, block, 3)
-    rblk = rows.reshape(nblk, block)
+    rblk = rpad.reshape(nblk, block)
     mblk = mpad.reshape(nblk, block)
     idx, off, mask, count, off_over = jax.lax.map(
         one_block, (fblk, rblk, mblk)
     )
-    idx = idx.reshape(npad, kpad)[:N]
-    off = off.reshape(npad, kpad, 3)[:N]
-    mask = mask.reshape(npad, kpad)[:N]
-    kmax = count.reshape(npad)[:N].max()
+    idx = idx.reshape(npad, kpad)[:nrow]
+    off = off.reshape(npad, kpad, 3)[:nrow]
+    mask = mask.reshape(npad, kpad)[:nrow]
+    kmax = count.reshape(npad)[:nrow].max()
     return idx, off, mask, kmax, off_over.any()
 
 

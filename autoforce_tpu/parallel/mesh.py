@@ -244,23 +244,72 @@ def _psum_committee_energy(cfg_l, models_l, rad, oidx, znum, params,
     return energy
 
 
+def _sharded_inloop(cfg_l, oidx, amask, rebuild, rebuild_cut, sidx_atom,
+                    sidx_ok):
+    """In-loop rebuild plumbing for the SHARDED chunks — the shard_map
+    counterpart of device_md._inloop_table.  Each device rebuilds the
+    table rows for ITS OWN atoms (``row_ids=oidx``) from the replicated
+    positions (neighbors_device.device_neighbor_table); validity
+    (bucket overflow / int8 offsets) is pmax'd over 'data' so every
+    device takes the same keep-or-replace select.  Mesh tables carry no
+    reverse-slot plane (the oidx/psum energy uses the plain scatter
+    VJP).  Returns (cfg_with, tbl0, rebuild_fn)."""
+
+    def cfg_with(tbl):
+        if not rebuild or tbl is None:
+            return cfg_l
+        idx, off, sx, mk = tbl
+        return cfg_l._replace(nbr_idx=idx, nbr_off=off, nbr_sidx=sx,
+                              nbr_mask=mk)
+
+    if not rebuild:
+        return cfg_with, None, None
+
+    from ..neighbors_device import device_neighbor_table
+
+    kpad = cfg_l.nbr_idx.shape[1]
+    off_dtype = cfg_l.nbr_off.dtype
+    cand_mask = amask[:, 0].astype(bool)  # replicated global (N,)
+
+    def rebuild_fn(pos, cell=None):
+        idx, off, mask, kmax, off_over = device_neighbor_table(
+            pos, cfg_l.cell if cell is None else cell, cand_mask,
+            rebuild_cut, kpad, row_ids=oidx, row_mask=cfg_l.atom_mask,
+        )
+        off = off.astype(off_dtype)
+        sx = sidx_atom[idx]
+        mask = mask & sidx_ok[idx]
+        bad = (kmax > kpad) | off_over
+        bad = jax.lax.pmax(bad.astype(jnp.int32), "data") > 0
+        return (idx, off, sx, mask), ~bad
+
+    tbl0 = (cfg_l.nbr_idx, cfg_l.nbr_off, cfg_l.nbr_sidx, cfg_l.nbr_mask)
+    return cfg_with, tbl0, rebuild_fn
+
+
 def _sharded_forces_fn(cfg_l, model_l, rad, vs_l, oidx, amask, znum,
                        params, exponent, pair_terms, chem_z, mixL, kind,
                        check_beta, committee, mean_e, meta_scale=None,
-                       meta_vs=None):
+                       meta_vs=None, cfg_with=None):
     """``(e, f, beta_max)`` closure shared by the position-only sharded
     chunks (MD / FIRE / per-image NEB): single-model psum energy or the
     weighted committee energy, forces from its gradient, the trip scalar
-    fully reduced over the mesh."""
+    fully reduced over the mesh.  ``cfg_with(tbl)`` grafts an in-loop
+    rebuilt table before the energy closure is built."""
+    if cfg_with is None:
+        def cfg_with(tbl):  # noqa: E306
+            return cfg_l
+
     if committee:
-        energy_c = _psum_committee_energy(
-            cfg_l, model_l, rad, oidx, znum, params, exponent,
-            pair_terms, chem_z, mixL, kind, vs_l, mean_e,
-        )
 
         def forces_fn(pos, tbl=None):
+            c = cfg_with(tbl)
+            energy_c = _psum_committee_energy(
+                c, model_l, rad, oidx, znum, params, exponent,
+                pair_terms, chem_z, mixL, kind, vs_l, mean_e,
+            )
             (e, bmax), g = jax.value_and_grad(
-                lambda p: energy_c(p, cfg_l.cell), has_aux=True
+                lambda p: energy_c(p, c.cell), has_aux=True
             )(pos)
             f = -g * amask
             if not check_beta:
@@ -269,16 +318,16 @@ def _sharded_forces_fn(cfg_l, model_l, rad, vs_l, oidx, amask, znum,
 
         return forces_fn
 
-    energy_g = _psum_energy(cfg_l, model_l, rad, oidx, znum, params,
-                            exponent, pair_terms, chem_z, mixL, kind,
-                            meta_scale=meta_scale, meta_vs=meta_vs)
-
     def forces_fn(pos, tbl=None):
+        c = cfg_with(tbl)
+        energy_g = _psum_energy(c, model_l, rad, oidx, znum, params,
+                                exponent, pair_terms, chem_z, mixL, kind,
+                                meta_scale=meta_scale, meta_vs=meta_vs)
         (e, (cov, alpha)), g = jax.value_and_grad(
-            lambda p: energy_g(p, cfg_l.cell), has_aux=True
+            lambda p: energy_g(p, c.cell), has_aux=True
         )(pos)
         f = -g * amask
-        beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, cfg_l,
+        beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l, c,
                                      check_beta, pos.dtype)
         return e, f, beta_max
 
@@ -703,7 +752,7 @@ def sharded_kernel_block_jac(cfg: ConfigArrays, model: ModelArrays, radii,
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
                      "check_beta", "thermostat", "kind", "committee",
-                     "meta_kind"),
+                     "meta_kind", "rebuild"),
 )
 def sharded_md_chunk(
     cfg: ConfigArrays,
@@ -741,9 +790,19 @@ def sharded_md_chunk(
     meta_kind=None,  # "covloss" = ActiveMeta bias fused into the step
     meta_scale=None,  # traced bias strength (eV)
     meta_vs=None,  # (N,) vscale with inf -> 0, sharded over 'data'
+    rebuild=False,  # in-loop per-shard neighbor rebuild at skin breaches
+    rebuild_cut=None,
+    sidx_atom=None,  # (N,) replicated species-table index per atom
+    sidx_ok=None,  # (N,) replicated
 ):
     """Device-resident MD over the ('data', 'model') mesh: the ENTIRE
     ``lax.while_loop`` integrator runs inside one ``shard_map``.
+
+    ``rebuild=True`` handles skin breaches INSIDE the loop: each device
+    rebuilds ITS OWN table rows from the replicated positions
+    (:func:`_sharded_inloop`) — no host round trip, no repartition; the
+    chunk only exits early on an uncertainty trip or a (globally
+    reduced) bucket overflow.
 
     ``committee=True`` integrates the weighted BCM committee surface
     (:func:`_psum_committee_energy`; ``model`` leaves expert-stacked,
@@ -784,26 +843,42 @@ def sharded_md_chunk(
     if not meta:
         meta_scale = jnp.zeros((), dtype=dtype)
         meta_vs = jnp.zeros(cfg.positions.shape[0], dtype=dtype)
+    if not rebuild:
+        rebuild_cut = jnp.zeros((), dtype=dtype)
+        sidx_atom = jnp.zeros(cfg.positions.shape[0], dtype=jnp.int32)
+        sidx_ok = jnp.ones(cfg.positions.shape[0], dtype=bool)
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses, pos0,
                  key, dt, kT, friction, skin_half, beta_thresh, nsteps,
                  nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e, meta_scale,
-                 meta_vs):
+                 meta_vs, rebuild_cut, sidx_atom, sidx_ok):
+        cfg_with, tbl0, rebuild_fn = _sharded_inloop(
+            cfg_l, oidx, amask, rebuild, rebuild_cut, sidx_atom, sidx_ok
+        )
         forces_fn = _sharded_forces_fn(
             cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
             exponent, pair_terms, chem_z, mixL, kind, check_beta,
             committee, mean_e,
             meta_scale=meta_scale if meta else None,
             meta_vs=meta_vs if meta else None,
+            cfg_with=cfg_with,
         )
-        pos, vel, key, f, e, beta_max, vxi, xi, i = _chunk_loop(
+        out = _chunk_loop(
             forces_fn, cfg_l.positions, amask, vel, masses, key, pos0,
             dt, kT, friction, skin_half, beta_thresh, nsteps,
             thermostat, check_beta, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
+            tbl=tbl0, rebuild_fn=rebuild_fn,
         )
+        if rebuild:
+            pos, vel, key, f, e, beta_max, vxi, xi, i, tbl, p0 = out
+            return pos, vel, key, f, e, beta_max, i, vxi, xi, tbl, p0
+        pos, vel, key, f, e, beta_max, vxi, xi, i = out
         return pos, vel, key, f, e, beta_max, i, vxi, xi
 
     rep = (P(),) * 17
+    out_specs = (P(),) * 9
+    if rebuild:
+        out_specs = out_specs + (P("data"), P())
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
@@ -813,13 +888,13 @@ def sharded_md_chunk(
             P(),
             P(None, "data") if committee else P("data"),
             P("data"),
-        ) + rep + (P("data"),),
-        out_specs=(P(),) * 9,
+        ) + rep + (P("data"), P(), P(), P()),
+        out_specs=out_specs,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
               masses, pos0, key, dt, kT, friction, skin_half, beta_thresh,
               nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, mean_e, meta_scale,
-              meta_vs)
+              meta_vs, rebuild_cut, sidx_atom, sidx_ok)
 
 
 @partial(

@@ -488,6 +488,76 @@ def main():
     except Exception as err:
         reps = {"error": repr(err)}
 
+    # BCM committee chunk: per-expert work is one (N, m) MXU covariance
+    # pair and the expert-invariant descriptor/gather work hoists out of
+    # the vmap, so committees should cost ~nothing on-chip (BASELINE.md
+    # round-3 measurement: E=2..5 all within noise of single-model)
+    committee = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from autoforce_tpu import units
+        from autoforce_tpu.calculator.active import ActiveCalculator
+        from autoforce_tpu.md.device_md import (DeviceMD, md_chunk,
+                                                md_chunk_committee)
+
+        calc = ActiveCalculator(covariance=model, calculator=None,
+                                logfile=None, pckl=None, tape=None,
+                                skin=SKIN)
+        s_c = make_system(NATOMS_REPS)
+        s_c.calc = calc
+        s_c.get_potential_energy()
+        cfgc = calc.cfg
+        mac = model.full_model_arrays()
+        dtc = cfgc.positions.dtype
+        vsc = model.vscale_for(np.asarray(cfgc.numbers))
+        vsc = np.where(np.isfinite(vsc), vsc, DeviceMD._VS_UNSEEN)
+        velc = np.zeros((cfgc.npad, 3))
+        velc[: len(s_c)] = np.random.default_rng(0).normal(
+            0, 5e-3, (len(s_c), 3)
+        )
+        msc = np.ones((cfgc.npad, 1))
+        msc[: len(s_c), 0] = s_c.get_masses()
+        NSC = 100
+        chem_z, mixL = eng.chem_args()
+        ckw = dict(params=eng.params, exponent=eng.exponent,
+                   pair_terms=eng.pair_terms, check_beta=True,
+                   thermostat="langevin", kind=eng.kernel_kind)
+        carr = (jnp.asarray(velc, dtype=dtc), jnp.asarray(msc, dtype=dtc),
+                cfgc.positions, jax.random.PRNGKey(0),
+                jnp.asarray(2 * units.fs, dtype=dtc),
+                jnp.asarray(units.kB * 300, dtype=dtc),
+                jnp.asarray(0.02, dtype=dtc), jnp.asarray(1e3, dtype=dtc),
+                jnp.asarray(1e9, dtype=dtc), jnp.asarray(NSC, np.int32))
+
+        def rate(f):
+            jax.block_until_ready(f()[0])
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                jax.block_until_ready(f()[0])
+                best = min(best, time.time() - t0)
+            return NSC / best
+
+        v_one = rate(lambda: md_chunk(
+            cfgc, mac, eng.radii_table(), eng.znum_table(),
+            jnp.asarray(vsc, dtype=dtc), *carr, chem_z, mixL, **ckw))
+        E = 3
+        ma_c = jax.tree.map(lambda x: jnp.stack([x] * E), mac)
+        v_com = rate(lambda: md_chunk_committee(
+            cfgc, ma_c, eng.radii_table(), eng.znum_table(),
+            jnp.asarray(np.stack([vsc] * E), dtype=dtc),
+            jnp.zeros(E, dtype=dtc), *carr, chem_z, mixL, **ckw))
+        committee = {
+            "experts": E,
+            "steps_per_sec": round(v_com, 1),
+            "single_model_steps_per_sec": round(v_one, 1),
+            "cost_vs_single": round(v_one / v_com, 3),
+        }
+    except Exception as err:
+        committee = {"error": repr(err)}
+
     # device-resident NPT (isotropic MTK barostat + virial from the
     # forces' backward pass) and FIRE relaxation: short steady-state
     # windows — these document the capability's throughput class
@@ -568,6 +638,7 @@ def main():
         "scale_100k": scale100,
         "multispecies_1k": ms,
         "replicas_1k": reps,
+        "committee_1k": committee,
         "npt_1k": npt,
         "relax_fire_1k": fire,
         "accuracy": acc,

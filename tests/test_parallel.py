@@ -457,6 +457,45 @@ def test_device_neb_driver_with_mesh(tmp_path, monkeypatch):
     assert np.abs(out[True][0][1] - out[True][0][0]).max() > 1e-4
 
 
+def test_sharded_md_inloop_rebuild(tmp_path, monkeypatch):
+    """Skin breaches are handled INSIDE the sharded chunk: each device
+    rebuilds ITS OWN table rows from the replicated positions
+    (_sharded_inloop; bucket validity pmax'd over 'data').  A hot run
+    with a tight skin matches the single-device in-loop trajectory."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.md.device_md import DeviceMD
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    out = {}
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        eng, model, _ = build_state()
+        eng.mesh = mesh
+        s2 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))  # MIC-valid box
+        s2.rattle(0.05, seed=9)
+        calc = ActiveCalculator(
+            covariance=model, calculator=None, logfile=None, pckl=None,
+            tape=None, skin=0.3,
+        )
+        s2.calc = calc
+        maxwell_boltzmann_velocities(s2, 900, seed=3)
+        dyn = DeviceMD(s2, calc, dt=3.0 * units.fs, temperature_K=600,
+                       chunk=12, seed=1, check_beta=False)
+        assert dyn.in_loop_rebuild  # the path under test, both sides
+        dyn.run(24)
+        assert dyn.nsteps == 24
+        out[mesh is None] = (
+            s2.positions.copy(), s2.get_velocities().copy()
+        )
+    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
+    np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-9)
+    # the run must actually breach the 0.3 skin (hot + tight skin)
+    disp = np.abs(out[True][0] - bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+                  .positions)
+    assert disp.max() > 0.15
+
+
 def test_device_md_meta_with_mesh(tmp_path, monkeypatch):
     """ActiveMeta fused into the SHARDED MD chunk: the bias all_gathers
     the covariance over 'model' inside the differentiated energy, so the
