@@ -266,16 +266,21 @@ def _npt_loop(forces_fn, positions, amask, velocities, masses, pos0,
               cell0, dt, kT, p_ext, W, skin_half, beta_thresh, nsteps,
               nhc_Q, nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof, bch_vxi,
               bch_xi, vg, aniso, mask, check_beta, dtype, tbl_cell,
-              offmax, tbl0=(), rebuild_fn=None, rebuild_cut=None):
+              offmax, tbl0=(), rebuild_fn=None, rebuild_cut=None,
+              omax_of=None):
     """The MTK NPT integrator while-loop, shared by the single-device /
     committee chunk (md_chunk_npt) and the mesh-sharded chunk
     (parallel/mesh.sharded_npt_chunk).  ``forces_fn(pos, cell, tbl) ->
     (e, f, deps, beta_max)`` supplies the physics (tbl is ignored by
     callers without in-loop rebuilds); ``rebuild_fn(pos, cell) ->
     (tbl, ok)`` enables in-loop table rebuilds under the moving cell.
+    ``omax_of(off, msk, dtype)`` computes the rebuilt table's image
+    lever arm — the mesh chunk overrides it with a 'data'-pmax'd
+    offsum_max (the sharded table's max must be global).
     Returns the final loop state (see md_chunk_npt's return contract).
     """
     rebuild = rebuild_fn is not None
+    omax_of = omax_of or offsum_max
     one = jnp.ones((), dtype=dtype)
     eye = jnp.eye(3, dtype=dtype)
 
@@ -302,7 +307,7 @@ def _npt_loop(forces_fn, positions, amask, velocities, masses, pos0,
             tcell2 = jnp.where(rok, cell, tcell)
             # new_tbl = (idx, off, sidx, mask[, rev])
             omax2 = jnp.where(
-                rok, offsum_max(new_tbl[1], new_tbl[3], dtype), omax
+                rok, omax_of(new_tbl[1], new_tbl[3], dtype), omax
             )
             e2, f2, d2, b2 = forces_fn(pos, cell, tbl2)
             return tbl2, p0_2, tcell2, omax2, rok, e2, f2, d2, b2
@@ -476,8 +481,8 @@ class DeviceNPT:
                  isotropic=False, mask=None):
         check_plain_surface(calc, "DeviceNPT")
         # under a mesh the whole NPT loop runs SPMD
-        # (parallel/mesh.sharded_npt_chunk); in-loop rebuilds then defer
-        # to the host (sharded tables are re-partitioned there)
+        # (parallel/mesh.sharded_npt_chunk), including in-loop rebuilds
+        # (each device rebuilds its own rows, _sharded_inloop)
         self.mesh = getattr(calc.engine, "mesh", None)
         if tchain != 3:
             raise NotImplementedError(
@@ -598,7 +603,6 @@ class DeviceNPT:
                 rcut = eng.params.rc + calc._nlcache.skin
                 inloop = (
                     self.in_loop_rebuild
-                    and self.mesh is None
                     and device_rebuild_ok(system.cell, system.pbc, rcut)
                 )
                 sidx_atom = sidx_ok = cut = None
@@ -692,6 +696,9 @@ class DeviceNPT:
                     aniso=not self.isotropic,
                     committee=chain["mean_e"] is not None,
                     mean_e=chain["mean_e"],
+                    tbl_cell=chain["tbl_cell"],
+                    offmax=chain["offmax"],
+                    **inloop_kw,
                 )
             else:
                 out = md_chunk_npt(

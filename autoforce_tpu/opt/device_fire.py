@@ -151,18 +151,20 @@ def _fire_cell_loop(forces_fn, positions, amask, v, v_def, deform, cell0,
                     fmax_target, beta_thresh, nsteps, cell_factor,
                     pressure, maxstep, dtmax, nmin, finc, fdec, astart,
                     fa, check_beta, tbl0=(), rebuild_fn=None,
-                    rebuild_cut=None):
+                    rebuild_cut=None, omax_of=None):
     """The variable-cell FIRE while-loop, shared by the single-device/
     committee chunk (:func:`fire_cell_chunk`) and the mesh-sharded chunk
     (parallel/mesh.sharded_fire_cell_chunk).  ``forces_fn(pos, cell,
     tbl) -> (e, f_real, deps=vol*stress, beta_max)``; ``rebuild_fn(pos,
-    cell) -> (tbl, ok)`` enables in-loop table rebuilds.  Returns
-    fire_cell_chunk's tuple contract."""
+    cell) -> (tbl, ok)`` enables in-loop table rebuilds; ``omax_of``
+    overrides the rebuilt-table lever-arm reduction (mesh: pmax'd).
+    Returns fire_cell_chunk's tuple contract."""
     from ..kernels import precise_sum
     from ..md.device_npt import (_min_perp_width, moving_cell_breach,
                                  offsum_max)
 
     rebuild = rebuild_fn is not None
+    omax_of = omax_of or offsum_max
     dtype = positions.dtype
     eye = jnp.eye(3, dtype=dtype)
 
@@ -181,7 +183,7 @@ def _fire_cell_loop(forces_fn, positions, amask, v, v_def, deform, cell0,
             return (tbl2, jnp.where(rok, pos, p0),
                     jnp.where(rok, cell, tcell),
                     jnp.where(rok,
-                              offsum_max(new_tbl[1], new_tbl[3], dtype),
+                              omax_of(new_tbl[1], new_tbl[3], dtype),
                               omax), rok)
 
         def no_rebuild(args):
@@ -600,7 +602,6 @@ class DeviceFIRE:
                 rcut = eng.params.rc + calc._nlcache.skin
                 inloop = (
                     self.in_loop_rebuild
-                    and self.mesh is None
                     and device_rebuild_ok(system.cell, system.pbc, rcut)
                 )
                 sidx_atom = sidx_ok = cut = None
@@ -704,9 +705,19 @@ class DeviceFIRE:
                     kind=eng.kernel_kind,
                     committee=chain["mean_e"] is not None,
                     mean_e=chain["mean_e"],
+                    tbl_cell=chain["tbl_cell"],
+                    offmax=chain["offmax"],
+                    **inloop_kw,
                 )
-                (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
-                 a, nu, i) = out
+                if chain["inloop"]:
+                    (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
+                     a, nu, i, tbl, p0, tcell, omax) = out
+                    graft(tbl, p0)
+                    chain["tbl_cell"] = tcell
+                    chain["offmax"] = omax
+                else:
+                    (pos, v, vd, deform, f, e, beta_max, fmax_cur, dtc,
+                     a, nu, i) = out
                 self.deform = np.asarray(deform)
                 self._v_def = np.asarray(vd)
             elif self.cell:
@@ -761,8 +772,14 @@ class DeviceFIRE:
                     kind=eng.kernel_kind,
                     committee=chain["mean_e"] is not None,
                     mean_e=chain["mean_e"],
+                    **inloop_kw,
                 )
-                pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i = out
+                if chain["inloop"]:
+                    (pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i,
+                     tbl, p0) = out
+                    graft(tbl, p0)
+                else:
+                    pos, v, f, e, beta_max, fmax_cur, dtc, a, nu, i = out
             else:
                 out = fire_chunk(
                     chain["cfg"], chain["ma"], chain["radii"],

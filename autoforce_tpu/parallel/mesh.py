@@ -337,25 +337,31 @@ def _sharded_forces_fn(cfg_l, model_l, rad, vs_l, oidx, amask, znum,
 def _sharded_forces_virial_fn(cfg_l, model_l, rad, vs_l, oidx, amask,
                               znum, params, exponent, pair_terms, chem_z,
                               mixL, kind, check_beta, committee, mean_e,
-                              aniso):
+                              aniso, cfg_with=None):
     """``(e, f, deps, beta_max)`` closure shared by the strain-carrying
     sharded chunks (NPT / variable-cell FIRE): the energy — single-model
     or committee — is differentiated w.r.t. (positions, strain) jointly,
     so the forces AND the virial (trace or tensor) come out globally
-    reduced on every device."""
+    reduced on every device.  ``cfg_with(tbl)`` grafts an in-loop
+    rebuilt table before the energy closure is built."""
     dtype = cfg_l.positions.dtype
     eye = jnp.eye(3, dtype=dtype)
-    if committee:
-        energy_raw = _psum_committee_energy(
-            cfg_l, model_l, rad, oidx, znum, params, exponent,
-            pair_terms, chem_z, mixL, kind, vs_l, mean_e,
-        )
-    else:
-        energy_raw = _psum_energy(cfg_l, model_l, rad, oidx, znum,
-                                  params, exponent, pair_terms, chem_z,
-                                  mixL, kind)
+    if cfg_with is None:
+        def cfg_with(tbl):  # noqa: E306
+            return cfg_l
 
     def forces_fn(pos, cell, tbl=None):
+        c = cfg_with(tbl)
+        if committee:
+            energy_raw = _psum_committee_energy(
+                c, model_l, rad, oidx, znum, params, exponent,
+                pair_terms, chem_z, mixL, kind, vs_l, mean_e,
+            )
+        else:
+            energy_raw = _psum_energy(c, model_l, rad, oidx, znum,
+                                      params, exponent, pair_terms,
+                                      chem_z, mixL, kind)
+
         def energy(p, eps):
             # psum inside the differentiated function: position AND
             # strain gradients come out globally reduced (the
@@ -379,7 +385,7 @@ def _sharded_forces_virial_fn(cfg_l, model_l, rad, vs_l, oidx, amask,
         else:
             cov, alpha = aux
             beta_max = _sharded_beta_max(model_l, cov, alpha, vs_l,
-                                         cfg_l, check_beta, dtype)
+                                         c, check_beta, dtype)
         return e, f, deps, beta_max
 
     return forces_fn
@@ -900,7 +906,8 @@ def sharded_md_chunk(
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "kind", "aniso", "committee"),
+                     "check_beta", "kind", "aniso", "committee",
+                     "rebuild"),
 )
 def sharded_npt_chunk(
     cfg: ConfigArrays,
@@ -942,13 +949,24 @@ def sharded_npt_chunk(
     aniso=False,
     committee=False,  # model/vscale carry a leading expert axis
     mean_e=None,  # (E,) per-expert mean energies (committee)
+    rebuild=False,  # in-loop per-shard neighbor rebuild (moving cell)
+    rebuild_cut=None,
+    sidx_atom=None,  # (N,) replicated
+    sidx_ok=None,  # (N,) replicated
+    tbl_cell=None,  # (3, 3) cell the incoming table was built with
+    offmax=None,  # scalar max Sum|off| of the incoming table
 ):
     """Device-resident MTK NPT over the ('data', 'model') mesh: the
     ENTIRE barostat while-loop (md/device_npt._npt_loop) runs inside
     one ``shard_map`` — constant-pressure MD scales out exactly like
     :func:`sharded_md_chunk`.  ``committee=True`` integrates the
     weighted BCM committee surface with the committee virial from the
-    same joint (positions, strain) backward.
+    same joint (positions, strain) backward.  ``rebuild=True`` handles
+    skin breaches INSIDE the loop (each device rebuilds ITS OWN rows
+    from the replicated positions AND the current cell,
+    :func:`_sharded_inloop`; the rebuilt table's image lever arm is
+    pmax'd over 'data'); the return then gains (tbl, pos0, tbl_cell,
+    offmax) for chaining — pass those back on the next call.
 
     The energy is psum'd over both mesh axes INSIDE the function that is
     differentiated w.r.t. (positions, strain) jointly, so BOTH the
@@ -970,36 +988,52 @@ def sharded_npt_chunk(
     dtype = cfg.positions.dtype
     if mean_e is None:
         mean_e = jnp.zeros(1, dtype=dtype)
+    if not rebuild:
+        rebuild_cut = jnp.zeros((), dtype=dtype)
+        sidx_atom = jnp.zeros(cfg.positions.shape[0], dtype=jnp.int32)
+        sidx_ok = jnp.ones(cfg.positions.shape[0], dtype=bool)
+    if tbl_cell is None:
+        # host build: cfg.cell IS the table cell (the image-drift
+        # baseline is the TABLE-BUILD cell, the md_chunk_npt contract —
+        # NOT the chunk-entry cell0: on chained chunks the table
+        # persists while cell0 has moved)
+        tbl_cell = cfg.cell
+    if offmax is None:
+        # a jnp reduction over the sharded array outside shard_map is
+        # already global — no pmax needed
+        offmax = offsum_max(cfg.nbr_off, cfg.nbr_mask, dtype)
+
+    def omax_pmax(off, msk, dt_):
+        return jax.lax.pmax(offsum_max(off, msk, dt_), "data")
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, vel, masses,
                  pos0, cell0, dt, kT, p_ext, W, skin_half, beta_thresh,
                  nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof,
-                 bch_vxi, bch_xi, vg, strain_mask, mean_e):
+                 bch_vxi, bch_xi, vg, strain_mask, mean_e, rebuild_cut,
+                 sidx_atom, sidx_ok, tbl_cell, offmax):
+        cfg_with, tbl0, rebuild_fn = _sharded_inloop(
+            cfg_l, oidx, amask, rebuild, rebuild_cut, sidx_atom, sidx_ok
+        )
         forces_fn = _sharded_forces_virial_fn(
             cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
             exponent, pair_terms, chem_z, mixL, kind, check_beta,
-            committee, mean_e, aniso,
+            committee, mean_e, aniso, cfg_with=cfg_with,
         )
-        # the sharded table was built with cell0 on the host; its image
-        # lever arm is the global max over the 'data' shards
-        omax = jax.lax.pmax(
-            offsum_max(cfg_l.nbr_off, cfg_l.nbr_mask, dtype), "data"
-        )
-        # positions are replicated in the cfg spec (neighbors cross
-        # shards), exactly like sharded_md_chunk's pos_init.  The
-        # image-drift baseline is the TABLE-BUILD cell (cfg_l.cell, the
-        # md_chunk_npt contract) — NOT the chunk-entry cell: on chained
-        # chunks the table persists while cell0 has moved, and measuring
-        # drift from cell0 would let cumulative strain silently stale
-        # the neighbor list.
+        if not rebuild:
+            tbl0 = ()
         return _npt_loop(
             forces_fn, cfg_l.positions, amask, vel, masses, pos0, cell0,
             dt, kT, p_ext, W, skin_half, beta_thresh, nsteps, nhc_Q,
             nhc_dof, nhc_vxi, nhc_xi, bch_Q, bch_dof, bch_vxi, bch_xi,
-            vg, aniso, strain_mask, check_beta, dtype, cfg_l.cell, omax,
+            vg, aniso, strain_mask, check_beta, dtype, tbl_cell, offmax,
+            tbl0=tbl0, rebuild_fn=rebuild_fn, rebuild_cut=rebuild_cut,
+            omax_of=omax_pmax,
         )
 
-    rep = (P(),) * 23
+    rep = (P(),) * 28
+    out_specs = (P(),) * 12
+    if rebuild:
+        out_specs = out_specs + (P("data"), P(), P(), P())
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
@@ -1010,18 +1044,19 @@ def sharded_npt_chunk(
             P(None, "data") if committee else P("data"),
             P("data"),
         ) + rep,
-        out_specs=(P(),) * 12,
+        out_specs=out_specs,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,
               masses, pos0, cell0, dt, kT, p_ext, W, skin_half,
               beta_thresh, nsteps, nhc_Q, nhc_dof, nhc_vxi, nhc_xi,
-              bch_Q, bch_dof, bch_vxi, bch_xi, vg, strain_mask, mean_e)
+              bch_Q, bch_dof, bch_vxi, bch_xi, vg, strain_mask, mean_e,
+              rebuild_cut, sidx_atom, sidx_ok, tbl_cell, offmax)
 
 
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "kind", "committee"),
+                     "check_beta", "kind", "committee", "rebuild"),
 )
 def sharded_fire_chunk(
     cfg: ConfigArrays,
@@ -1057,6 +1092,10 @@ def sharded_fire_chunk(
     kind="dot",
     committee=False,  # model/vscale carry a leading expert axis
     mean_e=None,  # (E,) per-expert mean energies (committee)
+    rebuild=False,  # in-loop per-shard neighbor rebuild at skin breaches
+    rebuild_cut=None,
+    sidx_atom=None,  # (N,) replicated
+    sidx_ok=None,  # (N,) replicated
 ):
     """Device-resident FIRE relaxation over the ('data', 'model') mesh:
     the whole optimizer while-loop (opt/device_fire._fire_loop) runs
@@ -1064,31 +1103,46 @@ def sharded_fire_chunk(
     like :func:`sharded_md_chunk` (forces globally reduced by
     differentiating through the psum; the replicated FIRE state steps
     identically everywhere; ``committee=True`` relaxes the weighted BCM
-    committee surface).  Skin breaches exit the chunk (host rebuild
-    re-partitions the sharded tables).  Returns fire_chunk's no-rebuild
-    tuple (pos, v, f, e, beta_max, fmax, dt, a, n_uphill, ndone), every
-    output replicated."""
+    committee surface).  ``rebuild=True`` handles skin breaches INSIDE
+    the loop (:func:`_sharded_inloop`; the return then gains (tbl,
+    pos0)); otherwise breaches exit the chunk for a host rebuild.
+    Returns fire_chunk's tuple (pos, v, f, e, beta_max, fmax, dt, a,
+    n_uphill, ndone[, tbl, pos0]), state outputs replicated."""
     from ..opt.device_fire import _fire_loop
 
     dtype = cfg.positions.dtype
     if mean_e is None:
         mean_e = jnp.zeros(1, dtype=dtype)
+    if not rebuild:
+        rebuild_cut = jnp.zeros((), dtype=dtype)
+        sidx_atom = jnp.zeros(cfg.positions.shape[0], dtype=jnp.int32)
+        sidx_ok = jnp.ones(cfg.positions.shape[0], dtype=bool)
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, v, pos0, dt, a,
                  n_uphill, skin_half, fmax_target, beta_thresh, nsteps,
-                 maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e):
+                 maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e,
+                 rebuild_cut, sidx_atom, sidx_ok):
+        cfg_with, tbl0, rebuild_fn = _sharded_inloop(
+            cfg_l, oidx, amask, rebuild, rebuild_cut, sidx_atom, sidx_ok
+        )
         forces_fn = _sharded_forces_fn(
             cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
             exponent, pair_terms, chem_z, mixL, kind, check_beta,
-            committee, mean_e,
+            committee, mean_e, cfg_with=cfg_with,
         )
+        if not rebuild:
+            tbl0 = ()
         return _fire_loop(
             forces_fn, cfg_l.positions, amask, v, pos0, dt, a, n_uphill,
             skin_half, fmax_target, beta_thresh, nsteps, maxstep, dtmax,
             nmin, finc, fdec, astart, fa, check_beta,
+            tbl0=tbl0, rebuild_fn=rebuild_fn,
         )
 
-    rep = (P(),) * 18
+    rep = (P(),) * 21
+    out_specs = (P(),) * 10
+    if rebuild:
+        out_specs = out_specs + (P("data"), P())
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
@@ -1099,12 +1153,12 @@ def sharded_fire_chunk(
             P(None, "data") if committee else P("data"),
             P("data"),
         ) + rep,
-        out_specs=(P(),) * 10,
+        out_specs=out_specs,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, v, pos0,
               dt, a, n_uphill, skin_half, fmax_target, beta_thresh,
               nsteps, maxstep, dtmax, nmin, finc, fdec, astart, fa,
-              mean_e)
+              mean_e, rebuild_cut, sidx_atom, sidx_ok)
 
 
 @partial(
@@ -1219,7 +1273,7 @@ def sharded_neb_chunk(
 @partial(
     jax.jit,
     static_argnames=("mesh", "params", "exponent", "pair_terms",
-                     "check_beta", "kind", "committee"),
+                     "check_beta", "kind", "committee", "rebuild"),
 )
 def sharded_fire_cell_chunk(
     cfg: ConfigArrays,
@@ -1260,6 +1314,12 @@ def sharded_fire_cell_chunk(
     kind="dot",
     committee=False,  # model/vscale carry a leading expert axis
     mean_e=None,  # (E,) per-expert mean energies (committee)
+    rebuild=False,  # in-loop per-shard neighbor rebuild (moving cell)
+    rebuild_cut=None,
+    sidx_atom=None,  # (N,) replicated
+    sidx_ok=None,  # (N,) replicated
+    tbl_cell=None,  # (3, 3) cell the incoming table was built with
+    offmax=None,  # scalar max Sum|off| of the incoming table
 ):
     """Variable-cell FIRE over the ('data', 'model') mesh: the whole
     UnitCellFilter + FIRE while-loop (opt/device_fire._fire_cell_loop)
@@ -1270,39 +1330,60 @@ def sharded_fire_cell_chunk(
     the stress tensor driving the three deformation rows come out
     globally reduced on every device.  Table validity under the moving
     cell uses the NPT chunk's displacement + image-drift metric against
-    the TABLE-BUILD cell (cfg.cell; the driver only ever replaces
-    positions), with the table's offmax pmax'd over 'data'.  Skin
-    breaches exit the chunk (host rebuild re-partitions the sharded
-    tables).  Returns fire_cell_chunk's no-rebuild tuple (pos_real, v,
-    v_def, deform, f_und, e, beta_max, fmax, dt, a, n_uphill, ndone),
-    every output replicated."""
+    the TABLE-BUILD cell.  ``rebuild=True`` handles skin breaches
+    INSIDE the loop (:func:`_sharded_inloop`, moving-cell variant; the
+    return then gains (tbl, pos0, tbl_cell, offmax) for chaining);
+    otherwise breaches exit the chunk for a host rebuild.  Returns
+    fire_cell_chunk's tuple (pos_real, v, v_def, deform, f_und, e,
+    beta_max, fmax, dt, a, n_uphill, ndone[, tbl, pos0, tbl_cell,
+    offmax]), state outputs replicated."""
     from ..md.device_npt import offsum_max
     from ..opt.device_fire import _fire_cell_loop
 
     dtype = cfg.positions.dtype
     if mean_e is None:
         mean_e = jnp.zeros(1, dtype=dtype)
+    if not rebuild:
+        rebuild_cut = jnp.zeros((), dtype=dtype)
+        sidx_atom = jnp.zeros(cfg.positions.shape[0], dtype=jnp.int32)
+        sidx_ok = jnp.ones(cfg.positions.shape[0], dtype=bool)
+    if tbl_cell is None:
+        tbl_cell = cfg.cell  # host build (driver only replaces positions)
+    if offmax is None:
+        # global reduction over the sharded array, outside shard_map
+        offmax = offsum_max(cfg.nbr_off, cfg.nbr_mask, dtype)
+
+    def omax_pmax(off, msk, dt_):
+        return jax.lax.pmax(offsum_max(off, msk, dt_), "data")
 
     def block_fn(cfg_l, model_l, rad, vs_l, oidx, amask, v, v_def,
                  deform, cell0, pos0, dt, a, n_uphill, skin_half,
                  fmax_target, beta_thresh, nsteps, cell_factor, pressure,
-                 maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e):
+                 maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e,
+                 rebuild_cut, sidx_atom, sidx_ok, tbl_cell, offmax):
+        cfg_with, tbl0, rebuild_fn = _sharded_inloop(
+            cfg_l, oidx, amask, rebuild, rebuild_cut, sidx_atom, sidx_ok
+        )
         forces_fn = _sharded_forces_virial_fn(
             cfg_l, model_l, rad, vs_l, oidx, amask, znum, params,
             exponent, pair_terms, chem_z, mixL, kind, check_beta,
-            committee, mean_e, aniso=True,
+            committee, mean_e, aniso=True, cfg_with=cfg_with,
         )
-        omax = jax.lax.pmax(
-            offsum_max(cfg_l.nbr_off, cfg_l.nbr_mask, dtype), "data"
-        )
+        if not rebuild:
+            tbl0 = ()
         return _fire_cell_loop(
             forces_fn, cfg_l.positions, amask, v, v_def, deform, cell0,
-            pos0, cfg_l.cell, omax, dt, a, n_uphill, skin_half,
+            pos0, tbl_cell, offmax, dt, a, n_uphill, skin_half,
             fmax_target, beta_thresh, nsteps, cell_factor, pressure,
             maxstep, dtmax, nmin, finc, fdec, astart, fa, check_beta,
+            tbl0=tbl0, rebuild_fn=rebuild_fn, rebuild_cut=rebuild_cut,
+            omax_of=omax_pmax,
         )
 
-    rep = (P(),) * 23
+    rep = (P(),) * 28
+    out_specs = (P(),) * 12
+    if rebuild:
+        out_specs = out_specs + (P("data"), P(), P(), P())
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
@@ -1313,9 +1394,10 @@ def sharded_fire_cell_chunk(
             P(None, "data") if committee else P("data"),
             P("data"),
         ) + rep,
-        out_specs=(P(),) * 12,
+        out_specs=out_specs,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, v, v_def,
               deform, cell0, pos0, dt, a, n_uphill, skin_half,
               fmax_target, beta_thresh, nsteps, cell_factor, pressure,
-              maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e)
+              maxstep, dtmax, nmin, finc, fdec, astart, fa, mean_e,
+              rebuild_cut, sidx_atom, sidx_ok, tbl_cell, offmax)

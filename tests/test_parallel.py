@@ -496,6 +496,66 @@ def test_sharded_md_inloop_rebuild(tmp_path, monkeypatch):
     assert disp.max() > 0.15
 
 
+def test_sharded_npt_fire_inloop_rebuild(tmp_path, monkeypatch):
+    """The NPT and FIRE mesh chunks handle skin breaches INSIDE the loop
+    too (moving-cell variant for NPT: per-shard rebuild from the current
+    positions AND cell, lever arm pmax'd over 'data'): trajectories ==
+    the single-device in-loop paths."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu import units
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.md.device_npt import DeviceNPT
+    from autoforce_tpu.opt.device_fire import DeviceFIRE
+    from autoforce_tpu.system import maxwell_boltzmann_velocities
+
+    meshes = (None, make_mesh(n_data=4, n_model=2))
+
+    # NPT (flexible cell), MIC-valid box, hot + pressurized so the skin
+    # breaches inside the chunk
+    out = {}
+    for mesh in meshes:
+        eng, model, _ = build_state()
+        eng.mesh = mesh
+        s2 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        s2.rattle(0.04, seed=9)
+        calc = ActiveCalculator(
+            covariance=model, calculator=None, logfile=None, pckl=None,
+            tape=None, skin=0.3,
+        )
+        s2.calc = calc
+        maxwell_boltzmann_velocities(s2, 800, seed=3)
+        dyn = DeviceNPT(s2, calc, 2.5 * units.fs, temperature_K=500,
+                        pressure_GPa=0.5, tdamp=50 * units.fs,
+                        pdamp=150 * units.fs, chunk=10, check_beta=False,
+                        isotropic=False)
+        assert dyn.in_loop_rebuild
+        dyn.run(20)
+        assert dyn.nsteps == 20
+        out[mesh is None] = (s2.positions.copy(),
+                             np.asarray(s2.cell).copy())
+    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
+    np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-11)
+
+    # FIRE (positions), strongly rattled + tight skin
+    out = {}
+    for mesh in meshes:
+        eng, model, _ = build_state()
+        eng.mesh = mesh
+        s2 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+        s2.rattle(0.25, seed=11)
+        calc = ActiveCalculator(
+            covariance=model, calculator=None, logfile=None, pckl=None,
+            tape=None, skin=0.3,
+        )
+        s2.calc = calc
+        dopt = DeviceFIRE(s2, calc, dt=0.08, chunk=8, check_beta=False)
+        assert dopt.in_loop_rebuild
+        dopt.run(fmax=1e-9, steps=16)
+        out[mesh is None] = (s2.positions.copy(), dopt.nsteps)
+    assert out[False][1] == out[True][1] == 16
+    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
+
+
 def test_device_md_meta_with_mesh(tmp_path, monkeypatch):
     """ActiveMeta fused into the SHARDED MD chunk: the bias all_gathers
     the covariance over 'model' inside the differentiated energy, so the
