@@ -746,11 +746,25 @@ def check_plain_surface(calc, what="DeviceMD", allow_covloss_meta=False):
     from ..calculator.multitask import MultiTaskCalculator
 
     if isinstance(calc, MultiTaskCalculator):
-        raise NotImplementedError(
-            f"{what} integrates a single-task SGPR surface; multi-task "
-            "weighted combinations (and bond restraints) are host-path "
-            "only — use the host MD drivers"
+        # STATIC weights make the combined multi-task surface a plain
+        # SGPR surface with mu = effective_mu(weights) (the model
+        # already serves that mu, multitask.py _predict) — the device
+        # chunks integrate it exactly.  Per-STEP weight dynamics (TI
+        # schedule, weights-space sampling) and QMMM bond restraints
+        # act inside the host calculate and would be silently dropped
+        # between chunk boundaries — refuse those.
+        dynamic = (
+            calc.weights_sample is not None
+            or calc.weights_fin is not None
+            or (calc.ij is not None and len(calc.ij) > 0)
         )
+        if dynamic:
+            raise NotImplementedError(
+                f"{what} integrates a FIXED multi-task surface; per-step "
+                "weight schedules (thermodynamic integration, "
+                "weights_sample) and bond restraints are applied by the "
+                "host calculate — use the host MD drivers for those"
+            )
     return None
 
 

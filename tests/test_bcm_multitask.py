@@ -84,6 +84,48 @@ def test_multitask_two_lj(tmp_path, monkeypatch):
     assert abs(res2["energy"] - e2) < 0.2, (res2["energy"], e2)
 
 
+def test_device_md_multitask_static(tmp_path, monkeypatch):
+    """STATIC-weight multi-task is a plain SGPR surface with
+    mu = effective_mu(weights) — DeviceMD integrates it exactly
+    (check_plain_surface admits it; dynamic schedules/restraints still
+    refuse).  NVE device trajectory == host driver trajectory."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.md import VelocityVerlet
+    from autoforce_tpu.md.device_md import DeviceMD
+
+    lj1 = LennardJones(epsilon=0.15, sigma=2.3, rc=4.0)
+    lj2 = LennardJones(epsilon=0.30, sigma=2.3, rc=4.0)
+    calc = MultiTaskCalculator(
+        [lj1, lj2],
+        weights=[0.7, 0.3],
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        logfile=None, pckl=None, tape=None,
+        ediff=0.01, ediff_tot=0.05, fdiff=0.05,
+    )
+    s = bulk_fcc("Cu", 3.6)
+    s.rattle(0.05, seed=3)
+    s.calc = calc
+    maxwell_boltzmann_velocities(s, 300, seed=4)
+    Langevin(s, 2 * units.fs, 300, friction=0.02, seed=5).run(12)
+    calc._calc = None  # inference: deterministic comparison
+
+    host = s.copy()
+    maxwell_boltzmann_velocities(host, 300, seed=9)
+    host.calc = calc
+    VelocityVerlet(host, 2 * units.fs).run(8)
+
+    dev = s.copy()
+    maxwell_boltzmann_velocities(dev, 300, seed=9)
+    dev.calc = calc
+    dyn = DeviceMD(dev, calc, dt=2 * units.fs, chunk=3, check_beta=False,
+                   thermostat="none", device_rebuild=False)
+    dyn.run(8)
+    np.testing.assert_allclose(dev.positions, host.positions, atol=1e-9)
+    np.testing.assert_allclose(
+        dev.get_velocities(), host.get_velocities(), atol=1e-9
+    )
+
+
 def test_bcm_many_experts_restart_and_config(tmp_path, monkeypatch):
     """>=3 experts: spawn, config preservation (pair terms / kernel kind
     survive the freeze), restart rediscovery, and the combined prediction

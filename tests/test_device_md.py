@@ -152,13 +152,23 @@ def test_device_md_refuses_meta_and_multitask(trained, tmp_path, monkeypatch):
     from autoforce_tpu.calculator.multitask import MultiTaskCalculator
     from autoforce_tpu.calculator.oracles import LennardJones
 
+    # DYNAMIC multi-task (per-step weight schedules / bond restraints)
+    # stays host-path; static-weight multi-task is served (see
+    # test_device_md_multitask_static below)
     mt = MultiTaskCalculator(
         [LennardJones(rc=4.0), LennardJones(epsilon=0.2, rc=4.0)],
         kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
-        logfile=None, pckl=None, tape=None,
+        logfile=None, pckl=None, tape=None, ij=[(0, 1)],
     )
     with _pytest.raises(NotImplementedError, match="multi-task"):
         DeviceMD(s, mt, dt=1 * units.fs, check_beta=False)
+    mt2 = MultiTaskCalculator(
+        [LennardJones(rc=4.0), LennardJones(epsilon=0.2, rc=4.0)],
+        kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        logfile=None, pckl=None, tape=None, weights_sample=100,
+    )
+    with _pytest.raises(NotImplementedError, match="multi-task"):
+        DeviceMD(s, mt2, dt=1 * units.fs, check_beta=False)
 
 
 def test_device_md_active_meta_matches_host(trained, tmp_path, monkeypatch):
