@@ -17,6 +17,17 @@ Collectives per sharded MD step (see sharded_md_chunk):
   - with check_beta: all_gather of the (N/d_data, M) covariance block
     over 'model' + pmean + a scalar pmax over 'data'.
 
+The sibling chunks add per step, on top of the MD set:
+  - NPT / variable-cell FIRE: the strain cotangent psum rides the SAME
+    backward as the forces (a scalar or 3x3 — negligible bytes);
+  - NEB: the MD set once per image (one vmapped psum; R scalars + one
+    (R, N, 3) cotangent);
+  - committee: the MD set once per expert (E energy scalars; the force
+    cotangent stays ONE (N, 3) psum — the expert sum happens before
+    the backward) + E covariance all_gathers for the weights;
+  - in-loop rebuild: one scalar pmax over 'data' per breach (validity)
+    — the rebuild itself is local to each shard.
+
 CLI (self-configuring; spawns a forced-CPU subprocess):
 
     python -m autoforce_tpu.parallel.mesh_bench -n 8 --natoms 256 \
