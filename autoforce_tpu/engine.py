@@ -475,10 +475,11 @@ def meta_covloss_fn(cfg: ConfigArrays, model: ModelArrays, radii, vscale_atom,
                    exponent)
         cov = cov * (cfg.atom_mask[:, None] & model.m_mask[None, :])
         b = model.choli @ cov.T
-        c = (b * b).sum(axis=0)
+        # reduce-of-dot rule: c sits next to 1 (CLAUDE.md)
+        c = precise_sum(b * b, axis=0)
         beta = jnp.sqrt(jnp.clip(1.0 - c, 1e-12, None))
         vs = jnp.where(jnp.isfinite(vscale_atom), vscale_atom, 0.0)
-        return -scale * (beta * jnp.sqrt(vs) * cfg.atom_mask).sum()
+        return -scale * precise_sum(beta * jnp.sqrt(vs) * cfg.atom_mask)
 
     return jax.value_and_grad(energy)(cfg.positions)
 

@@ -94,7 +94,8 @@ def _sgpr_forces(pos, cfg, model, radii, znum, vscale_atom, params, exponent,
         e = precise_sum(cov @ model.mu)
         if meta_kind == "covloss":
             b = model.choli @ cov.T
-            c = (b * b).sum(axis=0)
+            # reduce-of-dot rule: c sits next to 1 (CLAUDE.md)
+            c = precise_sum(b * b, axis=0)
             beta = jnp.sqrt(jnp.clip(1.0 - c, 1e-12, None))
             e = e - meta_scale * precise_sum(
                 beta * jnp.sqrt(meta_vs) * cfg.atom_mask
@@ -834,9 +835,11 @@ class DeviceMD:
         # while_loop (no chunk exit, no dispatch round trips) — the
         # single-model counterpart of _rebuild_on_device.  Under a mesh
         # each device rebuilds ITS OWN rows from the replicated
-        # positions (parallel/mesh._sharded_inloop)
-        self.in_loop_rebuild = in_loop_rebuild and (
-            self.device_rebuild or (self.mesh is not None and rebuild_ok)
+        # positions (parallel/mesh._sharded_inloop).  device_rebuild=
+        # False keeps its meaning everywhere: ALL rebuilds go through
+        # the host (kpad bucket growth on every breach)
+        self.in_loop_rebuild = (
+            in_loop_rebuild and device_rebuild and rebuild_ok
         )
 
     def _committee_models(self):

@@ -116,7 +116,9 @@ def _psum_energy(cfg_l, model_l, rad, oidx, znum, params, exponent,
             cov_full = jax.lax.all_gather(cov, "model", axis=1, tiled=True)
             cov_full = jax.lax.pmean(cov_full, "model")
             b = model_l.choli @ cov_full.T
-            c = (b * b).sum(axis=0)
+            # reduce-of-dot rule (CLAUDE.md): b*b rides a matmul product
+            # and c sits next to 1 — same guard as _gathered_beta
+            c = precise_sum(b * b, axis=0)
             beta = jnp.sqrt(jnp.clip(1.0 - c, 1e-12, None))
             bias = jax.lax.psum(
                 precise_sum(beta * jnp.sqrt(meta_vs) * cfg_l.atom_mask),
@@ -466,17 +468,20 @@ def pad_for_mesh(cfg, model, vscale_atom, mesh, dtype, committee=False):
 
     ``committee=True``: ``model`` leaves carry a leading expert axis E
     (device_md.committee_stack layout) and ``vscale_atom`` is (E, N)."""
-    nd = mesh.shape["data"]
-    nm = mesh.shape["model"]
-    lead = 1 if committee else 0
-    npad = cfg.positions.shape[0]
-    mpad = model.mu.shape[lead]
-    n2 = -(-npad // nd) * nd
-    m2 = -(-mpad // nm) * nm
-    own_idx = jnp.arange(n2, dtype=jnp.int32)
-    cfg2 = _pad_cfg(cfg, n2)
-    ma2 = _pad_model(model, m2, lead=lead)
-    vsj = _pad_to(jnp.asarray(vscale_atom, dtype=dtype), n2, axis=lead)
+    if committee:
+        nd = mesh.shape["data"]
+        nm = mesh.shape["model"]
+        npad = cfg.positions.shape[0]
+        mpad = model.mu.shape[1]
+        n2 = -(-npad // nd) * nd
+        m2 = -(-mpad // nm) * nm
+        own_idx = jnp.arange(n2, dtype=jnp.int32)
+        cfg2 = _pad_cfg(cfg, n2)
+        ma2 = _pad_model(model, m2, lead=1)
+        vsj = _pad_to(jnp.asarray(vscale_atom, dtype=dtype), n2, axis=1)
+    else:
+        cfg2, ma2, own_idx, vsj = mesh_pad(cfg, model, vscale_atom, mesh,
+                                           dtype=dtype)
     gmask = jnp.asarray(
         np.asarray(cfg2.atom_mask)[:, None], dtype=dtype
     )
@@ -846,6 +851,13 @@ def sharded_md_chunk(
     if mean_e is None:
         mean_e = jnp.zeros(1, dtype=dtype)
     meta = meta_kind == "covloss"
+    if meta and committee:
+        # the bias is single-model math (one choli); silently integrating
+        # the unbiased committee surface would be wrong physics
+        raise NotImplementedError(
+            "the ActiveMeta bias is not fused into committee chunks; "
+            "use the host MD drivers for BCM + metadynamics"
+        )
     if not meta:
         meta_scale = jnp.zeros((), dtype=dtype)
         meta_vs = jnp.zeros(cfg.positions.shape[0], dtype=dtype)

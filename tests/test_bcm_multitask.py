@@ -602,102 +602,6 @@ def test_bcm_device_neb_matches_host_committee(tmp_path, monkeypatch):
     assert len(calc.experts) >= 2
 
 
-def test_bcm_device_md_with_mesh(tmp_path, monkeypatch):
-    """The committee MD chunk runs SPMD over the ('data','model') mesh
-    (sharded_md_chunk committee=True: every expert evaluated on each
-    device's atom shard, weights from globally-reduced covmax):
-    trajectory == single-device committee DeviceMD."""
-    monkeypatch.chdir(tmp_path)
-    from autoforce_tpu.md.device_md import DeviceMD
-    from autoforce_tpu.parallel.mesh import make_mesh
-
-    calc, s = _trained_bcm(tmp_path)
-    calc._calc = None
-    out = {}
-    for mesh in (None, make_mesh(n_data=4, n_model=2)):
-        calc.engine.mesh = mesh
-        dev = s.copy()
-        maxwell_boltzmann_velocities(dev, 300, seed=9)
-        dev.calc = calc
-        dyn = DeviceMD(dev, calc, dt=2 * units.fs, chunk=3,
-                       check_beta=False, thermostat="none",
-                       device_rebuild=False)
-        dyn.run(8)
-        out[mesh is None] = (
-            dev.positions.copy(), dev.get_velocities().copy()
-        )
-    calc.engine.mesh = None
-    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
-    np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-9)
-
-
-def test_bcm_device_npt_fire_neb_with_mesh(tmp_path, monkeypatch):
-    """Committee NPT (flexible cell), FIRE, and NEB all run SPMD over the
-    mesh: each sharded committee chunk == its single-device committee
-    counterpart (completing the driver x mesh x committee matrix)."""
-    monkeypatch.chdir(tmp_path)
-    from autoforce_tpu.md.device_npt import DeviceNPT
-    from autoforce_tpu.opt.device_fire import DeviceFIRE
-    from autoforce_tpu.opt.device_neb import DeviceNEB
-    from autoforce_tpu.opt.neb import interpolate_images
-    from autoforce_tpu.parallel.mesh import make_mesh
-
-    calc, _ = _trained_bcm(tmp_path, pckl="bcmmesh.pckl")
-    calc._calc = None
-    s0 = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
-    s0.rattle(0.05, seed=4)
-    meshes = (None, make_mesh(n_data=4, n_model=2))
-
-    # NPT (flexible cell: the superset machinery)
-    out = {}
-    for mesh in meshes:
-        calc.engine.mesh = mesh
-        dev = s0.copy()
-        maxwell_boltzmann_velocities(dev, 300, seed=5)
-        dev.calc = calc
-        dyn = DeviceNPT(dev, calc, 2 * units.fs, temperature_K=300,
-                        pressure_GPa=0.3, tdamp=50 * units.fs,
-                        pdamp=200 * units.fs, chunk=3, check_beta=False,
-                        isotropic=False, in_loop_rebuild=False)
-        dyn.run(6)
-        out[mesh is None] = (dev.positions.copy(),
-                             np.asarray(dev.cell).copy())
-    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
-    np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-11)
-
-    # FIRE (positions)
-    out = {}
-    for mesh in meshes:
-        calc.engine.mesh = mesh
-        dev = s0.copy()
-        dev.calc = calc
-        dopt = DeviceFIRE(dev, calc, dt=0.05, chunk=4, check_beta=False,
-                          in_loop_rebuild=False)
-        dopt.run(fmax=1e-9, steps=8)
-        out[mesh is None] = (dev.positions.copy(), dopt.nsteps)
-    assert out[False][1] == out[True][1] == 8
-    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-9)
-
-    # NEB band
-    out = {}
-    for mesh in meshes:
-        calc.engine.mesh = mesh
-        first = s0.copy()
-        last = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
-        last.rattle(0.05, seed=6)
-        for im in (first, last):
-            im.calc = calc
-        images = interpolate_images(first, last, 4)
-        for im in images:
-            im.calc = calc
-        dopt = DeviceNEB(images, calc, k=0.1, dt=0.05, chunk=3,
-                         check_beta=False)
-        dopt.run(fmax=1e-9, steps=6)
-        out[mesh is None] = np.stack([im.positions for im in images])
-    calc.engine.mesh = None
-    np.testing.assert_allclose(out[False], out[True], atol=1e-9)
-
-
 def test_bcm_device_md_in_loop_rebuild(tmp_path, monkeypatch):
     """Committee chunks rebuild the neighbor table IN the loop too:
     trajectories match the between-chunk device-rebuild path."""
