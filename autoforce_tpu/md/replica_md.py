@@ -3,12 +3,15 @@
 R independent replicas (ensemble MD, PIMD-style beads, committee
 sampling walkers) share one SGPR model and step in lockstep inside ONE
 jitted chunk (:func:`autoforce_tpu.md.device_md.md_chunk_replicas`).
-The batched covariance matmuls raise arithmetic intensity — the
-inducing-set rows are read from HBM once per step for ALL walkers — so
-aggregate throughput scales nearly linearly in R until the chip goes
-compute-bound (the lever VERDICT r2 weak #1 called for; the reference
-runs beads/experts strictly sequentially, active.py:275,
-active_bcm.py:589-633).
+This is a CAPABILITY, not a throughput multiplier: the measured
+aggregate steps/s is roughly flat in R (per-walker neighbor gathers and
+HBM traffic dominate; only the m x D model read amortizes —
+BASELINE.md "Replica batching").  What it buys over the reference's
+strictly sequential beads/experts (active.py:275,
+active_bcm.py:589-633) is ONE dispatch per ensemble step, lockstep
+on-device rebuilds, and ensemble active learning with a shared model.
+The chunk is a single-chip program; an `engine.mesh` is ignored here
+(scale-out shards atoms of ONE system, `parallel/mesh.py`).
 
 Active learning: the chunk early-exits when any walker trips the
 covloss threshold; that walker gets full ActiveCalculator semantics

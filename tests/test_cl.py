@@ -269,6 +269,29 @@ def test_md_device_dynamics(in_tmp):
 
 
 
+def test_md_device_dynamics_with_mesh(in_tmp):
+    """cl.md dynamics='DEVICE' under a mesh declared in the ARGS file —
+    the reference's `mpirun -n 8 python -m theforce.cl.md` UX maps to
+    one `mesh = make_mesh(...)` line (no process-level setup)."""
+    import autoforce_tpu.cl as cline
+
+    with open("ARGS", "w") as f:
+        f.write("calculator = 'LJ'\n")
+        f.write("kernel_kw = dict(cutoff=4.0, lmax=2, nmax=2)\n")
+        f.write("pckl = None\ntape = None\nlogfile = None\n")
+        f.write("ediff = 0.05\nfdiff = 0.1\n")
+        f.write("mesh = make_mesh(data=4, model=2)\n")
+    cline.refresh()
+    from autoforce_tpu.cl.md import md
+
+    atoms = bulk_fcc("Cu", 3.6).repeat((2, 2, 1))
+    atoms.rattle(0.03, seed=1)
+    md(atoms, dynamics="DEVICE", tem=200.0, dt=2.0, picos=-20,
+       trajectory="mdm.extxyz", ml_filter=0.0, loginterval=10)
+    assert os.path.isfile("mdm.extxyz")
+    assert np.isfinite(atoms.positions).all()
+
+
 def test_md_device_npt_dynamics(in_tmp):
     """cl.md dynamics='DEVICE' + bulk_modulus: on-chip isotropic MTK NPT
     (the reference's pfactor gate applied to the device path)."""
