@@ -61,6 +61,82 @@ class TrajAnalyser:
     def temperatures(self):
         return np.array([f.get_temperature() for f in self.frames])
 
+    # ----------------------------------------- sampled-pair statistics
+    # (reference analysis.py:64-212: get_rand_pair / ave_vol /
+    #  hist_rtp_displacements / center_of_mass / get_scalars)
+    def get_pair(self, i, j):
+        return self.frames[i], self.frames[j]
+
+    def sample_pairs(self, delta, sample_size=100, rng=None):
+        """Random frame pairs (t, t+delta) — the reference's Sampler +
+        get_rand_pair loop (analysis.py:64-75)."""
+        rng = np.random.default_rng(rng)
+        hi = len(self.frames) - delta
+        if hi <= 0:
+            raise ValueError(f"delta={delta} >= trajectory length")
+        for _ in range(sample_size):
+            t = int(rng.integers(0, hi))
+            yield self.frames[t], self.frames[t + delta]
+
+    def get_scalars(self, prop=("volume",)):
+        """Per-frame scalar properties, e.g. ('volume', 'temperature')
+        (analysis.py:88-92)."""
+        cols = []
+        for f in self.frames:
+            row = []
+            for q in prop:
+                row.append(
+                    getattr(f, q) if hasattr(f, q)
+                    else getattr(f, f"get_{q}")()
+                )
+            cols.append(row)
+        return tuple(np.array(c) for c in zip(*cols))
+
+    def center_of_mass(self, species=None):
+        """Summed positions of the selection per frame
+        (analysis.py:94-99)."""
+        i = self.select(species)
+        return np.stack([f.positions[i].sum(axis=0) for f in self.frames])
+
+    def ave_vol(self, sample_size=100, rng=None):
+        """(mean, variance) of the cell volume over random frames
+        (analysis.py:101-106)."""
+        rng = np.random.default_rng(rng)
+        t = rng.integers(0, len(self.frames), sample_size)
+        v = np.array([self.frames[k].volume for k in t])
+        return float(v.mean()), float(v.var())
+
+    def hist_rtp_displacements(self, delta, rmax=10.0, bins=(100, 30, 60),
+                               species=None, sample_size=100, rng=None):
+        """Spherical (r, theta, phi) histogram of atomic displacements
+        over ``delta`` frames (analysis.py:166-197): returns bin centers
+        (r, t, p), the per-atom-normalized histogram, and the number
+        density of the selection."""
+        i = self.select(species)
+        edges = [
+            np.linspace(0, rmax, bins[0]),
+            np.linspace(0, np.pi, bins[1]),
+            np.linspace(-np.pi, np.pi, bins[2]),
+        ]
+        h = np.zeros(tuple(np.array(bins) - 1))
+        vols = []
+        for a, b in self.sample_pairs(delta, sample_size, rng):
+            vols += [a.volume, b.volume]
+            d = (b.positions[i] - a.positions[i]).reshape(-1, 3)
+            r = np.linalg.norm(d, axis=-1)
+            theta = np.arccos(
+                np.clip(np.divide(d[:, 2], r, out=np.zeros_like(r),
+                                  where=r > 0), -1, 1)
+            )
+            phi = np.arctan2(d[:, 1], d[:, 0])
+            h += np.histogramdd(np.stack([r, theta, phi], axis=1),
+                                bins=edges)[0]
+        centers = tuple(e[:-1] + (e[1] - e[0]) / 2 for e in edges)
+        n = len(i)
+        h /= n * sample_size
+        rho = n / np.array(vols).mean()
+        return (*centers, h, rho)
+
     def energies(self):
         return np.array(
             [f.calc.results.get("energy", np.nan) if f.calc else np.nan

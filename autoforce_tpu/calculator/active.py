@@ -179,6 +179,14 @@ class ActiveCalculator:
         # (reference gppotential.py:352-371 train path); None disables
         self.kernel_hpo = kernel_hpo
         self._hpo_count = 0
+        # always-on wall-clock accounting per phase (negligible overhead:
+        # a few time.time() calls per HOST entry, none per device step).
+        # Keys: staging/predict/active/post from calculate()'s segment
+        # clocks; upd_inducing/upd_data/upd_refit/oracle from update().
+        # The OTF benchmark reads these to report the fraction of wall
+        # spent learning (VERDICT r3 item #1).
+        self.phase_wall = Counter()
+        self.event_counts = Counter()
         self.nbeads = int(nbeads)
         self.rng = np.random.default_rng(seed)
         self.cfg = None
@@ -327,6 +335,11 @@ class ActiveCalculator:
         self.step += 1
         self.results["free_energy"] = self.results["energy"]
         timings.append(time.time())
+        for key, dt in zip(
+            ("staging", "predict", "active", "post"), np.diff(timings)
+        ):
+            self.phase_wall[key] += float(dt)
+        self.event_counts["calculate"] += 1
         if self.report_timings:
             d = np.diff(timings)
             self.log(
@@ -342,6 +355,7 @@ class ActiveCalculator:
         self._nl = table
         key = (len(system), tuple(self.engine.species))
         if rebuilt or self.cfg is None or key != self._cfg_key:
+            npad0, kpad0 = self._npad, self._kpad
             self._npad = max(self._npad, round_up(len(system), 16))
             # headroom on the neighbor axis: thermal fluctuations must not
             # nudge the bucket (each growth is a full recompile) — but the
@@ -351,6 +365,12 @@ class ActiveCalculator:
             # fluctuates only a few % in condensed phases; the bucket is
             # sticky-max so a breach costs one recompile, not thrash)
             self._kpad = max(self._kpad, round_up(int(table.kmax * 1.2) + 4, 16))
+            # bucket-growth events = predict-shape recompiles; the
+            # no-thrash test and the OTF benchmark read these counters
+            if npad0 and self._npad > npad0:
+                self.event_counts["npad_growth"] += 1
+            if kpad0 and self._kpad > kpad0:
+                self.event_counts["kpad_growth"] += 1
             self.cfg = self.engine.make_config(
                 system,
                 npad=self._npad,
@@ -691,6 +711,8 @@ class ActiveCalculator:
     # ----------------------------------------------------------- structures
     def _exact(self, system):
         """One oracle single-point (reference _exact, active.py:710-738)."""
+        t0 = time.time()
+        self.event_counts["fp_calls"] += 1
         tmp = system.copy()
         tmp.calc = self._calc
         energy = tmp.get_potential_energy()
@@ -714,6 +736,7 @@ class ActiveCalculator:
                 )
             )
         self._last_test = self.step
+        self.phase_wall["oracle"] += time.time() - t0
         return energy, forces, stress
 
     def snapshot(self, fake=False) -> DataRecord:
@@ -857,12 +880,16 @@ class ActiveCalculator:
         """Orchestrate sampling + downsize + HPO (active.py:940-983)."""
         self.updated = False
         self.blind = False
+        t0 = time.time()
         m = self.update_inducing() if inducing else 0
+        self.phase_wall["upd_inducing"] += time.time() - t0
         try_real = self.blind or isinstance(self._calc, SinglePointCalculator)
         update_data = (m > 0 and data) or not inducing
         if update_data and not inducing:
             update_data = self._host_beta().max() > self.ediff
+        t0 = time.time()
         n = self.update_data(try_fake=not try_real) if update_data else 0
+        self.phase_wall["upd_data"] += time.time() - t0
 
         if self.step == 0 and self.step0_forced_fp and data and n == 0:
             self.log("forced data addition")
@@ -871,6 +898,10 @@ class ActiveCalculator:
             n = 1
 
         if m > 0 or n > 0:
+            t0 = time.time()
+            self.event_counts["added_inducing"] += m
+            self.event_counts["added_data"] += n
+            self.event_counts["updates"] += 1
             ch1, ch2 = self.model.downsize(self.max_data, self.max_inducing)
             if ch1 or ch2:
                 self.log("downsized -> size: {} {}".format(*self.size))
@@ -892,6 +923,7 @@ class ActiveCalculator:
                     self.optimize_kernel()
             self.save_model()
             self.updated = True
+            self.phase_wall["upd_refit"] += time.time() - t0
         self._update_args = {}
         return m, n
 

@@ -108,6 +108,7 @@ class SgprModel:
         self._xdiag = None
         self._fvqr = None
         self._mcap = 0
+        self.mcap_growth = 0
         # monotonic target-vector version: bumped on EVERY mutation of the
         # regression targets (row append/pop, in-place retarget via
         # touch_targets).  The QR cache keys its validity on this counter —
@@ -819,6 +820,10 @@ class SgprModel:
             mcap = max(self._mcap, 32)
             while mcap < m:
                 mcap *= 2
+            if self._mcap and mcap > self._mcap:
+                # power-of-2 sticky growth: each transition is one predict
+                # recompile; the no-thrash test asserts this stays log2(m)
+                self.mcap_growth += 1
             self._mcap = mcap
             if self.engine.pair_terms:
                 for x in self.X:

@@ -10,44 +10,9 @@ from autoforce_tpu.md import Langevin
 from autoforce_tpu.system import System, bulk_fcc, maxwell_boltzmann_velocities
 
 
-class BinaryLJ:
-    """LJ with per-pair parameters (Lorentz-Berthelot-ish)."""
-
-    def __init__(self, eps, sig, rc=4.5):
-        self.eps = eps  # {(a, b): eps}
-        self.sig = sig
-        self.rc = rc
-
-    def calculate(self, system):
-        from autoforce_tpu.neighbors import displacements, neighbor_table
-
-        t = neighbor_table(system.positions, system.cell, system.pbc, self.rc)
-        r = displacements(system.positions, system.cell, t)
-        d = np.where(t.mask, np.linalg.norm(r, axis=-1), 1.0)
-        zi = system.numbers[:, None] * np.ones_like(t.idx)
-        zj = system.numbers[t.idx]
-        eps = np.zeros_like(d)
-        sig = np.ones_like(d)
-        for (a, b), e in self.eps.items():
-            m = ((zi == a) & (zj == b)) | ((zi == b) & (zj == a))
-            eps = np.where(m, e, eps)
-            sig = np.where(m, self.sig[(a, b)], sig)
-        s6 = (sig / d) ** 6
-        cutv = (1 - d / self.rc) ** 2
-        phi = 4 * eps * (s6 * s6 - s6) * np.where(d < self.rc, cutv, 0.0)
-        dphi_dd = (
-            4 * eps * (-12 * s6 * s6 + 6 * s6) / d * np.where(d < self.rc, cutv, 0)
-            + 4 * eps * (s6 * s6 - s6)
-            * np.where(d < self.rc, -2 * (1 - d / self.rc) / self.rc, 0.0)
-        )
-        phi = np.where(t.mask, phi, 0.0)
-        dphi_dd = np.where(t.mask, dphi_dd, 0.0)
-        energy = 0.5 * phi.sum()
-        rhat = r / d[..., None]
-        forces = (dphi_dd[..., None] * rhat).sum(axis=1)
-        vir = 0.5 * np.einsum("nk,nka,nkb->ab", dphi_dd / d, r, r)
-        stress = vir[[0, 1, 2, 1, 0, 0], [0, 1, 2, 2, 2, 1]] / system.volume
-        return {"energy": energy, "forces": forces, "stress": stress}
+from autoforce_tpu.calculator.oracles import (  # noqa: E402
+    MixtureLennardJones as BinaryLJ,
+)
 
 
 def mixture(seed=0):
