@@ -611,7 +611,7 @@ class ActiveCalculator:
         counts = getattr(model, "indu_counts", {})
         m = counts.get(env.number, 0)
         if beta >= self.ediff_ub:
-            model.add_inducing(env, col=col)
+            model.fast_add_inducing(env, col=col)
             added = -1 if m < 2 else 1
         elif beta < self.ediff_lb:
             if m < 2:
@@ -632,7 +632,7 @@ class ActiveCalculator:
                 else:
                     kmax = 0.0
                 if kmax < 1.0 - 1e-6:
-                    model.add_inducing(env, col=col)
+                    model.fast_add_inducing(env, col=col)
                     added = -1
         else:
             ediff = self.ediff if m > 1 else np.finfo(np.float64).eps

@@ -107,6 +107,15 @@ class SgprModel:
         self._pair_stage = None
         self._xdiag = None
         self._fvqr = None
+        self._sqr = None
+        # incremental trial-solve gate: below this m the full O(m^3)
+        # re-solve is fast anyway AND the frozen-sigma drift of the
+        # incremental path is relatively large (the candidate self-kernel
+        # shifts sigma's scale by O(b/(m*mean)) — percent-level at seed m,
+        # measurably perturbing the chaotic seeding trajectory), so exact
+        # semantics win.  Above it, trials go through the bordered
+        # stacked-QR factor: O(n m + m^2) per candidate instead of O(m^3).
+        self.fast_trial_min_m = 128
         self._mcap = 0
         self.mcap_growth = 0
         # monotonic target-vector version: bumped on EVERY mutation of the
@@ -351,6 +360,239 @@ class SgprModel:
         qr["R"] = qr["R"][:-1, :-1]
         qr["z"] = qr["z"][:-1]
 
+    def _fvqr_project(self, c):
+        """Non-mutating CGS2 projection of a would-be new fv column:
+        returns ``(r, rho, zeta)`` — the R-column, the residual norm, and
+        the projected-target entry the append WOULD produce — or None if
+        the cache is absent / the column is degenerate."""
+        qr = self._fvqr
+        if qr is None:
+            return None
+        Q = qr["Q"]
+        if len(c) != Q.shape[0]:
+            return None
+        r = Q.T @ c
+        q = c - Q @ r
+        r2 = Q.T @ q
+        q = q - Q @ r2
+        r = r + r2
+        rho = float(np.linalg.norm(q))
+        if rho < 1e-10 * max(float(np.linalg.norm(c)), 1.0):
+            return None
+        zeta = float((q / rho) @ qr["y"])
+        return r, rho, zeta
+
+    # ------------------------------------------ incremental trial solve
+    # The add_1inducing accept/reject test re-solves the WHOLE sgpr
+    # system per candidate (reference gppotential.py:942-969 does too) —
+    # three O(m^3) dense ops each (chol, inverse, stacked QR), which at
+    # m~1000 makes the flagship sampling loop minutes-per-entry.  The
+    # _sqr cache maintains the triangular factor of the stacked
+    # least-squares system
+    #     A = [Ke; R1; sigma L^T],   y = [e-residuals; z1; 0]
+    # (exactly solver.solve_sgpr's seeded make_mu system) across
+    # inducing appends:
+    #   * column appends use CORRECTED SEMINORMAL projection —
+    #     rs = Rs^-T (A^T c) — where A^T c is assembled from the block
+    #     structure (Ke, the fv-QR R1, the Cholesky L), so no Q storage
+    #     or row bookkeeping is needed;
+    #   * the two structured new rows ([0..0,rho] -> zeta from the fv
+    #     QR and [0..0,sigma*lam] -> 0 from L^T) fold into the bordered
+    #     diagonal by explicit Givens algebra;
+    #   * L / choli extend by one O(m^2) bordered row.
+    # A trial therefore costs O(n m + m^2) and mutates NOTHING; a commit
+    # applies the same pieces.  sigma (and the jitter-free chol) are
+    # FROZEN at build time: the next full make_munu (every update's
+    # optimize(), ioptim=1 default) rebuilds everything exactly, so the
+    # approximation only perturbs which borderline candidates get
+    # accepted (de threshold test), never the served model.
+    def _sqr_ready(self):
+        s = self._sqr
+        return (
+            self.m >= self.fast_trial_min_m
+            and s is not None
+            and s["sv"] == self.state_version
+            and s["m"] == self.m
+            and s["tv"] == self.target_version
+            and self._fvqr is not None
+            and self._fvqr["R"].shape[1] == self.m
+            and len(self.mu) == self.m
+        )
+
+    def _sqr_build(self):
+        """Build the stacked-system cache; returns it or None if the
+        model is not in a fast-servable state (no data, degenerate M,
+        fv cache refused)."""
+        self._sqr = None
+        if (self.m == 0 or self.m < self.fast_trial_min_m
+                or self.ndata == 0 or len(self.mu) != self.m):
+            return None
+        y_fv = self._fv_targets()
+        qr = self._fvqr
+        if not (qr is not None and qr["fp"] == self._fv_fingerprint(y_fv)
+                and qr["R"].shape[1] == self.m):
+            qr = self._fvqr_build(
+                np.concatenate([self.Kf, self.Kv], axis=0), y_fv
+            )
+        if qr is None:
+            return None
+        M = np.asarray(self.M, dtype=np.float64)
+        L, ridge = solver.jitter_cholesky(M)
+        if ridge > 0.0:
+            return None  # unhealthy basis: let the full path jitter it
+        choli = np.linalg.inv(L)
+        sigma = solver.sigmoid(float(self.noise_state["all"])) * float(
+            np.diag(M).mean()
+        ) * 0.99
+        energies, _, _ = self.targets()
+        zlist, C = self.species_count_matrix()
+        wvec = (np.array([self.mean_weights[z] for z in zlist])
+                if zlist else np.zeros(0))
+        mean_e = C @ wvec if len(zlist) else np.zeros(len(energies))
+        residual = energies - mean_e
+        A = np.concatenate([self.Ke, qr["R"], sigma * L.T], axis=0)
+        ys = np.concatenate([residual, qr["z"], np.zeros(self.m)])
+        Qs, Rs = np.linalg.qr(A)
+        self._sqr = dict(
+            R=Rs, z=Qs.T @ ys, L=L, choli=choli, sigma=sigma,
+            resid=residual, m=self.m, sv=self.state_version,
+            tv=self.target_version, chain=0,
+        )
+        return self._sqr
+
+    def _sqr_trial(self, ke_col, c_fv, a, b):
+        """Solve the bordered system for one candidate WITHOUT mutating
+        any state.  Returns a dict of commit pieces (incl. the trial mu)
+        or the string 'dependent' when the candidate is numerically in
+        the span (the full path would jitter -> reference semantics
+        reject it), or None when the fast path cannot serve."""
+        from scipy.linalg import solve_triangular
+
+        s = self._sqr
+        proj = self._fvqr_project(c_fv)
+        if proj is None:
+            return "dependent"
+        r, rho, zeta = proj
+        l = s["choli"] @ a
+        lam2 = float(b) - float(l @ l)
+        if lam2 <= 1e-10 * max(float(b), 1.0):
+            return "dependent"
+        lam = float(np.sqrt(lam2))
+        sigma = s["sigma"]
+        # A^T c from the block structure (corrected seminormal)
+        Atc = (self.Ke.T @ ke_col + self._fvqr["R"].T @ r
+               + sigma * sigma * (s["L"] @ l))
+        rs = solve_triangular(s["R"].T, Atc, lower=True)
+        c2 = float(ke_col @ ke_col + r @ r + sigma * sigma * (l @ l))
+        rho_s2 = c2 - float(rs @ rs)
+        rho_s = float(np.sqrt(max(rho_s2, 0.0)))
+        cty = float(ke_col @ s["resid"] + r @ self._fvqr["z"])
+        if rho_s > 1e-9 * max(np.sqrt(c2), 1.0):
+            zeta_s = (cty - float(rs @ s["z"])) / rho_s
+        else:
+            rho_s, zeta_s = 0.0, 0.0
+        # fold the two structured new rows into the bordered diagonal
+        d, t = rho_s, zeta_s
+        for alpha, tau in ((rho, zeta), (sigma * lam, 0.0)):
+            dn = float(np.hypot(d, alpha))
+            t = (d * t + alpha * tau) / dn
+            d = dn
+        # RELATIVE dependence guard: column norms run O(1e2-1e3) with
+        # pair terms, so an absolute 1e-12 floor lets near-dependent
+        # candidates through and the seminormal solve explodes (measured:
+        # mu overflow in the early-growth regime of rattled-crystal MD)
+        if d <= 1e-8 * max(np.sqrt(c2), 1.0):
+            return "dependent"
+        x_last = t / d
+        x_old = solve_triangular(s["R"], s["z"] - rs * x_last, lower=False)
+        mu_t = np.concatenate([x_old, [x_last]])
+        if not np.all(np.isfinite(mu_t)) or (
+            float(np.abs(mu_t).max())
+            > 1e6 * max(1.0, float(np.abs(self.mu).max()))
+        ):
+            return None  # ill-conditioned factor: full path + rebuild
+        return dict(mu=mu_t, l=l, lam=lam, rs=rs, d=d, t=t)
+
+    def _sqr_commit(self, env, a, blocks, trial):
+        """Apply an accepted trial: matrix/QR/X appends via add_inducing
+        (which also appends the fv-QR column), then extend the stacked
+        factor, L/choli, and mu, and refresh stats/vscale."""
+        s = self._sqr
+        self.add_inducing(env, col=a, remake=False, blocks=blocks)
+        m = self.m
+        Rn = np.zeros((m, m))
+        Rn[:-1, :-1] = s["R"]
+        Rn[:-1, -1] = trial["rs"]
+        Rn[-1, -1] = trial["d"]
+        s["R"] = Rn
+        s["z"] = np.concatenate([s["z"], [trial["t"]]])
+        L = np.zeros((m, m))
+        L[:-1, :-1] = s["L"]
+        L[-1, :-1] = trial["l"]
+        L[-1, -1] = trial["lam"]
+        s["L"] = L
+        ci = np.zeros((m, m))
+        ci[:-1, :-1] = s["choli"]
+        ci[-1, :-1] = -(trial["l"] @ s["choli"]) / trial["lam"]
+        ci[-1, -1] = 1.0 / trial["lam"]
+        s["choli"] = ci
+        self.mu = trial["mu"]
+        self.choli = ci
+        self.ridge = 0.0
+        self._model_arrays = None
+        self.make_stats()
+        s["m"] = m
+        s["chain"] += 1
+        s["sv"] = self.state_version
+        if s["chain"] > 1024:
+            self._sqr = None  # bound seminormal drift; rebuild lazily
+
+    def _fast_trial_pieces(self, env):
+        """(a, b, blocks, c_fv) for a candidate env — the same device
+        column work the slow path does, computed once."""
+        if env.desc is None:
+            self.stage_env(env)
+        x_pd, x_pm = self.engine.env_pair_data(env)
+        blocks = self._column_blocks(env, x_pd, x_pm)
+        ke_col, kf_col, kv_col = blocks
+        kf_flat = np.concatenate(kf_col).reshape(-1)
+        kv_flat = np.concatenate(kv_col).reshape(-1)
+        c_fv = np.concatenate([kf_flat, kv_flat])
+        a = self.kern_X_env(env)
+        b = self.kern_env_env(env, env)
+        return a, b, (np.asarray(ke_col).reshape(-1), kf_col, kv_col), c_fv
+
+    def fast_add_inducing(self, env, col=None):
+        """Unconditional-accept append with the incremental solve refresh
+        (the update_lce beta-band branches); falls back to the full
+        add_inducing + make_munu when the fast path cannot serve.
+        Returns True when the incremental path was used."""
+        if not self._sqr_ready():
+            self._sqr_build()
+        if not self._sqr_ready():
+            self.add_inducing(env, col=col)
+            return False
+        a, b, blocks, c_fv = self._fast_trial_pieces(env)
+        if col is not None:
+            a = np.asarray(col).reshape(-1)
+        ke_col = blocks[0]
+        trial = self._sqr_trial(ke_col, c_fv, a, b)
+        if trial is None:
+            # ill-conditioned factor (not a dependent candidate): drop
+            # the cache and take the exact path
+            self._sqr = None
+            self.add_inducing(env, col=a, blocks=blocks)
+            return False
+        if not isinstance(trial, dict):
+            # dependent/degenerate: the full path would jitter; mimic its
+            # observable outcome (ridge > 0 -> caller pops) cheaply
+            self.add_inducing(env, col=a, remake=False, blocks=blocks)
+            self.ridge = max(self.ridge, 1e-8)
+            self._sqr = None
+            return True
+        self._sqr_commit(env, a, blocks, trial)
+        return True
+
     def _fvqr_select(self, keep):
         """Column-deletion update of the QR cache for an ASCENDING subset
         of inducing columns (downsize eviction): Givens re-triangularization
@@ -454,12 +696,17 @@ class SgprModel:
                     kv_col[i] = voigt6(kv[j])
         return list(ke_col), kf_col, kv_col
 
-    def add_inducing(self, env: InducingEnv, col=None, remake=True):
-        """Append one inducing column (gppotential.py:745-771)."""
+    def add_inducing(self, env: InducingEnv, col=None, remake=True,
+                     blocks=None):
+        """Append one inducing column (gppotential.py:745-771).
+        ``blocks``: optional precomputed (ke_col, kf_col, kv_col) so the
+        fast trial path does the device column work only once."""
         if env.desc is None:
             self.stage_env(env)
-        x_pd, x_pm = self.engine.env_pair_data(env)
-        ke_col, kf_col, kv_col = self._column_blocks(env, x_pd, x_pm)
+        if blocks is None:
+            x_pd, x_pm = self.engine.env_pair_data(env)
+            blocks = self._column_blocks(env, x_pd, x_pm)
+        ke_col, kf_col, kv_col = blocks
         a = self.kern_X_env(env) if col is None else np.asarray(col).reshape(-1)
         b = self.kern_env_env(env, env)
         m = self.m
@@ -692,6 +939,7 @@ class SgprModel:
         self.mean_weights = {**self.mean_weights, **res.weights}
         self.make_stats()
         self._model_arrays = None
+        self._sqr = None  # full solve supersedes the incremental factor
 
     def optimize_model_parameters(self, noise_f=0.0):
         self.make_munu(optimize=True, noise_f=noise_f)
@@ -762,6 +1010,27 @@ class SgprModel:
         if self.m == 0:
             self.add_inducing(env, remake=remake)
             return 1, float("inf")
+
+        # incremental trial: O(n m + m^2), mutates nothing on reject
+        if not self._sqr_ready():
+            self._sqr_build()
+        if self._sqr_ready():
+            a, b, blocks, c_fv = self._fast_trial_pieces(env)
+            trial = self._sqr_trial(blocks[0], c_fv, a, b)
+            if trial is None:
+                self._sqr = None  # ill-conditioned: exact path below
+            elif trial == "dependent":
+                return 0, 0.0
+            if isinstance(trial, dict):
+                e1 = float(a @ self.mu)
+                e2 = float(np.concatenate([a, [b]]) @ trial["mu"])
+                de = abs(e1 - e2)
+                blind = abs(e1) < 1e-8 and abs(e2) < 1e-8
+                if de < ediff and not blind:
+                    return 0, de
+                self._sqr_commit(env, a, blocks, trial)
+                return 1, de
+
         e1 = self.env_energy(env)
         saved = self._solve_state()
         self.add_inducing(env, remake=True)

@@ -161,13 +161,15 @@ def solve_sgpr(
         res = minimize(objective, x0=[float(state["all"])])
         state["all"] = float(res.x[0])
 
-    mu = make_mu(float(state["all"]))
-
     # ---- per-species mean weights (closed-form version of objective_mean,
-    # gppotential.py:1313-1335: same convex quadratic, solved exactly)
+    # gppotential.py:1313-1335: same convex quadratic, solved exactly).
+    # The force-only mu feeding the weight fit is only needed when
+    # optimizing — skipping it elsewhere halves the per-call QR cost
+    # (the non-optimize path is the sampling loop's fallback trial)
     zlist = sorted(mean_weights.keys())
     weights = dict(mean_weights)
     if optimize and len(energies) and len(zlist):
+        mu = make_mu(float(state["all"]))
         delta = energies - Ke @ mu
         C = species_counts / np.asarray(natoms, dtype=np.float64)[:, None]
         rhs = delta / np.asarray(natoms, dtype=np.float64)

@@ -9,6 +9,13 @@ import os
 import sys
 
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# Single-thread BLAS: multithreaded partial-sum order depends on host load
+# (xdist workers competing for cores), and a ~1e-16 relative difference in a
+# dot product amplifies through 50 chaotic MD steps into different sampling
+# decisions — observed as rare order-dependent failures in test_active.py.
+# Host solves in the suite are small (m <~ 300), so this costs nothing.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

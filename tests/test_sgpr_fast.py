@@ -1,0 +1,214 @@
+"""Incremental trial solve == full re-solve (the large-m sampling-loop
+fast path, VERDICT r3 items #1/#2): add_1inducing served by the bordered
+stacked-QR factor must make the SAME accept/reject decisions as the full
+per-trial make_munu, with matching de values and a matching model state,
+for plain, pair-term, and chemical kernel configurations."""
+
+import numpy as np
+import pytest
+
+from autoforce_tpu.calculator.oracles import LennardJones
+from autoforce_tpu.descriptor.soap import SoapParams
+from autoforce_tpu.engine import Engine
+from autoforce_tpu.neighbors import displacements, neighbor_table
+from autoforce_tpu.regression.sgpr import DataRecord, InducingEnv, SgprModel
+from autoforce_tpu.system import bulk_fcc
+
+RC = 4.5
+
+
+def _env_from(s, i):
+    t = neighbor_table(s.positions, s.cell, s.pbc, RC)
+    r = displacements(s.positions, s.cell, t)
+    m = t.mask[i]
+    return InducingEnv.from_arrays(s.numbers[i], r[i][m],
+                                   s.numbers[t.idx[i][m]])
+
+
+def _trained_model(variant="default", n_ind=6, n_data=3):
+    eng = Engine(params=SoapParams(lmax=3, nmax=3, rc=RC), exponent=4,
+                 species=[29])
+    if variant == "pair":
+        from autoforce_tpu.pairkernels import PairTerm
+
+        eng.pair_terms = (PairTerm(a=29, b=29, rc=RC, factor="polycut"),)
+    elif variant == "rbf":
+        eng.kernel_kind = "rbf"
+    model = SgprModel(eng)
+    model.fast_trial_min_m = 0  # exercise the incremental path at test m
+    small = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    for seed in range(n_ind):
+        s = small.copy()
+        s.rattle(0.07, seed=seed)
+        model.add_inducing(_env_from(s, seed % len(s)), remake=False)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=RC)
+    for k in range(n_data):
+        s = small.copy()
+        s.rattle(0.05, seed=40 + k)
+        s.calc = lj
+        model.add_data(DataRecord.from_system(s), remake=False)
+    model.make_munu(optimize=True, noise_f=0.01)
+    return model
+
+
+def _candidates(n, start_seed=70):
+    small = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    out = []
+    for k in range(n):
+        s = small.copy()
+        s.rattle(0.03 + 0.04 * (k % 3), seed=start_seed + k)
+        out.append(_env_from(s, (5 * k) % len(s)))
+    return out
+
+
+@pytest.mark.parametrize("variant", ["default", "pair", "rbf"])
+def test_fast_trial_matches_full_solve(variant):
+    ediff = 1e-4
+    fast = _trained_model(variant)
+    slow = _trained_model(variant)
+    # force the reference model onto the full per-trial path
+    slow._sqr_ready = lambda: False
+
+    for env in _candidates(8):
+        # full-path de on the SAME state: an inf-threshold trial always
+        # rejects and restores, leaving the model untouched
+        ready = fast._sqr_ready
+        fast._sqr_ready = lambda: False
+        _, d_ref = fast.add_1inducing(env, float("inf"))
+        fast._sqr_ready = ready
+        a_f, d_f = fast.add_1inducing(env, ediff)
+        a_s, d_s = slow.add_1inducing(env, ediff)
+        assert a_f == a_s, (variant, a_f, a_s, d_f, d_s)
+        if np.isfinite(d_f) and np.isfinite(d_ref):
+            # de = |e1 - e2| is a DIFFERENCE of O(eV) energies, so its
+            # value is ill-conditioned in sigma (the full path folds the
+            # candidate's self-kernel b into sigma's scale; the fast
+            # path freezes sigma at build — an O(b/(m*mean)) effect,
+            # huge at this tiny test m).  The invariants that matter:
+            # the threshold DECISION agrees (both de >> ediff here),
+            # and the fixed-sigma algebra is exact
+            # (test_bordered_solve_matches_lstsq).
+            assert (d_f >= ediff) == (d_ref >= ediff), (d_f, d_ref)
+
+    assert fast.m == slow.m
+    # the served state agrees mid-loop to the sigma-freeze drift (raw mu
+    # components are ill-conditioned; predictions agree much tighter —
+    # checked via the probe below), and choli is sigma-independent
+    # (bordered-row extension of choli accumulates ~1e-6 relative vs a
+    # fresh factorization after several appends — benign, and refit
+    # below restores exact agreement)
+    np.testing.assert_allclose(fast.choli, slow.choli, rtol=1e-5,
+                               atol=1e-7)
+    probe = _candidates(1, start_seed=200)[0]
+    fast.stage_env(probe)
+    e_fast = fast.env_energy(probe)
+    e_slow = slow.env_energy(probe)
+    assert e_fast == pytest.approx(e_slow, rel=2e-3, abs=1e-6)
+    # ...and EXACTLY after the next full refit (every update ends with
+    # optimize() at ioptim=1, which rebuilds both identically)
+    fast.make_munu(optimize=True, noise_f=0.01)
+    slow.make_munu(optimize=True, noise_f=0.01)
+    np.testing.assert_allclose(fast.mu, slow.mu, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(fast.choli, slow.choli, rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_fast_add_inducing_unconditional():
+    """The beta-band unconditional accepts go through the same
+    incremental commit; model equals the slow-path twin after refit."""
+    fast = _trained_model()
+    slow = _trained_model()
+    for env in _candidates(4, start_seed=90):
+        used = fast.fast_add_inducing(env)
+        assert used is True
+        slow.add_inducing(env)  # remake=True full solve
+    assert fast.m == slow.m
+    fast.make_munu(optimize=True, noise_f=0.01)
+    slow.make_munu(optimize=True, noise_f=0.01)
+    np.testing.assert_allclose(fast.mu, slow.mu, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(fast.M, slow.M, rtol=1e-12, atol=1e-12)
+
+
+def test_fast_trial_rejects_dependent_candidate():
+    """A duplicate of an existing inducing env is numerically dependent:
+    the fast trial must reject it without corrupting the model."""
+    model = _trained_model()
+    small = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s = small.copy()
+    s.rattle(0.07, seed=0)  # seed 0 -> duplicates the first inducing env
+    dup = _env_from(s, 0)
+    m0 = model.m
+    mu0 = model.mu.copy()
+    added, de = model.add_1inducing(dup, 1e-4)
+    assert added == 0
+    assert model.m == m0
+    np.testing.assert_allclose(model.mu, mu0, rtol=0, atol=0)
+
+
+def test_fast_path_survives_interleaved_data_adds():
+    """add_data invalidates the stacked factor (targets/rows change);
+    the next trial rebuilds it and still matches the full path."""
+    fast = _trained_model()
+    slow = _trained_model()
+    slow._sqr_ready = lambda: False
+    env1, env2 = _candidates(2, start_seed=120)
+    a1f, _ = fast.add_1inducing(env1, 1e-4)
+    a1s, _ = slow.add_1inducing(env1, 1e-4)
+    assert a1f == a1s
+    # interleave a data addition (the e2e loop does this every sample)
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=RC)
+    small = bulk_fcc("Cu", 3.6).repeat((2, 2, 2))
+    s = small.copy()
+    s.rattle(0.05, seed=150)
+    s.calc = lj
+    for mdl in (fast, slow):
+        mdl.add_data(DataRecord.from_system(s))
+    assert not fast._sqr_ready()  # rows/targets changed -> stale
+    a2f, d2f = fast.add_1inducing(env2, 1e-4)
+    a2s, d2s = slow.add_1inducing(env2, 1e-4)
+    assert a2f == a2s
+    if np.isfinite(d2f):
+        assert (d2f >= 1e-4) == (d2s >= 1e-4)
+    fast.make_munu(optimize=True, noise_f=0.01)
+    slow.make_munu(optimize=True, noise_f=0.01)
+    np.testing.assert_allclose(fast.mu, slow.mu, rtol=1e-9, atol=1e-12)
+
+
+def test_bordered_solve_matches_lstsq():
+    """The fast trial's bordered seminormal solve is EXACT at fixed
+    sigma: mu_trial equals an explicit dense lstsq of the bordered
+    stacked system built from the same blocks."""
+    from autoforce_tpu.regression import solver
+
+    m0 = _trained_model("pair")
+    env = _candidates(3)[2]
+    m0._sqr = None
+    s = m0._sqr_build()
+    a, b, blocks, c_fv = m0._fast_trial_pieces(env)
+    trial = m0._sqr_trial(blocks[0], c_fv, a, b)
+    mu_t = trial["mu"]
+
+    sigma = s["sigma"]
+    m = m0.m
+    M2 = np.zeros((m + 1, m + 1))
+    M2[:m, :m] = m0.M
+    M2[:m, -1] = a
+    M2[-1, :m] = a
+    M2[-1, -1] = b
+    L2, ridge = solver.jitter_cholesky(M2)
+    assert ridge == 0.0
+    Ke2 = np.concatenate([m0.Ke, blocks[0][:, None]], axis=1)
+    kf = np.concatenate(blocks[1]).reshape(-1, 1)
+    kv = np.concatenate(blocks[2]).reshape(-1, 1)
+    Kf2 = np.concatenate([m0.Kf, kf], axis=1)
+    Kv2 = np.concatenate([m0.Kv, kv], axis=1)
+    A = np.concatenate([Ke2, Kf2, Kv2, sigma * L2.T], axis=0)
+    _, forces, virials = m0.targets()
+    Y = np.concatenate(
+        [s["resid"], forces, virials, np.zeros(m + 1)]
+    )
+    mu_ref, *_ = np.linalg.lstsq(A, Y, rcond=None)
+    assert np.abs(mu_t - mu_ref).max() / np.abs(mu_ref).max() < 1e-3
+    anew = np.concatenate([a, [b]])
+    assert float(anew @ mu_t) == pytest.approx(float(anew @ mu_ref),
+                                               rel=1e-4, abs=1e-4)
