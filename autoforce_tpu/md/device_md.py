@@ -114,7 +114,8 @@ def _sgpr_forces(pos, cfg, model, radii, znum, vscale_atom, params, exponent,
 
 
 def _committee_e(p, cell, cfg, models, radii, znum, vscale_atoms, mean_e,
-                 params, exponent, pair_terms, chem_z, mixL, kind):
+                 params, exponent, pair_terms, chem_z, mixL, kind,
+                 meta_scale=None, meta_vs=None):
     """(weighted committee energy, committee covloss floor max) at
     positions ``p`` under cell ``cell`` — the physics shared by every
     device driver that serves a Bayesian committee.
@@ -125,7 +126,19 @@ def _committee_e(p, cell, cfg, models, radii, znum, vscale_atoms, mean_e,
     like the host combination, so differentiating the return yields the
     committee forces AND virial.  The sampling trigger is the committee
     covloss floor ``min_k beta_k`` (:885-894).  ``models``: ModelArrays
-    with a leading expert axis; ``vscale_atoms``: (E, N)."""
+    with a leading expert axis; ``vscale_atoms``: (E, N).
+
+    ``meta_scale``/``meta_vs`` fuse the ActiveMeta uncertainty-seeking
+    bias with the bias defined on the COMMITTEE covloss floor —
+    ``E -= scale * sum_i min_k beta_ki sqrt(meta_vs_ki)`` — i.e. on
+    BCM's own uncertainty measure (reference get_covloss_total,
+    active_bcm.py:885-894), where the reference's host ActiveMeta
+    (active.py:1170-1186) only ever sees the current expert.
+    ``meta_vs``: (E, N) with inf (unseen species) -> 0, the host meta
+    convention (engine.meta_covloss_fn), NOT the sampling sentinel.
+    The bias term is differentiated (min over the local expert axis has
+    a subgradient; no pmax crosses it), unlike the stop-gradient'd
+    weights/trigger."""
     nexp = mean_e.shape[0]
 
     def one(mdl):
@@ -140,11 +153,16 @@ def _committee_e(p, cell, cfg, models, radii, znum, vscale_atoms, mean_e,
 
     e_k, cov_k, alpha_k = jax.vmap(one)(models)
 
-    def beta_one(mdl, cov, alpha, vs):
-        beta = covloss_beta(mdl.choli, cov, vs, mdl.m_mask, alpha=alpha)
-        return jnp.where(cfg.atom_mask, beta, -jnp.inf)
+    def c_one(mdl, cov, alpha):
+        # covloss_beta's algebra inlined so the meta bias can reuse c
+        # with its own (1e-12) clip floor — trigger numerics unchanged
+        b = (mdl.choli * mdl.m_mask[None, :]) @ (cov * mdl.m_mask[None, :]).T
+        c = precise_sum(b * b, axis=0)
+        return c / alpha if alpha is not None else c
 
-    betas = jax.vmap(beta_one)(models, cov_k, alpha_k, vscale_atoms)
+    c_k = jax.vmap(c_one)(models, cov_k, alpha_k)  # (E, N)
+    trig = jnp.sqrt(jnp.clip(1.0 - c_k, 0.0, None)) * jnp.sqrt(vscale_atoms)
+    betas = jnp.where(cfg.atom_mask[None, :], trig, -jnp.inf)
     covmax = jnp.clip(betas.max(axis=1), 1e-12, 1.0)  # (E,)
     scale = jnp.where(covmax < 1.0, -jnp.log(covmax), 0.0) / covmax
     scale = jax.lax.stop_gradient(scale)
@@ -155,6 +173,16 @@ def _committee_e(p, cell, cfg, models, radii, znum, vscale_atoms, mean_e,
         jnp.ones_like(scale) / nexp,
     )
     e_tot = precise_sum(w * (e_k + mean_e))
+    if meta_scale is not None:
+        # 1e-12 floor (not 0): sqrt'(0) = inf would NaN the bias forces
+        # exactly where an expert knows an environment perfectly
+        bias_b = jnp.sqrt(jnp.clip(1.0 - c_k, 1e-12, None)) * jnp.sqrt(
+            meta_vs
+        )
+        floor = bias_b.min(axis=0)  # (N,) committee covloss floor
+        e_tot = e_tot - meta_scale * precise_sum(
+            jnp.where(cfg.atom_mask, floor, 0.0)
+        )
     bmax = betas.min(axis=0).max()
     return e_tot, bmax
 
@@ -551,7 +579,7 @@ def md_chunk_replicas(
 @partial(
     jax.jit,
     static_argnames=("params", "exponent", "pair_terms", "check_beta",
-                     "thermostat", "kind", "rebuild"),
+                     "thermostat", "kind", "rebuild", "meta_kind"),
 )
 def md_chunk_committee(
     cfg: ConfigArrays,
@@ -586,6 +614,9 @@ def md_chunk_committee(
     rebuild_cut=None,
     sidx_atom=None,
     sidx_ok=None,
+    meta_kind=None,  # "covloss" = ActiveMeta on the committee floor
+    meta_scale=None,  # traced bias strength (eV)
+    meta_vs=None,  # (E, N) per-expert vscale with inf -> 0
 ):
     """Device-resident MD under a Bayesian committee of SGPR experts.
 
@@ -612,9 +643,12 @@ def md_chunk_committee(
         c = cfg_with(tbl)
 
         def energy(p):
-            return _committee_e(p, c.cell, c, models, radii, znum,
-                                vscale_atoms, mean_e, params, exponent,
-                                pair_terms, chem_z, mixL, kind)
+            return _committee_e(
+                p, c.cell, c, models, radii, znum, vscale_atoms, mean_e,
+                params, exponent, pair_terms, chem_z, mixL, kind,
+                meta_scale=meta_scale if meta_kind == "covloss" else None,
+                meta_vs=meta_vs,
+            )
 
         (e, bmax), g = jax.value_and_grad(energy, has_aux=True)(pos)
         f = -g * amask
@@ -939,16 +973,18 @@ class DeviceMD:
                 dtype = cfg.positions.dtype
                 oidx = amask = mean_e = None
                 committee = self._committee_models()
-                if committee and self.meta_scale is not None:
-                    raise NotImplementedError(
-                        "device-fused ActiveMeta is not wired into the "
-                        "committee chunk — use the host MD drivers for "
-                        "BCM + metadynamics runs"
-                    )
                 meta_vs = None
                 if committee:
                     ma, vs_c, mean_e = self._committee_stack(committee, cfg)
                     mean_e = jnp.asarray(mean_e, dtype=dtype)
+                    meta_np = None
+                    if self.meta_scale is not None:
+                        # per-expert host bias convention: unseen species
+                        # (sentinel rows) contribute 0, not the trigger
+                        # sentinel (see the single-model branch below)
+                        meta_np = np.where(
+                            vs_c >= self._VS_UNSEEN, 0.0, vs_c
+                        )
                     if self.mesh is not None:
                         from ..parallel.mesh import pad_for_mesh
 
@@ -956,8 +992,17 @@ class DeviceMD:
                             cfg, ma, vs_c, self.mesh, dtype,
                             committee=True,
                         )
+                        if meta_np is not None:
+                            meta_np = np.pad(
+                                meta_np,
+                                ((0, 0),
+                                 (0, cfg.positions.shape[0]
+                                  - meta_np.shape[1])),
+                            )
                     else:
                         vsj = jnp.asarray(vs_c, dtype=dtype)
+                    if meta_np is not None:
+                        meta_vs = jnp.asarray(meta_np, dtype=dtype)
                 else:
                     ma = model.full_model_arrays()
                     vs = model.vscale_for(np.asarray(cfg.numbers))
@@ -1107,6 +1152,13 @@ class DeviceMD:
                     out = chain_table(out)
                 pos, vel, self.key, f, e, beta_max, i, vxi, xi = out
             elif chain["mean_e"] is not None:
+                meta_kw = {}
+                if chain["meta_vs"] is not None:
+                    meta_kw = dict(
+                        meta_kind="covloss",
+                        meta_scale=jnp.asarray(self.meta_scale, dtype=dtype),
+                        meta_vs=chain["meta_vs"],
+                    )
                 out = md_chunk_committee(
                     chain["cfg"], chain["ma"], chain["radii"],
                     chain["znum"], chain["vs"], chain["mean_e"],
@@ -1123,6 +1175,7 @@ class DeviceMD:
                     kind=eng.kernel_kind,
                     **nhc_kw,
                     **inloop_kw,
+                    **meta_kw,
                 )
                 if chain["inloop"]:
                     out = chain_table(out)

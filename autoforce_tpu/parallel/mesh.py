@@ -68,19 +68,27 @@ def make_mesh(n_data=None, n_model=1, devices=None, *, data=None, model=None):
     return Mesh(dev, ("data", "model"))
 
 
-def _gathered_beta(choli, cov, alpha, vscale_atom, atom_mask):
-    """Covloss beta from a 'model'-axis sharded covariance block — the ONE
-    definition shared by sharded_predict and sharded_md_chunk (formula:
-    kernels.covloss_beta; this adds the model-axis gather).  The b*b
-    reduction must stay in true f32 (engine.precise_sum): beta feeds
-    threshold comparisons and a bf16-folded sum adds a ~0.02 noise floor
-    near c = 1 (CLAUDE.md reduce-of-dot note).
-
-    Returns (cov_full (n, M) replicated over 'model', beta (n,))."""
+def _gathered_cov_c(choli, cov, alpha):
+    """(cov_full, c) from a 'model'-axis sharded covariance block: the
+    model-axis gather + the normalized squared-projection c that both the
+    covloss trigger and the ActiveMeta bias derive their betas from.  The
+    b*b reduction must stay in true f32 (engine.precise_sum): c feeds
+    threshold comparisons near c = 1 and a bf16-folded sum adds a ~0.02
+    noise floor (CLAUDE.md reduce-of-dot note)."""
     cov_full = jax.lax.all_gather(cov, "model", axis=1, tiled=True)
     cov_full = jax.lax.pmean(cov_full, "model")  # provably replicated
     b = choli @ cov_full.T
     c = precise_sum(b * b, axis=0) / alpha
+    return cov_full, c
+
+
+def _gathered_beta(choli, cov, alpha, vscale_atom, atom_mask):
+    """Covloss beta from a 'model'-axis sharded covariance block — the ONE
+    definition shared by sharded_predict and sharded_md_chunk (formula:
+    kernels.covloss_beta; this adds the model-axis gather).
+
+    Returns (cov_full (n, M) replicated over 'model', beta (n,))."""
+    cov_full, c = _gathered_cov_c(choli, cov, alpha)
     beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vscale_atom)
     return cov_full, jnp.where(atom_mask, beta, -jnp.inf)
 
@@ -193,7 +201,7 @@ def _model_spec_committee(models: ModelArrays):
 
 def _psum_committee_energy(cfg_l, models_l, rad, oidx, znum, params,
                            exponent, pair_terms, chem_z, mixL, kind,
-                           vs_l, mean_e):
+                           vs_l, mean_e, meta_scale=None, meta_vs=None):
     """Committee counterpart of :func:`_psum_energy`: ``energy(p, cell)
     -> (E_committee, beta_floor_max)`` — the weighted BCM committee
     energy (device_md._committee_e math, reference active_bcm.py:589-633)
@@ -204,7 +212,15 @@ def _psum_committee_energy(cfg_l, models_l, rad, oidx, znum, params,
     over 'data'), and the aux trip scalar is the committee covloss floor
     ``max_atoms min_k beta_k``, also globally reduced.  The weights are
     constants w.r.t. positions/strain (stop_gradient), exactly like the
-    host combination."""
+    host combination.
+
+    ``meta_scale``/``meta_vs`` ((E, n_loc), inf -> 0 host convention)
+    fuse the ActiveMeta bias on the COMMITTEE covloss floor (reference
+    get_covloss_total, active_bcm.py:885-894):
+    ``E -= scale * sum_i min_k beta_ki sqrt(meta_vs_ki)``.  The bias is
+    differentiated (its atom sum rides a psum over 'data' — linear, has
+    a transpose rule; the expert min is a local vmap axis), so it is
+    added BEFORE the stop-gradient cut that protects the weights."""
     nexp = mean_e.shape[0]
 
     def energy(p, cell):
@@ -219,12 +235,23 @@ def _psum_committee_energy(cfg_l, models_l, rad, oidx, znum, params,
             e = jax.lax.psum(
                 precise_sum(cov @ mdl.mu), ("data", "model")
             )
-            _, beta = _gathered_beta(
-                mdl.choli, cov, alpha, vs, cfg_l.atom_mask
-            )
-            return e, beta
+            _, c = _gathered_cov_c(mdl.choli, cov, alpha)
+            beta = jnp.sqrt(jnp.clip(1.0 - c, 0.0, None)) * jnp.sqrt(vs)
+            beta = jnp.where(cfg_l.atom_mask, beta, -jnp.inf)
+            return e, beta, c
 
-        e_k, betas = jax.vmap(one)(models_l, vs_l)  # (E,), (E, n_loc)
+        e_k, betas, c_k = jax.vmap(one)(models_l, vs_l)  # (E,), (E, n_loc)
+        e_bias = 0.0
+        if meta_scale is not None:
+            # 1e-12 floor: sqrt'(0) = inf would NaN the bias forces
+            bias_b = jnp.sqrt(jnp.clip(1.0 - c_k, 1e-12, None)) * jnp.sqrt(
+                meta_vs
+            )
+            floor = bias_b.min(axis=0)  # (n_loc,) committee floor
+            e_bias = meta_scale * jax.lax.psum(
+                precise_sum(jnp.where(cfg_l.atom_mask, floor, 0.0)),
+                "data",
+            )
         # weights and the trip scalar are constants w.r.t. positions/
         # strain (host semantics) — and pmax has no differentiation
         # rule, so the cut must come BEFORE the collective
@@ -239,7 +266,7 @@ def _psum_committee_energy(cfg_l, models_l, rad, oidx, znum, params,
             scale / jnp.where(tot > 0, tot, 1.0),
             jnp.ones_like(scale) / nexp,
         )
-        e_tot = precise_sum(w * (e_k + mean_e))
+        e_tot = precise_sum(w * (e_k + mean_e)) - e_bias
         bmax = jax.lax.pmax(betas.min(axis=0).max(), "data")
         return e_tot, bmax
 
@@ -309,6 +336,7 @@ def _sharded_forces_fn(cfg_l, model_l, rad, vs_l, oidx, amask, znum,
             energy_c = _psum_committee_energy(
                 c, model_l, rad, oidx, znum, params, exponent,
                 pair_terms, chem_z, mixL, kind, vs_l, mean_e,
+                meta_scale=meta_scale, meta_vs=meta_vs,
             )
             (e, bmax), g = jax.value_and_grad(
                 lambda p: energy_c(p, c.cell), has_aux=True
@@ -851,16 +879,12 @@ def sharded_md_chunk(
     if mean_e is None:
         mean_e = jnp.zeros(1, dtype=dtype)
     meta = meta_kind == "covloss"
-    if meta and committee:
-        # the bias is single-model math (one choli); silently integrating
-        # the unbiased committee surface would be wrong physics
-        raise NotImplementedError(
-            "the ActiveMeta bias is not fused into committee chunks; "
-            "use the host MD drivers for BCM + metadynamics"
-        )
     if not meta:
         meta_scale = jnp.zeros((), dtype=dtype)
-        meta_vs = jnp.zeros(cfg.positions.shape[0], dtype=dtype)
+        # committee meta_vs carries a leading expert axis (E, N)
+        vshape = ((mean_e.shape[0], cfg.positions.shape[0]) if committee
+                  else (cfg.positions.shape[0],))
+        meta_vs = jnp.zeros(vshape, dtype=dtype)
     if not rebuild:
         rebuild_cut = jnp.zeros((), dtype=dtype)
         sidx_atom = jnp.zeros(cfg.positions.shape[0], dtype=jnp.int32)
@@ -906,7 +930,10 @@ def sharded_md_chunk(
             P(),
             P(None, "data") if committee else P("data"),
             P("data"),
-        ) + rep + (P("data"), P(), P(), P()),
+        ) + rep + (
+            P(None, "data") if committee else P("data"),  # meta_vs
+            P(), P(), P(),
+        ),
         out_specs=out_specs,
     )
     return fn(cfg, model, radii, vscale_atom, own_idx, amask, velocities,

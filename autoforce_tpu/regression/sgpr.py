@@ -939,7 +939,21 @@ class SgprModel:
         self.mean_weights = {**self.mean_weights, **res.weights}
         self.make_stats()
         self._model_arrays = None
-        self._sqr = None  # full solve supersedes the incremental factor
+        # seed the incremental trial factor from the solve we just did
+        # (solver returns its final stacked-QR triangle): the first
+        # add_1inducing trial after a refit then skips the O(m^3)
+        # _sqr_build re-factorization of the SAME system
+        sqr = getattr(res, "sqr", None)
+        if (sqr is not None and self.m >= self.fast_trial_min_m
+                and self._fvqr is not None
+                and self._fvqr["R"].shape[1] == self.m):
+            self._sqr = dict(
+                sqr, choli=np.asarray(self.choli, dtype=np.float64),
+                m=self.m, sv=self.state_version,
+                tv=self.target_version, chain=0,
+            )
+        else:
+            self._sqr = None  # full solve supersedes the stale factor
 
     def optimize_model_parameters(self, noise_f=0.0):
         self.make_munu(optimize=True, noise_f=noise_f)

@@ -180,9 +180,16 @@ def solve_sgpr(
     wvec = np.array([weights[z] for z in zlist]) if zlist else np.zeros(0)
     mean_e = species_counts @ wvec if len(zlist) else np.zeros(len(energies))
     residual = energies - mean_e
-    mu = make_mu(float(state["all"]), with_energies=residual)
-
     sigma = sigmoid(float(state["all"])) * scale
+    # inline make_mu(with_energies) keeping its triangular factor: the
+    # caller seeds SgprModel._sqr with it, so the first incremental
+    # inducing trial after a refit does NOT redo this O(m^3) QR
+    A = np.concatenate([Ke, R1, sigma * L.T], axis=0)
+    Y = np.concatenate([residual, z1, np.zeros(m)])
+    Qs, Rs = np.linalg.qr(A)
+    zs = Qs.T @ Y
+    mu = np.linalg.solve(Rs, zs)
+
     return SolveResult(
         mu=mu,
         choli=choli,
@@ -190,4 +197,7 @@ def solve_sgpr(
         noise_state=state,
         scaled_noise={"all": float(sigma)},
         weights=weights,
+        sqr=(None if ridge > 0.0
+             else dict(R=Rs, z=zs, L=L, sigma=float(sigma),
+                       resid=residual)),
     )

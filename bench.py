@@ -137,6 +137,27 @@ def make_ms_system(reps, rattle=0.02):
     return s
 
 
+def make_lgps_system(reps=(4, 4, 2), rattle=0.02):
+    """Ordered 4-species crystal at flagship scale — the workload class
+    of the reference's headline result (on-the-fly learning in
+    Li10GeP2S12, README.md:99-113).  A fixed 32-site motif (Li13 Ge1 P3
+    S15 ~ the LGPS 10:1:2:12 stoichiometry) tiles a 2x2x2 fcc block, so
+    the crystal has a FINITE local-environment vocabulary (unlike
+    make_ms_system's random occupancy, whose ~every-env-unique diversity
+    keeps the sampler tripping every step: measured r4, m hit 913 in 15
+    steps).  Learning saturates the way the reference's flagship run
+    does; Li (shallowest well) stays mobile at 500 K and keeps feeding
+    genuinely new environments at a realistic, sparse rate."""
+    from autoforce_tpu.system import bulk_fcc
+
+    base = bulk_fcc("Cu", 3.7).repeat((2, 2, 2))  # 32 sites, ordered
+    motif = [3, 16] * 13 + [15, 16, 15, 32, 16, 15]  # Li13 S15 P3 Ge1
+    base.numbers[:] = np.array(motif)
+    s = base.repeat(reps)
+    s.rattle(rattle, seed=1)
+    return s
+
+
 def build_ms_workload(
     cache_dir=os.path.join(HERE, "baselines", "bench_model_ms.pckl"),
 ):
@@ -375,21 +396,25 @@ def accuracy_gate(eng, model, system, nve_steps=1000, reps=None):
     return out
 
 
-def measure_otf(grow_cap=2000, prod_steps=600, chunk=100,
-                temperature_K=500, ediff=0.02, m_target=512,
-                max_inducing=1024):
+def measure_otf(grow_cap=400, prod_steps=400, chunk=50,
+                temperature_K=400, ediff=None, m_target=512,
+                max_inducing=1024, grow_wall_cap=900.0,
+                prod_wall_cap=480.0):
     """Flagship on-the-fly learning at flagship scale (VERDICT r3 item
-    #1): a 1008-atom 4-species mixture learns its PES from a per-pair
-    LJ-mixture oracle DURING device-resident Langevin MD with the
-    uncertainty trip ON (check_beta=True), the model growing from seed —
-    the workload class of the reference's headline result (on-the-fly
-    learning during 1000-atom multi-species MD, README.md:99-113; hot
-    path theforce/calculator/active.py:425-534).
+    #1): a 1024-atom ordered 4-species LGPS-like crystal learns its PES
+    from a per-pair LJ-mixture oracle DURING device-resident Langevin MD
+    with the uncertainty trip ON (check_beta=True), the model growing
+    from seed — the workload class of the reference's headline result
+    (on-the-fly learning during 1000-atom multi-species MD,
+    README.md:99-113; hot path theforce/calculator/active.py:425-534).
 
     Three phases, all with the trip armed:
-      growth      — run until m >= m_target (or grow_cap steps): the
-                    sampling-dense regime; wall is dominated by model
-                    updates (trial solves), reported per event.
+      growth      — run until m >= m_target, OR the sampler goes quiet
+                    (a full check window with zero oracle calls: the
+                    crystal's env vocabulary is covered — how the
+                    reference's flagship run actually saturates), OR the
+                    step/wall caps: the sampling-dense regime; wall is
+                    dominated by model updates, reported per event.
       production  — prod_steps more with learning still ON (trips now
                     sparse): steps/s *including* learning.  This is the
                     regime the reference's flagship numbers live in.
@@ -408,9 +433,22 @@ def measure_otf(grow_cap=2000, prod_steps=600, chunk=100,
     from autoforce_tpu.md.device_md import DeviceMD
     from autoforce_tpu.system import maxwell_boltzmann_velocities
 
-    eps = {(3, 3): 0.08, (32, 32): 0.20, (15, 15): 0.14, (16, 16): 0.12}
+    # LGPS-like bonding hierarchy: a strongly-bound S/P/Ge frame
+    # (kT/eps ~ 0.08, solidly crystalline at 400 K) with moderately
+    # bound, mobile Li (kT/eps ~ 0.23).  Measured r4: a uniformly
+    # shallow mixture (Li eps 0.08 -> kT/eps 0.54) melts, heats to
+    # ~1500 K on model-update discontinuities, and the sampler then
+    # rightly never quiets (a liquid's env space is unbounded) — the
+    # flagship workload is the reference's superionic SOLID
+    eps = {(3, 3): 0.15, (32, 32): 0.45, (15, 15): 0.45, (16, 16): 0.40}
     sig = {(3, 3): 2.0, (32, 32): 2.5, (15, 15): 2.2, (16, 16): 2.3}
     oracle = MixtureLennardJones(eps, sig, rc=RC)
+    # the reference's own sampling thresholds (active.py:118-122:
+    # ediff = 2 kcal/mol, ediff_tot = 4, fdiff = 3): measured r4, a
+    # 0.02 eV ediff pins covloss AT the threshold and the sampler adds
+    # ~50 LCEs per step forever (m hit 944 in 36 steps on the ordered
+    # crystal) — the flagship regime is the reference's own band
+    ediff = ediff if ediff is not None else 2 * units.kcal_mol
 
     tmp = tempfile.mkdtemp(prefix="otf1k_")
     cwd = os.getcwd()
@@ -420,32 +458,54 @@ def measure_otf(grow_cap=2000, prod_steps=600, chunk=100,
             covariance=None, calculator=oracle,
             logfile=os.path.join(tmp, "active.log"), pckl=None, tape=None,
             kernel_kw=dict(cutoff=RC, lmax=LMAX, nmax=NMAX),
-            ediff=ediff, ediff_tot=4 * ediff, fdiff=2 * ediff,
+            ediff=ediff, ediff_tot=2 * ediff, fdiff=1.5 * ediff,
             noise_f=0.01, max_inducing=max_inducing, skin=SKIN,
         )
-        s = make_ms_system(NATOMS_REPS)
+        s = make_lgps_system()
         s.calc = calc
         maxwell_boltzmann_velocities(s, temperature_K, seed=13)
+        # friction 0.05/fs: each model update is a small force
+        # discontinuity = energy injection; the thermostat must drain
+        # it faster than the sampling-dense phase injects it
         dyn = DeviceMD(s, calc, dt=2 * units.fs,
-                       temperature_K=temperature_K, friction=0.02,
+                       temperature_K=temperature_K, friction=0.05,
                        chunk=chunk, seed=14)
         assert dyn.check_beta
 
-        # -------- growth: to m_target (or the step cap)
+        # -------- growth: to m_target / sampler-quiet / caps
         t0 = time.time()
         grow_steps = 0
-        while calc.size[1] < m_target and grow_steps < grow_cap:
+        exit_reason = "m_target"
+        while calc.size[1] < m_target:
+            fp0 = calc.event_counts.get("fp_calls", 0)
             dyn.run(chunk)
             grow_steps += chunk
+            if calc.event_counts.get("fp_calls", 0) == fp0:
+                exit_reason = "sampler_quiet"
+                break
+            if grow_steps >= grow_cap:
+                exit_reason = "step_cap"
+                break
+            if time.time() - t0 > grow_wall_cap:
+                exit_reason = "wall_cap"
+                break
         t_grow = time.time() - t0
         m_grow = calc.size[1]
         pw_g = dict(calc.phase_wall)
         ev_g = dict(calc.event_counts)
 
-        # -------- production: learning stays armed
+        # -------- production: learning stays armed (wall-capped in
+        # sub-chunks: if the sampler never quiets the block still
+        # reports an honest, bounded steps/s-including-learning)
         t0 = time.time()
-        dyn.run(prod_steps)
+        prod_done = 0
+        while prod_done < prod_steps:
+            dyn.run(min(chunk, prod_steps - prod_done))
+            prod_done += min(chunk, prod_steps - prod_done)
+            if time.time() - t0 > prod_wall_cap:
+                break
         t_prod = time.time() - t0
+        prod_steps = prod_done
         ndata, m = calc.size
         pw = {k: v - pw_g.get(k, 0.0) for k, v in calc.phase_wall.items()}
         ev = {k: v - ev_g.get(k, 0) for k, v in calc.event_counts.items()}
@@ -465,7 +525,7 @@ def measure_otf(grow_cap=2000, prod_steps=600, chunk=100,
         s2.calc = calc
         maxwell_boltzmann_velocities(s2, temperature_K, seed=15)
         dyn2 = DeviceMD(s2, calc, dt=2 * units.fs,
-                        temperature_K=temperature_K, friction=0.02,
+                        temperature_K=temperature_K, friction=0.05,
                         chunk=chunk, check_beta=False)
         dyn2.run(chunk)  # warm the frozen chunk
         t0 = time.time()
@@ -483,6 +543,7 @@ def measure_otf(grow_cap=2000, prod_steps=600, chunk=100,
             "grow": {
                 "steps": grow_steps,
                 "wall_s": round(t_grow, 1),
+                "exit": exit_reason,
                 "m_at_exit": m_grow,
                 "added_inducing": ev_g.get("added_inducing", 0),
                 "fp_calls": ev_g.get("fp_calls", 0),

@@ -163,7 +163,13 @@ def test_fast_path_survives_interleaved_data_adds():
     s.calc = lj
     for mdl in (fast, slow):
         mdl.add_data(DataRecord.from_system(s))
-    assert not fast._sqr_ready()  # rows/targets changed -> stale
+    # add_data's refit (make_munu) seeds a FRESH factor from its own
+    # stacked QR (solver.SolveResult.sqr) — ready AND current, never
+    # stale: its version stamps must match the post-refit model
+    if fast._sqr_ready():
+        assert fast._sqr["tv"] == fast.target_version
+        assert fast._sqr["sv"] == fast.state_version
+        assert fast._sqr["m"] == fast.m
     a2f, d2f = fast.add_1inducing(env2, 1e-4)
     a2s, d2s = slow.add_1inducing(env2, 1e-4)
     assert a2f == a2s
@@ -172,6 +178,23 @@ def test_fast_path_survives_interleaved_data_adds():
     fast.make_munu(optimize=True, noise_f=0.01)
     slow.make_munu(optimize=True, noise_f=0.01)
     np.testing.assert_allclose(fast.mu, slow.mu, rtol=1e-9, atol=1e-12)
+
+
+def test_refit_seeded_factor_matches_rebuilt():
+    """make_munu seeds _sqr from the solver's own stacked QR
+    (SolveResult.sqr); a trial served by the seeded factor must equal
+    one served by a from-scratch _sqr_build (QR sign conventions may
+    differ; the solution and its invariants may not)."""
+    m0 = _trained_model()
+    env = _candidates(1, start_seed=300)[0]
+    assert m0._sqr_ready()  # seeded by the fixture's final make_munu
+    a, b, blocks, c_fv = m0._fast_trial_pieces(env)
+    t1 = m0._sqr_trial(blocks[0], c_fv, a, b)
+    m0._sqr = None
+    assert m0._sqr_build() is not None
+    t2 = m0._sqr_trial(blocks[0], c_fv, a, b)
+    np.testing.assert_allclose(t1["mu"], t2["mu"], rtol=1e-8, atol=1e-11)
+    assert abs(abs(t1["d"]) - abs(t2["d"])) < 1e-9 * max(1.0, abs(t2["d"]))
 
 
 def test_bordered_solve_matches_lstsq():
