@@ -486,8 +486,16 @@ class ActiveCalculator:
             if self._beta_dev is not None:
                 return np.asarray(self._beta_dev, dtype=np.float64)
             return np.full(len(self.system), inf)
+        return self._beta_from_c(self._host_c())
+
+    def _host_c(self):
+        """Per-atom normalized squared projection c (the O(N m^2) part
+        of the covloss; update_inducing maintains it incrementally
+        across bordered commits)."""
         b = self.model.choli @ self._cov.T
-        c = (b * b).sum(axis=0) / self._host_alpha()
+        return (b * b).sum(axis=0) / self._host_alpha()
+
+    def _beta_from_c(self, c):
         beta = np.sqrt(np.clip(1.0 - c, 0.0, None))
         vs = self.model.vscale_for(self.system.numbers)
         return beta * np.sqrt(vs)
@@ -656,10 +664,35 @@ class ActiveCalculator:
         added_covloss = None
         self.blind = False
         n = len(self.system)
-        beta = self._host_beta()
+        model = self.model
+        # incremental covloss across the greedy loop: a bordered fast
+        # commit extends choli by ONE row, so c gains one exact term
+        # (O(N m)) instead of the full O(N m^2) recompute — at m ~ 1000
+        # the per-iteration _host_beta dominated the flagship sampling
+        # wall (measured r4: 93% of trip-dense production)
+        def _c_ok():
+            # _host_c is only meaningful on a SOLVED model whose host cov
+            # matches: fast_add_inducing below fast_trial_min_m grows X
+            # without extending choli, so m/choli/cov can disagree
+            # mid-loop (seen in BCM right after an expert spawn)
+            return (
+                self._cov is not None
+                and self.model.m > 0
+                and len(self.model.mu) == self.model.m
+                and self.model.choli.shape[0] == self.model.m
+                and self._cov.shape[1] == self.model.m
+            )
+
+        c_arr = self._host_c() if _c_ok() else None
+        beta = self._host_beta() if c_arr is None else self._beta_from_c(
+            c_arr
+        )
         env_cache = {}  # k -> staged env (top-of-order lookahead batches)
         while len(added_indices) < n:
-            beta = self._host_beta()
+            if c_arr is not None:
+                beta = self._beta_from_c(c_arr)
+            else:
+                beta = self._host_beta()
             order = np.argsort(beta)[::-1]
             k = None
             for kk in order.tolist():
@@ -685,6 +718,7 @@ class ActiveCalculator:
                     env_cache[kk] = self.extract_env(kk)
                 self.model.stage_envs([env_cache[kk] for kk in todo])
             env = env_cache.pop(k)
+            m0 = model.m
             added = self.update_lce(env, beta=beta[k])
             if added == 0:
                 break
@@ -694,6 +728,17 @@ class ActiveCalculator:
             else:
                 added_diff += 1
             self._extend_cov(self.model.X[-1])
+            if (c_arr is not None and model.m == m0 + 1
+                    and getattr(model, "_bordered_sv", None)
+                    == model.state_version
+                    and self._cov is not None
+                    and self._cov.shape[1] == model.m
+                    and model.choli.shape[0] == model.m):
+                # exact rank-1 covloss update from the bordered commit
+                bn = self._cov @ model.choli[-1]
+                c_arr = c_arr + bn * bn / self._host_alpha()
+            else:
+                c_arr = self._host_c() if _c_ok() else None
             added_indices.append(k)
             added_covloss = beta[k]
         added = added_beta + added_diff

@@ -544,6 +544,11 @@ class SgprModel:
         s["m"] = m
         s["chain"] += 1
         s["sv"] = self.state_version
+        # flag for callers that track covloss incrementally: this commit
+        # EXTENDED choli by one bordered row (all previous rows intact),
+        # so per-atom c updates as c += (cov @ choli[-1])^2 / alpha —
+        # O(N m) instead of the O(N m^2) full recompute
+        self._bordered_sv = self.state_version
         if s["chain"] > 1024:
             self._sqr = None  # bound seminormal drift; rebuild lazily
 

@@ -476,11 +476,15 @@ def measure_otf(grow_cap=400, prod_steps=400, chunk=50,
         t0 = time.time()
         grow_steps = 0
         exit_reason = "m_target"
+        quiet = 0
         while calc.size[1] < m_target:
             fp0 = calc.event_counts.get("fp_calls", 0)
-            dyn.run(chunk)
-            grow_steps += chunk
-            if calc.event_counts.get("fp_calls", 0) == fp0:
+            dyn.run(20)  # fine-grained: caps can't overshoot much
+            grow_steps += 20
+            quiet = (quiet + 1
+                     if calc.event_counts.get("fp_calls", 0) == fp0
+                     else 0)
+            if quiet >= max(1, chunk // 20):
                 exit_reason = "sampler_quiet"
                 break
             if grow_steps >= grow_cap:
@@ -500,8 +504,12 @@ def measure_otf(grow_cap=400, prod_steps=400, chunk=50,
         t0 = time.time()
         prod_done = 0
         while prod_done < prod_steps:
-            dyn.run(min(chunk, prod_steps - prod_done))
-            prod_done += min(chunk, prod_steps - prod_done)
+            # 20-step sub-chunks: the cap can only overshoot by one
+            # sub-chunk, and a trip-free boundary costs ~1 RTT (the
+            # chain stays device-resident), so the granularity is free
+            sub = min(20, prod_steps - prod_done)
+            dyn.run(sub)
+            prod_done += sub
             if time.time() - t0 > prod_wall_cap:
                 break
         t_prod = time.time() - t0

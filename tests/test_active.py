@@ -264,3 +264,34 @@ def test_inference_mode_beta_without_cov(tmp_path):
     res = calc.calculate(s)
     assert calc._cov is not None
     np.testing.assert_allclose(res["energy"], e, atol=1e-8)
+
+
+def test_incremental_covloss_matches_full(otf_run):
+    """update_inducing's rank-1 covloss update (c += (cov @ choli[-1])^2
+    / alpha after a bordered fast commit) must equal the full O(N m^2)
+    recompute — the flagship sampling loop relies on this equivalence."""
+    tmp, calc, lj, s = otf_run
+    calc.calculate(s)  # active step -> host cov is fresh
+    model = calc.model
+    assert calc._cov is not None and calc._cov.shape[1] == model.m
+    c0 = calc._host_c()
+    # force a bordered commit of the highest-covloss atom
+    beta = calc._beta_from_c(c0)
+    k = int(np.argmax(beta))
+    env = calc.extract_env(k)
+    m0 = model.m
+    # the seminormal fast path only engages at production m (default 128);
+    # lower the floor so the 32-atom fixture exercises the bordered commit
+    model.fast_trial_min_m = 2
+    added, _de = model.add_1inducing(env, np.finfo(np.float64).eps)
+    if added == 0 or model.m != m0 + 1:
+        pytest.skip("candidate rejected (near-duplicate) — nothing to check")
+    if getattr(model, "_bordered_sv", None) != model.state_version:
+        pytest.skip("commit took the exact (non-bordered) path")
+    calc._extend_cov(model.X[-1])
+    bn = calc._cov @ model.choli[-1]
+    c_inc = c0 + bn * bn / calc._host_alpha()
+    c_full = calc._host_c()
+    np.testing.assert_allclose(c_inc, c_full, rtol=1e-9, atol=1e-12)
+    model.pop_1inducing()  # leave shared fixture state unchanged
+    calc._cov = calc._cov[:, :m0]
