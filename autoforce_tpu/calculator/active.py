@@ -1032,12 +1032,33 @@ class ActiveCalculator:
             if self.tape and os.path.abspath(tape) == self.tape.path:
                 raise RuntimeError("cannot include own tape!")
             tape = SgprTape(tape)
+        self._include_items(tape.read(exclude=self.tape), ndata=ndata)
+
+    def include_folder(self, folder, ndata=None):
+        """Train from a reference torch-pickle model folder — the binary
+        analog of include_tape.  The folder's inducing LCEs and
+        FP-labelled training structures are extracted without importing
+        theforce/ase (io/torch_interop.py) and replayed through the
+        same sampling loop; counterpart of the reference's
+        PosteriorPotentialFromFolder (gppotential.py:1342-1368), with
+        retraining semantics since this framework's descriptors are
+        numerically different by design."""
+        from ..io.torch_interop import read_reference_folder
+
+        items, _ = read_reference_folder(folder)
+        # only FP-labelled structures can train (a folder may carry
+        # unlabelled geometries if its calculator wasn't a SinglePoint)
+        items = [(c, o) for c, o in items
+                 if c != "atoms" or getattr(o, "calc", None) is not None]
+        self._include_items(items, ndata=ndata)
+
+    def _include_items(self, items, ndata=None):
         _calc = self._calc
         tune = self.tune_for_md
         self.tune_for_md = False
         added_lce = [0, 0]
         cdata = 0
-        for cls, obj in tape.read(exclude=self.tape):
+        for cls, obj in items:
             if cls == "atoms":
                 self._update_args = dict(inducing=False)
                 self._calc = obj.calc
