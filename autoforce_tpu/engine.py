@@ -637,15 +637,26 @@ class Engine:
         off_j = jnp.asarray(nbr_off)
         mask_j = jnp.asarray(nbr_mask)
         if self.mesh is None:
-            from .neighbors_device import reverse_slots
+            from .neighbors import reverse_slots_host
 
-            rev = reverse_slots(idx_j, off_j, mask_j)
+            # host sort-match: the device O(N*K^2) kernel + its blocking
+            # symmetry check cost ~6.6 s per config build over the remote
+            # tunnel (round-4 OTF profile); numpy does the same table in
+            # milliseconds with zero device sync
+            rev = reverse_slots_host(nbr_idx, nbr_off, nbr_mask)
+            if rev is None:  # table too large for the int64 key encoding
+                from .neighbors_device import reverse_slots
+
+                rev = reverse_slots(idx_j, off_j, mask_j)
+                asym = bool(jnp.any(mask_j & (rev < 0)))
+            else:
+                asym = bool((nbr_mask & (rev < 0)).any())
+                rev = jnp.asarray(rev)
             # the reverse-slot force VJP silently drops a pair's cotangent
             # if its mirror entry is missing; current builders always emit
             # symmetric tables, but guard against a future asymmetric
-            # producer: fall back to the plain scatter path (one scalar
-            # fetch per rebuild — rebuilds are rare)
-            if bool(jnp.any(mask_j & (rev < 0))):
+            # producer: fall back to the plain scatter path
+            if asym:
                 import logging
 
                 logging.getLogger(__name__).warning(

@@ -239,3 +239,47 @@ def displacements(positions, cell, table):
     """Host-side displacement vectors r_ij (N, K, 3) for verification."""
     r = positions[table.idx] - positions[:, None, :] + table.off @ cell
     return r
+
+
+def reverse_slots_host(idx, off, mask):
+    """Host (numpy) counterpart of ``neighbors_device.reverse_slots``:
+    ``rev[i, k] = j * K + k'`` (flat) where slot ``(j, k')`` is the mirror
+    of slot ``(i, k)`` — ``idx[j, k'] == i`` and ``off[j, k'] == -off[i, k]``
+    — and ``-1`` on masked or unmatched slots.
+
+    ``engine.make_config`` builds tables on the host anyway; computing the
+    reverse table there too avoids one device dispatch of the O(N*K^2)
+    gather kernel PLUS the blocking ``bool()`` symmetry check that each
+    host-side config build paid (~6.6 s per call over the remote-TPU
+    tunnel — 40% of the flagship on-the-fly learning wall, round-4
+    profile).  Method: encode every valid slot's (row, neighbor, image)
+    into one int64 key, sort once, and binary-search each slot's mirror
+    key — O(N K log(N K)) with no K^2 factor.
+
+    Returns None when the encoding cannot hold the table (N > 2^19 rows
+    or |off| > 127 — callers fall back to the device kernel).
+    """
+    N, K = idx.shape
+    if N > (1 << 19):
+        return None
+    rows, ks = np.nonzero(mask)
+    o = off[rows, ks].astype(np.int64)  # (M, 3)
+    if o.size and np.abs(o).max() > 127:
+        return None
+    j = idx[rows, ks].astype(np.int64)
+    r = rows.astype(np.int64)
+    oc = ((o[:, 0] + 128) << 16) | ((o[:, 1] + 128) << 8) | (o[:, 2] + 128)
+    moc = ((128 - o[:, 0]) << 16) | ((128 - o[:, 1]) << 8) | (128 - o[:, 2])
+    key = ((r * N + j) << 24) | oc
+    mirror = ((j * N + r) << 24) | moc
+    rev = np.full((N, K), -1, dtype=np.int32)
+    if len(key) == 0:
+        return rev
+    order = np.argsort(key)
+    skey = key[order]
+    pos = np.searchsorted(skey, mirror)
+    pos_c = np.minimum(pos, len(skey) - 1)
+    hit = skey[pos_c] == mirror
+    src = order[pos_c[hit]]
+    rev[rows[hit], ks[hit]] = (rows[src] * K + ks[src]).astype(np.int32)
+    return rev

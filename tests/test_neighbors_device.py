@@ -161,6 +161,37 @@ def test_reverse_slots_transpose_scatter():
         np.testing.assert_allclose(alt, ref, atol=1e-12)
 
 
+def test_reverse_slots_host_matches_device():
+    """numpy sort-match reverse table == the device gather kernel, on
+    multi-image tables (small cell), padded rows, and int8 offsets."""
+    from autoforce_tpu.neighbors import reverse_slots_host
+    from autoforce_tpu.neighbors_device import reverse_slots
+
+    for reps, rc in (((2, 2, 2), 4.5), ((1, 1, 2), 6.5)):
+        s = bulk_fcc("Cu", 3.6).repeat(reps)
+        s.rattle(0.05, seed=3)
+        t = neighbor_table(s.positions, s.cell, s.pbc, rc)
+        n = t.idx.shape[0]
+        npad = n + 5  # exercise masked padded rows as make_config does
+        idx = np.zeros((npad, t.idx.shape[1]), t.idx.dtype)
+        off = np.zeros((npad,) + t.off.shape[1:], np.int8)
+        mask = np.zeros((npad, t.idx.shape[1]), bool)
+        idx[:n], off[:n], mask[:n] = t.idx, t.off, t.mask
+        dev = np.asarray(
+            reverse_slots(jnp.asarray(idx), jnp.asarray(off),
+                          jnp.asarray(mask))
+        )
+        host = reverse_slots_host(idx, off, mask)
+        np.testing.assert_array_equal(host, dev)
+        assert int((mask & (host < 0)).sum()) == 0
+        # asymmetric table (one slot dropped): host flags it with -1
+        mask2 = mask.copy()
+        i0, k0 = np.argwhere(mask2)[0]
+        mask2[i0, k0] = False
+        host2 = reverse_slots_host(idx, off, mask2)
+        assert (mask2 & (host2 < 0)).sum() == 1
+
+
 def test_rev_vjp_forces_match_plain_path():
     """predict with the reverse-slot force VJP == plain scatter path."""
     import jax
