@@ -596,7 +596,8 @@ class ActiveCalculator:
                 else rng.permutation(len(tmp)).tolist()
             )
             envs = [self.extract_env(k, system=tmp, nl=nl) for k in idx]
-            self.model.stage_envs(envs)  # one dispatch, not one per LCE
+            # one dispatch, not one per LCE (incl. their data columns)
+            self.model.precompute_column_blocks(envs)
             for env in envs:
                 added += abs(self.update_lce(env))
         self.log(f"added {added} randomly displaced LCEs")
@@ -716,7 +717,12 @@ class ActiveCalculator:
                             break
                 for kk in todo:
                     env_cache[kk] = self.extract_env(kk)
-                self.model.stage_envs([env_cache[kk] for kk in todo])
+                # stage + precompute the candidates' data columns in one
+                # batched dispatch/pull: accept-heavy phases otherwise pay
+                # the tunnel round trip per candidate (_column_blocks)
+                self.model.precompute_column_blocks(
+                    [env_cache[kk] for kk in todo]
+                )
             env = env_cache.pop(k)
             m0 = model.m
             added = self.update_lce(env, beta=beta[k])
@@ -1058,8 +1064,24 @@ class ActiveCalculator:
         self.tune_for_md = False
         added_lce = [0, 0]
         cdata = 0
+        pend = []
+
+        def _flush():
+            # consecutive LCE runs (the dominant tape layout) go through
+            # ONE batched staging + data-column dispatch; blocks stay
+            # valid across the updates because only "atoms" items mutate
+            # the data list
+            if pend:
+                self.model.precompute_column_blocks(pend)
+                for o in pend:
+                    added = self.update_lce(o)
+                    added_lce[0] += abs(added)
+                    added_lce[1] += 1
+                pend.clear()
+
         for cls, obj in items:
             if cls == "atoms":
+                _flush()
                 self._update_args = dict(inducing=False)
                 self._calc = obj.calc
                 self.calculate(obj)
@@ -1067,12 +1089,13 @@ class ActiveCalculator:
                 if ndata and cdata >= ndata:
                     break
             elif cls == "local":
-                self.engine.ensure_species(
+                if self.engine.ensure_species(
                     np.concatenate([[obj.number], obj.numbers])
-                ) and self.model.restage()
-                added = self.update_lce(obj)
-                added_lce[0] += abs(added)
-                added_lce[1] += 1
+                ):
+                    _flush()  # restage invalidates staged descriptors
+                    self.model.restage()
+                pend.append(obj)
+        _flush()
         if added_lce[0] > 0:
             if self.ioptim == 1:
                 self.optimize()

@@ -344,6 +344,32 @@ def kernel_col_batch_fn(cfgs: ConfigArrays, x_desc, x_num, x_lone, radii,
     return jax.vmap(one)(cfgs)
 
 
+@partial(jax.jit, static_argnames=("params", "exponent", "pair_terms", "kind"))
+def kernel_cols_multi_fn(cfgs: ConfigArrays, x_descs, x_nums, x_lones, radii,
+                         params, exponent, znum=None, pair_terms=(),
+                         x_pds=None, x_pms=None, chem_z=None, mixL=None,
+                         kind="dot"):
+    """kernel_col_batch_fn vmapped over the inducing-env axis: columns of
+    a BATCH of candidate envs against a BATCH of configurations in one
+    dispatch — output axes (env, config, ...).  The greedy sampling loop
+    walks several candidates per MD stop; per-candidate dispatch+pull
+    paid the remote-tunnel round trip (~164 ms) three times per
+    candidate, the dominant flagship on-the-fly sampling cost (round-4
+    profile: 585 _column_blocks calls, 142 s)."""
+
+    def one(x_desc, x_num, x_lone, x_pd, x_pm):
+        return kernel_col_batch_fn(
+            cfgs, x_desc, x_num, x_lone, radii, params, exponent, znum,
+            pair_terms, x_pd, x_pm, chem_z, mixL, kind,
+        )
+
+    if x_pds is None:
+        return jax.vmap(lambda d, n, l: one(d, n, l, None, None))(
+            x_descs, x_nums, x_lones
+        )
+    return jax.vmap(one)(x_descs, x_nums, x_lones, x_pds, x_pms)
+
+
 @partial(jax.jit, static_argnames=("params", "exponent", "batch_size", "pair_terms", "kind"))
 def kernel_block_fn(cfg: ConfigArrays, model: ModelArrays, radii, params,
                     exponent, batch_size=16, znum=None, pair_terms=(),
@@ -802,6 +828,29 @@ class Engine:
             znum=self.znum_table(), pair_terms=self.pair_terms,
             x_pd=jnp.asarray(x_pd, dtype=self.dtype) if x_pd is not None else None,
             x_pm=jnp.asarray(x_pm) if x_pm is not None else None,
+            chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
+        )
+
+    def kernel_cols_multi(self, cfg_list, x_descs, x_nums, x_lones,
+                          x_pds=None, x_pms=None):
+        """(ke, kf, kv) of a BATCH of inducing envs against a list of
+        same-bucket configurations in ONE device dispatch; output axes
+        (env, config, ...) — see kernel_cols_multi_fn."""
+        if self.pair_terms and x_pds is None:
+            B = len(x_nums)
+            x_pds = np.zeros((B, len(self.pair_terms), self.pair_kx))
+            x_pms = np.zeros(x_pds.shape, dtype=bool)
+        chem_z, mixL = self.chem_args()
+        cfgs = jax.tree.map(lambda *xs: jnp.stack(xs), *cfg_list)
+        return kernel_cols_multi_fn(
+            cfgs,
+            jnp.asarray(np.asarray(x_descs), dtype=self.dtype),
+            jnp.asarray(np.asarray(x_nums, dtype=np.int32)),
+            jnp.asarray(np.asarray(x_lones, dtype=bool)),
+            self.radii_table(), self.params, self.exponent,
+            znum=self.znum_table(), pair_terms=self.pair_terms,
+            x_pds=jnp.asarray(x_pds, dtype=self.dtype) if x_pds is not None else None,
+            x_pms=jnp.asarray(x_pms) if x_pms is not None else None,
             chem_z=chem_z, mixL=mixL, kind=self.kernel_kind,
         )
 

@@ -80,6 +80,16 @@ def _pow2_chunks(items, cap):
         yield chunk, chunk + [chunk[-1]] * (b - len(chunk))
 
 
+def _fixed_chunks(items, size):
+    """Yield (chunk, padded) pairs padded to EXACTLY ``size`` — one jit
+    shape total, for call sites where even a pow2 ladder of remote
+    compiles (~20-60 s each on the tunnel TPU) costs more than the padded
+    flops ever will."""
+    for lo in range(0, len(items), size):
+        chunk = items[lo : lo + size]
+        yield chunk, chunk + [chunk[-1]] * (size - len(chunk))
+
+
 class SgprModel:
     def __init__(self, engine: Engine, max_data=np.inf, max_inducing=np.inf):
         self.engine = engine
@@ -106,8 +116,13 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._xstack = None
         self._fvqr = None
         self._sqr = None
+        # precomputed candidate column blocks (precompute_column_blocks):
+        # id(env) -> (env, data-fingerprint, blocks); entries are popped
+        # on first use and dropped whenever the data list changes
+        self._colcache = {}
         # incremental trial-solve gate: below this m the full O(m^3)
         # re-solve is fast anyway AND the frozen-sigma drift of the
         # incremental path is relatively large (the candidate self-kernel
@@ -196,6 +211,7 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._xstack = None
         self._fvqr = None
 
     def stage_env(self, env: InducingEnv):
@@ -308,45 +324,129 @@ class SgprModel:
         projected target vector."""
         self.target_version += 1
 
+    # The fv-QR cache is R-MODE: it stores only (R, z, y) — never the
+    # (n x m) Q factor.  Q was only ever used to project new columns
+    # (CGS2) and to delete columns (scipy qr_delete); both have Q-free
+    # equivalents (seminormal projection through R, and re-triangularizing
+    # R itself), while the update the flagship on-the-fly loop actually
+    # needs — appending a new structure's 3N+6 ROWS (add_data) — is
+    # impossible to do cheaply WITH a stored Q (every Givens touches all
+    # n rows of Q).  R-mode makes add_data O((m+r) m^2) instead of the
+    # O(n m^2) full refactorization the old cache forced by invalidating
+    # itself (round-4 profile: 77 rebuilds, 78 s of a 753 s run — and the
+    # rebuild grows linearly with the amount of training data).
     def _fvqr_build(self, K_fv, y):
         n = K_fv.shape[0]
         if n < self.m or n * max(self.m, 1) > self._QR_MAX_ELEMS:
             self._fvqr = None
             return None
-        Q, R = np.linalg.qr(K_fv)
+        Q, R = np.linalg.qr(K_fv)  # Q used once for an exact z, then freed
         self._fvqr = dict(
-            Q=Q, R=R, z=Q.T @ y, y=y, fp=self._fv_fingerprint(y)
+            R=R, z=Q.T @ y, y=y, fp=self._fv_fingerprint(y), chain=0
         )
         return self._fvqr
 
+    def _fvqr_K(self):
+        """The stacked (n, m) fv covariance block, canonical row order."""
+        return np.concatenate([self.Kf, self.Kv], axis=0)
+
+    def _fvqr_chain_step(self, qr):
+        qr["chain"] += 1
+        if qr["chain"] > 1024:  # bound seminormal drift; rebuild lazily
+            self._fvqr = None
+
+    def _fvqr_project_on(self, K_old, c):
+        """Corrected-seminormal projection of column c against (R, K_old)
+        with an EXPLICIT residual vector: r = R^-T (K^T c) refined once
+        through q = c - K R^-1 r, so rho = ||q|| carries no
+        subtraction-cancellation loss and zeta = (q/rho)·y matches the
+        old CGS2 formulas to working precision (plain seminormal rho
+        drifted at kappa^2 and broke the trial-vs-full-solve equality on
+        ill-conditioned bases).  Returns (r, rho, zeta) or None on
+        degeneracy.  O(n m) — two triangular solves + three GEMVs."""
+        qr = self._fvqr
+        from scipy.linalg import solve_triangular
+
+        R = qr["R"]
+        r = solve_triangular(R.T, K_old.T @ c, lower=True)
+        q = c - K_old @ solve_triangular(R, r, lower=False)
+        dr = solve_triangular(R.T, K_old.T @ q, lower=True)
+        r = r + dr
+        q = q - K_old @ solve_triangular(R, dr, lower=False)
+        rho = float(np.linalg.norm(q))
+        if rho < 1e-10 * max(float(np.linalg.norm(c)), 1.0):
+            return None
+        zeta = float((q / rho) @ qr["y"])
+        return r, rho, zeta
+
     def _fvqr_append_col(self, c):
-        """Gram-Schmidt (CGS2) column append; drops the cache on
-        degeneracy (new column already in the span)."""
+        """Column append via the explicit-residual projection; drops the
+        cache on degeneracy (new column already in the span).  Called
+        AFTER add_inducing extended Kf/Kv, so the current matrices carry
+        c as their last column."""
         qr = self._fvqr
         if qr is None:
             return
-        Q = qr["Q"]
-        if len(c) != Q.shape[0]:
-            self._fvqr = None
-            return
-        r = Q.T @ c
-        q = c - Q @ r
-        r2 = Q.T @ q  # re-orthogonalize (CGS2)
-        q = q - Q @ r2
-        r = r + r2
-        rho = float(np.linalg.norm(q))
-        if rho < 1e-10 * max(float(np.linalg.norm(c)), 1.0):
-            self._fvqr = None
-            return
-        qn = q / rho
         m_old = qr["R"].shape[1]
+        K = self._fvqr_K()
+        if len(c) != K.shape[0] or K.shape[1] != m_old + 1:
+            self._fvqr = None
+            return
+        proj = self._fvqr_project_on(K[:, :m_old], c)
+        if proj is None:
+            self._fvqr = None
+            return
+        r, rho, zeta = proj
         Rn = np.zeros((m_old + 1, m_old + 1))
         Rn[:m_old, :m_old] = qr["R"]
         Rn[:m_old, m_old] = r
         Rn[m_old, m_old] = rho
-        qr["Q"] = np.concatenate([Q, qn[:, None]], axis=1)
         qr["R"] = Rn
-        qr["z"] = np.concatenate([qr["z"], [float(qn @ qr["y"])]])
+        qr["z"] = np.concatenate([qr["z"], [zeta]])
+        self._fvqr_chain_step(qr)
+
+    def _fvqr_append_rows(self, B, y_b, y_new):
+        """EXACT row append for a new structure's force/virial rows:
+        [R; B] re-triangularized by one small Householder QR — (R, z) are
+        row-permutation invariant, so appending at the bottom stands in
+        for the canonical [Kf; Kv] interleaving.  O((m + r) m^2) where r
+        = 3N+6, vs the O(n_total m^2) full rebuild."""
+        qr = self._fvqr
+        if qr is None:
+            return
+        m = qr["R"].shape[1]
+        if B.ndim != 2 or B.shape[1] != m or len(y_b) != B.shape[0]:
+            self._fvqr = None
+            return
+        Q2, R2 = np.linalg.qr(np.concatenate([qr["R"], B], axis=0))
+        qr["R"] = R2
+        qr["z"] = Q2.T @ np.concatenate([qr["z"], y_b])
+        qr["y"] = y_new
+        qr["fp"] = self._fv_fingerprint(y_new)
+        self._fvqr_chain_step(qr)
+
+    def _fvqr_retarget(self, y):
+        """Refresh (z, y) for in-place target edits (head() swapping fake
+        targets for exact ones) with the SAME covariance rows: corrected
+        seminormal z = R^-T (K^T y) + one refinement pass — O(n m) vs the
+        full rebuild a fingerprint miss would force."""
+        qr = self._fvqr
+        if qr is None:
+            return None
+        from scipy.linalg import solve_triangular
+
+        K = self._fvqr_K()
+        if len(y) != K.shape[0] or K.shape[1] != qr["R"].shape[1]:
+            return None
+        z = solve_triangular(qr["R"].T, K.T @ y, lower=True)
+        x = solve_triangular(qr["R"], z, lower=False)
+        resid = y - K @ x  # one CSNE refinement: near-Householder accuracy
+        z = z + solve_triangular(qr["R"].T, K.T @ resid, lower=True)
+        qr["z"] = z
+        qr["y"] = y
+        qr["fp"] = self._fv_fingerprint(y)
+        self._fvqr_chain_step(qr)
+        return self._fvqr
 
     def _fvqr_pop_col(self):
         """Exact inverse of append (last column only)."""
@@ -356,31 +456,21 @@ class SgprModel:
         if qr["R"].shape[1] < 1:
             self._fvqr = None
             return
-        qr["Q"] = qr["Q"][:, :-1]
         qr["R"] = qr["R"][:-1, :-1]
         qr["z"] = qr["z"][:-1]
 
     def _fvqr_project(self, c):
-        """Non-mutating CGS2 projection of a would-be new fv column:
-        returns ``(r, rho, zeta)`` — the R-column, the residual norm, and
-        the projected-target entry the append WOULD produce — or None if
-        the cache is absent / the column is degenerate."""
+        """Non-mutating projection of a would-be new fv column: returns
+        ``(r, rho, zeta)`` — the R-column, the residual norm, and the
+        projected-target entry the append WOULD produce — or None if the
+        cache is absent / the column is degenerate."""
         qr = self._fvqr
         if qr is None:
             return None
-        Q = qr["Q"]
-        if len(c) != Q.shape[0]:
+        K = self._fvqr_K()
+        if len(c) != K.shape[0] or K.shape[1] != qr["R"].shape[1]:
             return None
-        r = Q.T @ c
-        q = c - Q @ r
-        r2 = Q.T @ q
-        q = q - Q @ r2
-        r = r + r2
-        rho = float(np.linalg.norm(q))
-        if rho < 1e-10 * max(float(np.linalg.norm(c)), 1.0):
-            return None
-        zeta = float((q / rho) @ qr["y"])
-        return r, rho, zeta
+        return self._fvqr_project_on(K, c)
 
     # ------------------------------------------ incremental trial solve
     # The add_1inducing accept/reject test re-solves the WHOLE sgpr
@@ -599,12 +689,13 @@ class SgprModel:
         return True
 
     def _fvqr_select(self, keep):
-        """Column-deletion update of the QR cache for an ASCENDING subset
-        of inducing columns (downsize eviction): Givens re-triangularization
-        via scipy qr_delete, O(dropped * (n + m) * m) — vs the O(n m^2)
-        full refactorization (~11 s at the flagship scale) that
-        invalidation would force on the next solve.  Non-monotonic
-        permutations (column reorders) drop the cache."""
+        """EXACT column-deletion update for an ASCENDING subset of
+        inducing columns (downsize eviction): the LS system (K[:, keep],
+        y) is equivalent to (R[:, keep], z), so one m x m' Householder QR
+        of the staircase R[:, keep] re-triangularizes — O(m^2 m'), no Q
+        storage, vs the O(n m^2) full refactorization (~11 s at the
+        flagship scale) that invalidation would force on the next solve.
+        Non-monotonic permutations (column reorders) drop the cache."""
         qr = self._fvqr
         if qr is None:
             return None
@@ -613,30 +704,13 @@ class SgprModel:
         if keep.ndim != 1 or (len(keep) and (
                 np.any(np.diff(keep) <= 0) or keep[0] < 0 or keep[-1] >= m)):
             return None
-        dropped = sorted(set(range(m)) - set(keep.tolist()), reverse=True)
-        if not dropped:
+        if len(keep) == m:
             return qr
         if len(keep) == 0:
             return None
-        from scipy.linalg import qr_delete
-
-        # copy once; per-call copies of the (n x m) Q would dominate when
-        # many scattered columns are evicted
-        Q, R = qr["Q"].copy(), qr["R"].copy()
-        j = 0
-        while j < len(dropped):
-            # merge a contiguous descending run into one qr_delete call
-            k = j
-            while (k + 1 < len(dropped)
-                   and dropped[k + 1] == dropped[k] - 1):
-                k += 1
-            start = dropped[k]
-            count = k - j + 1
-            Q, R = qr_delete(Q, R, start, count, which="col",
-                             overwrite_qr=True)
-            j = k + 1
-        z = Q.T @ qr["y"]
-        return dict(Q=Q, R=R, z=z, y=qr["y"], fp=qr["fp"])
+        Q2, R2 = np.linalg.qr(qr["R"][:, keep])
+        return dict(R=R2, z=Q2.T @ qr["z"], y=qr["y"], fp=qr["fp"],
+                    chain=qr.get("chain", 0) + 1)
 
     def kern_X_diag(self):
         """(m,) self-kernel k(x, x) of each inducing env, cached
@@ -648,14 +722,33 @@ class SgprModel:
             )
         return self._xdiag
 
+    def _xstack_arrs(self):
+        """Cached (desc stack, numbers, lone) of the inducing set —
+        re-stacking the (m, D) descriptor matrix per kern_X_env call is
+        an O(m D) copy paid once per sampling candidate (invalidated at
+        every _xdiag site: X mutations and restaging)."""
+        if getattr(self, "_xstack", None) is None or (
+                len(self._xstack[1]) != self.m):
+            self._xstack = (
+                np.stack([x.desc for x in self.X]),
+                np.array([x.number for x in self.X]),
+                np.array([x.lone for x in self.X]),
+            )
+        return self._xstack
+
     def kern_X_env(self, env: InducingEnv):
         """(m,) kernel column of env against the inducing set."""
         if self.m == 0:
             return np.zeros(0)
-        Xd = np.stack([x.desc for x in self.X])
-        zs = np.array([x.number for x in self.X])
-        lo = np.array([x.lone for x in self.X])
-        central = np.array([self._central(z, env.number) for z in zs])
+        Xd, zs, lo = self._xstack_arrs()
+        if getattr(self.engine, "chemical", None):
+            from ..chemical import chem_rbf_table
+
+            if not hasattr(self, "_chem_np"):
+                self._chem_np = chem_rbf_table()
+            central = self._chem_np[zs, env.number]
+        else:
+            central = (zs == env.number).astype(np.float64)
         col = self._base_kernel(Xd @ env.desc) * central
         col = col + ((lo & env.lone) & (zs == env.number)) * 1.0
         if self.engine.pair_terms:
@@ -668,6 +761,84 @@ class SgprModel:
         return col
 
     # --------------------------------------------------- incremental updates
+    def _data_fp(self):
+        """Identity fingerprint of the data list — precomputed column
+        blocks are valid only against the exact records they were
+        computed for."""
+        return tuple(id(r) for r in self.data)
+
+    def precompute_column_blocks(self, envs):
+        """Stage + compute _column_blocks for SEVERAL candidate envs in
+        one batched device dispatch per config bucket and one host pull
+        per output array.  The greedy sampling loop stages a lookahead
+        batch of argmax-β candidates anyway (update_inducing); computing
+        their data columns in the same round trip removes the dominant
+        per-candidate tunnel cost of the flagship on-the-fly run
+        (round-4 profile: ~0.25 s × 560 candidates in dispatch+pull)."""
+        envs = [e for e in envs if e is not None]
+        if not envs:
+            return
+        self.stage_envs(envs)
+        if self.ndata == 0:
+            return
+        if getattr(self, "_colcache", None) is None:  # pre-round-4 pickles
+            self._colcache = {}
+        if len(self._colcache) > 256:  # stale never-consumed candidates
+            self._colcache.clear()
+        eng = self.engine
+        if eng.pair_terms:
+            from ..pairkernels import stage_env_pairs
+
+            for e in envs:
+                eng.grow_pair_kx(e)
+            kx = eng.pair_kx
+            staged = [stage_env_pairs(e, eng.pair_terms, kx) for e in envs]
+            x_pds = np.stack([s[0] for s in staged])
+            x_pms = np.stack([s[1] for s in staged])
+        else:
+            x_pds = x_pms = None
+        n = self.ndata
+        fp = self._data_fp()
+        # FIXED env-batch shape (B=8, the greedy lookahead size): a pow2
+        # ladder of env batches would pay one ~20-60 s remote compile per
+        # size on the tunnel TPU; padding small batches wastes only MXU
+        # flops
+        for echunk, epad in _fixed_chunks(list(range(len(envs))), 8):
+            ev = [envs[i] for i in epad]
+            descs = np.stack([e.desc for e in ev])
+            nums = [e.number for e in ev]
+            lones = [bool(e.lone) for e in ev]
+            pd = x_pds[epad] if x_pds is not None else None
+            pm = x_pms[epad] if x_pms is not None else None
+            B = len(ev)
+            ke = np.zeros((B, n))
+            kf: list = [[None] * n for _ in range(B)]
+            kv: list = [[None] * n for _ in range(B)]
+            groups: dict = {}
+            for i, rec in enumerate(self.data):
+                key = (rec.cfg.positions.shape, rec.cfg.nbr_idx.shape)
+                groups.setdefault(key, []).append(i)
+            for idxs in groups.values():
+                for chunk, padded in _pow2_chunks(idxs, cap=32):
+                    cfg_list = [self.data[i].cfg for i in padded]
+                    keb, kfb, kvb = eng.kernel_cols_multi(
+                        cfg_list, descs, nums, lones, x_pds=pd, x_pms=pm
+                    )
+                    keb = np.asarray(keb)
+                    kfb = np.asarray(kfb)
+                    kvb = np.asarray(kvb)
+                    for j, i in enumerate(chunk):
+                        rec = self.data[i]
+                        for bi in range(B):
+                            ke[bi, i] = keb[bi, j]
+                            kf[bi][i] = kfb[bi, j][: rec.natoms].reshape(-1)
+                            kv[bi][i] = voigt6(kvb[bi, j])
+            for bi, i in enumerate(echunk):
+                e = envs[i]
+                self._colcache[id(e)] = (
+                    e, fp, (list(ke[bi]), kf[bi], kv[bi])
+                )
+
     def _column_blocks(self, env: InducingEnv, x_pd, x_pm):
         """(Ke, Kf, Kv) column entries of one env against ALL data records.
 
@@ -676,6 +847,10 @@ class SgprModel:
         jit cache stays small) — the reference's per-structure kern loop
         (gppotential.py:746-752) without the O(ndata) dispatch storm.
         """
+        cache = getattr(self, "_colcache", None)  # absent on old pickles
+        hit = cache.pop(id(env), None) if cache else None
+        if hit is not None and hit[0] is env and hit[1] == self._data_fp():
+            return hit[2]
         n = self.ndata
         ke_col = np.zeros(n)
         kf_col: list = [None] * n
@@ -739,6 +914,7 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._xstack = None
         if remake:
             self.make_munu()
 
@@ -767,8 +943,21 @@ class SgprModel:
         self.Kv = np.concatenate([self.Kv.reshape(nv, m), kv], axis=0)
         self.data.append(rec)
         self._model_arrays = None
-        self._fvqr = None
         self.target_version += 1
+        if m and self._fvqr is not None and self._fvqr["R"].shape[1] == m:
+            # exact row-append keeps the fv-QR factor alive across
+            # structure additions (the flagship loop adds one per FP call;
+            # invalidation forced an O(n m^2) rebuild each time)
+            y_new = self._fv_targets()
+            nf = len(y_new) - 6 * self.ndata
+            y_b = np.concatenate(
+                [y_new[nf - 3 * rec.natoms: nf], y_new[-6:]]
+            )
+            self._fvqr_append_rows(
+                np.concatenate([kf, kv], axis=0), y_b, y_new
+            )
+        else:
+            self._fvqr = None
         if remake:
             self.make_munu()
 
@@ -797,7 +986,9 @@ class SgprModel:
         if not self.X:
             return
         if first:
-            self._fvqr = None
+            # head eviction is a column selection [1..m): exact R-mode
+            # re-triangularization (None only if the cache was absent)
+            self._fvqr = self._fvqr_select(np.arange(1, self.m))
         else:
             self._fvqr_pop_col()
         sl = slice(1, None) if first else slice(None, -1)
@@ -809,6 +1000,7 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._xstack = None
         if remake:
             self.make_munu()
 
@@ -822,6 +1014,7 @@ class SgprModel:
         self._model_arrays = None
         self._pair_stage = None
         self._xdiag = None
+        self._xstack = None
         self._fvqr = self._fvqr_select(i)
         if remake:
             self.make_munu()
@@ -860,6 +1053,7 @@ class SgprModel:
             # kernel values need recomputation
             self._pair_stage = None
             self._xdiag = None
+            self._xstack = None
             M = np.zeros((self.m, self.m))
             for j, x in enumerate(self.X):
                 M[:, j] = self.kern_X_env(x)
@@ -924,6 +1118,12 @@ class SgprModel:
         y_fv = np.concatenate([forces, virials])
         fp = self._fv_fingerprint(y_fv)
         qr = self._fvqr
+        if (qr is not None and qr["fp"] != fp
+                and qr["R"].shape[1] == self.m
+                and len(y_fv) == len(qr["y"])):
+            # in-place retarget (head() fake->exact swap): same covariance
+            # rows, new y — refresh z in O(n m) instead of rebuilding
+            qr = self._fvqr_retarget(y_fv)
         if not (qr is not None and qr["fp"] == fp
                 and qr["R"].shape[1] == self.m):
             qr = self._fvqr_build(

@@ -184,11 +184,12 @@ def test_incremental_qr_cache_matches_fresh_solve():
     np.testing.assert_allclose(mu_inc, model.mu, atol=1e-9)
     np.testing.assert_allclose(choli_inc, model.choli, atol=1e-9)
 
-    # data changes invalidate the cache (targets fingerprint)
+    # data appends ROW-update the cache (exact re-triangularization);
+    # the fresh-solve equality below proves the updated factor correct
     s = systems[5]
     s.calc = lj
     model.add_data(DataRecord.from_system(s), remake=False)
-    assert model._fvqr is None
+    assert model._fvqr is not None
     model.make_munu()
     mu_after = model.mu.copy()
     model._fvqr = None
