@@ -526,6 +526,31 @@ def env_descriptors_fn(envs: EnvArrays, radii, params, mixL=None):
 VOIGT = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
 
 
+def device_fetch(*arrays):
+    """Pull several device arrays in ONE host transfer: ravel+concat as a
+    (cheap, async) device op, one blocking np.asarray, split on host.
+
+    Every synchronous fetch over the remote-TPU tunnel costs a full round
+    trip (~150 ms measured, round-4 OTF profile: 1679 pulls = 249 s of a
+    507 s learning run) REGARDLESS of payload size, so fetch count — not
+    bytes — is the unit of cost.  Values are exact as long as the mixed
+    dtypes promote losslessly (the callers pass same-float groups, plus
+    the occasional bool flag); each output is cast back to its input
+    dtype."""
+    arrays = [jnp.asarray(a) for a in arrays]
+    if len(arrays) == 1:
+        a = arrays[0]
+        return [np.asarray(a)]
+    flat = jnp.concatenate([jnp.ravel(a) for a in arrays])
+    buf = np.asarray(flat)
+    out = []
+    o = 0
+    for a in arrays:
+        out.append(buf[o:o + a.size].astype(a.dtype).reshape(a.shape))
+        o += a.size
+    return out
+
+
 def voigt6(t):
     """3x3 symmetric tensor -> Voigt [xx, yy, zz, yz, xz, xy]."""
     t = np.asarray(t)

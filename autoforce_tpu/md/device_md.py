@@ -954,8 +954,11 @@ class DeviceMD:
         while done < steps:
             if pos_dev is None or need_host or chain is None:
                 if pos_dev is not None:
-                    system.set_positions(np.asarray(pos_dev)[: len(system)])
-                    system.set_velocities(np.asarray(vel_dev)[: len(system)])
+                    from ..engine import device_fetch
+
+                    p_h, v_h = device_fetch(pos_dev, vel_dev)  # one RTT
+                    system.set_positions(p_h[: len(system)])
+                    system.set_velocities(v_h[: len(system)])
                     pos_dev = vel_dev = None
                 if first or (self.check_beta and need_host):
                     # full ActiveCalculator semantics (predict + maybe
@@ -1208,15 +1211,22 @@ class DeviceMD:
                 if chain["inloop"]:
                     out = chain_table(out)
                 pos, vel, self.key, f, e, beta_max, i, vxi, xi = out
+            # ONE pull for every boundary scalar (each separate fetch
+            # costs a full tunnel RTT — round-4 profile)
+            from ..engine import device_fetch
+
             if self.thermostat == "nhc":
-                self.nhc_vxi = np.asarray(vxi)
-                self.nhc_xi = np.asarray(xi)
-            ndone = int(i)
+                bm_h, i_h, vxi_h, xi_h = device_fetch(beta_max, i, vxi, xi)
+                self.nhc_vxi = vxi_h
+                self.nhc_xi = xi_h
+            else:
+                bm_h, i_h = device_fetch(beta_max, i)
+            ndone = int(i_h)
             pos_dev, vel_dev = pos, vel
             # host attention only needed if the uncertainty tripped (the
             # chunk then stopped at the exact step sampling is due)
             need_host = (
-                self.check_beta and float(beta_max) >= chain["beta_thresh"]
+                self.check_beta and float(bm_h) >= chain["beta_thresh"]
             )
             if ndone < n and not need_host:
                 # skin breach: rebuild the neighbor table — on device when

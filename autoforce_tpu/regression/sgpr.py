@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..engine import Engine, voigt6
+from ..engine import Engine, device_fetch, voigt6
 from ..system import System
 from . import solver
 
@@ -216,11 +216,11 @@ class SgprModel:
 
     def stage_env(self, env: InducingEnv):
         envs = self.engine.make_envs([(env.rvec, env.numbers)])
-        p, lone = self.engine.env_descriptors(envs)
+        p, lone = device_fetch(*self.engine.env_descriptors(envs))
         # float64 like stage_envs: host math (kernel columns, solves) is
         # f64 by convention, and both staging paths must agree on dtype
         env.desc = np.asarray(p, dtype=np.float64)[0]
-        env.lone = bool(np.asarray(lone)[0])
+        env.lone = bool(lone[0])
         return env
 
     def stage_envs(self, envs):
@@ -232,9 +232,8 @@ class SgprModel:
         todo = [e for e in envs if e.desc is None]
         for chunk, batch in _pow2_chunks(todo, cap=256):
             ev = self.engine.make_envs([(e.rvec, e.numbers) for e in batch])
-            p, lone = self.engine.env_descriptors(ev)
-            p = np.asarray(p, dtype=np.float64)
-            lone = np.asarray(lone)
+            p, lone = device_fetch(*self.engine.env_descriptors(ev))
+            p = p.astype(np.float64)
             for i, e in enumerate(chunk):
                 e.desc = p[i]
                 e.lone = bool(lone[i])
@@ -350,7 +349,11 @@ class SgprModel:
         """The stacked (n, m) fv covariance block, canonical row order."""
         return np.concatenate([self.Kf, self.Kv], axis=0)
 
-    def _fvqr_chain_step(self, qr):
+    def _fvqr_chain_step(self, qr, keep_prev=False):
+        if not keep_prev:
+            # the one-deep row-append undo snapshot is only valid while
+            # NO other factor mutation intervened
+            qr.pop("prev", None)
         qr["chain"] += 1
         if qr["chain"] > 1024:  # bound seminormal drift; rebuild lazily
             self._fvqr = None
@@ -368,11 +371,20 @@ class SgprModel:
         from scipy.linalg import solve_triangular
 
         R = qr["R"]
-        r = solve_triangular(R.T, K_old.T @ c, lower=True)
-        q = c - K_old @ solve_triangular(R, r, lower=False)
-        dr = solve_triangular(R.T, K_old.T @ q, lower=True)
-        r = r + dr
-        q = q - K_old @ solve_triangular(R, dr, lower=False)
+        try:
+            r = solve_triangular(R.T, K_old.T @ c, lower=True)
+            q = c - K_old @ solve_triangular(R, r, lower=False)
+            dr = solve_triangular(R.T, K_old.T @ q, lower=True)
+            r = r + dr
+            q = q - K_old @ solve_triangular(R, dr, lower=False)
+        except np.linalg.LinAlgError:
+            # exactly-singular R (rank-deficient fv block, e.g. duplicate
+            # inducing columns right after a species-table growth): the
+            # factor cannot project — report degeneracy, callers drop the
+            # cache / take the exact path
+            return None
+        if not np.all(np.isfinite(r)):
+            return None
         rho = float(np.linalg.norm(q))
         if rho < 1e-10 * max(float(np.linalg.norm(c)), 1.0):
             return None
@@ -418,12 +430,18 @@ class SgprModel:
         if B.ndim != 2 or B.shape[1] != m or len(y_b) != B.shape[0]:
             self._fvqr = None
             return
+        prev = (qr["R"], qr["z"], qr["y"], qr["chain"])
         Q2, R2 = np.linalg.qr(np.concatenate([qr["R"], B], axis=0))
         qr["R"] = R2
         qr["z"] = Q2.T @ np.concatenate([qr["z"], y_b])
         qr["y"] = y_new
         qr["fp"] = self._fv_fingerprint(y_new)
-        self._fvqr_chain_step(qr)
+        self._fvqr_chain_step(qr, keep_prev=True)
+        # one-deep undo: the accept/reject structure flow
+        # (add_1atoms_fast, gppotential.py:888-940) pops the structure it
+        # just added on reject — restoring the pre-append factor there is
+        # exact and free, where a row DELETION downdate is not
+        qr["prev"] = prev
 
     def _fvqr_retarget(self, y):
         """Refresh (z, y) for in-place target edits (head() swapping fake
@@ -438,10 +456,15 @@ class SgprModel:
         K = self._fvqr_K()
         if len(y) != K.shape[0] or K.shape[1] != qr["R"].shape[1]:
             return None
-        z = solve_triangular(qr["R"].T, K.T @ y, lower=True)
-        x = solve_triangular(qr["R"], z, lower=False)
-        resid = y - K @ x  # one CSNE refinement: near-Householder accuracy
-        z = z + solve_triangular(qr["R"].T, K.T @ resid, lower=True)
+        try:
+            z = solve_triangular(qr["R"].T, K.T @ y, lower=True)
+            x = solve_triangular(qr["R"], z, lower=False)
+            resid = y - K @ x  # one CSNE refinement step
+            z = z + solve_triangular(qr["R"].T, K.T @ resid, lower=True)
+        except np.linalg.LinAlgError:
+            return None  # singular R: fall back to the full rebuild
+        if not np.all(np.isfinite(z)):
+            return None
         qr["z"] = z
         qr["y"] = y
         qr["fp"] = self._fv_fingerprint(y)
@@ -821,12 +844,9 @@ class SgprModel:
             for idxs in groups.values():
                 for chunk, padded in _pow2_chunks(idxs, cap=32):
                     cfg_list = [self.data[i].cfg for i in padded]
-                    keb, kfb, kvb = eng.kernel_cols_multi(
+                    keb, kfb, kvb = device_fetch(*eng.kernel_cols_multi(
                         cfg_list, descs, nums, lones, x_pds=pd, x_pms=pm
-                    )
-                    keb = np.asarray(keb)
-                    kfb = np.asarray(kfb)
-                    kvb = np.asarray(kvb)
+                    ))
                     for j, i in enumerate(chunk):
                         rec = self.data[i]
                         for bi in range(B):
@@ -862,13 +882,10 @@ class SgprModel:
         for idxs in groups.values():
             for chunk, padded in _pow2_chunks(idxs, cap=32):
                 cfg_list = [self.data[i].cfg for i in padded]
-                ke, kf, kv = self.engine.kernel_col_batch(
+                ke, kf, kv = device_fetch(*self.engine.kernel_col_batch(
                     cfg_list, env.desc, env.number, env.lone,
                     x_pd=x_pd, x_pm=x_pm,
-                )
-                ke = np.asarray(ke)
-                kf = np.asarray(kf)
-                kv = np.asarray(kv)
+                ))
                 for j, i in enumerate(chunk):
                     rec = self.data[i]
                     ke_col[i] = ke[j]
@@ -924,11 +941,12 @@ class SgprModel:
             rec.cfg = self.engine.make_config(rec.system)
         m = self.m
         if m:
-            ke, kf, kv = self.engine.kernel_block(rec.cfg, self.full_model_arrays())
-            mcap = np.asarray(ke).shape[0]
-            ke = np.asarray(ke)[: m].reshape(1, m)
-            kf = np.asarray(kf)[: rec.natoms, :, :m].reshape(-1, m)
-            kv_t = np.asarray(kv)[..., :m]  # (3, 3, m)
+            ke, kf, kv = device_fetch(
+                *self.engine.kernel_block(rec.cfg, self.full_model_arrays())
+            )
+            ke = ke[: m].reshape(1, m)
+            kf = kf[: rec.natoms, :, :m].reshape(-1, m)
+            kv_t = kv[..., :m]  # (3, 3, m)
             kv = np.stack([kv_t[i, j] for (i, j) in
                            [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]])
         else:
@@ -970,14 +988,26 @@ class SgprModel:
             self.Kf = self.Kf[3 * n0:]
             self.Kv = self.Kv[6:]
             self.data.pop(0)
-            self._fvqr = None
+            self._fvqr = None  # head row deletion: no stable downdate
         else:
             n0 = self.data[-1].natoms
             self.Ke = self.Ke[:-1]
             self.Kf = self.Kf[: self.Kf.shape[0] - 3 * n0]
             self.Kv = self.Kv[:-6]
             self.data.pop()
-        self._fvqr = None
+            self.target_version += 1
+            qr = self._fvqr
+            prev = qr.get("prev") if qr is not None else None
+            if prev is not None and len(prev[2]) == len(self._fv_targets()):
+                # exact undo of the matching row append (reject flow)
+                qr["R"], qr["z"], qr["y"], qr["chain"] = prev
+                qr["fp"] = self._fv_fingerprint(qr["y"])
+                qr.pop("prev", None)
+            else:
+                self._fvqr = None
+            if remake:
+                self.make_munu()
+            return
         self.target_version += 1
         if remake:
             self.make_munu()

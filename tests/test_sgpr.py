@@ -196,6 +196,20 @@ def test_incremental_qr_cache_matches_fresh_solve():
     model.make_munu()
     np.testing.assert_allclose(mu_after, model.mu, atol=1e-9)
 
+    # add/reject cycle (the add_1atoms_fast flow): popping the structure
+    # just added restores the pre-append factor exactly
+    s2 = systems[4]
+    s2.calc = lj
+    model.add_data(DataRecord.from_system(s2), remake=False)
+    assert model._fvqr is not None and "prev" in model._fvqr
+    model.pop_1data(remake=False)
+    assert model._fvqr is not None
+    model.make_munu()
+    mu_cycle = model.mu.copy()
+    model._fvqr = None
+    model.make_munu()
+    np.testing.assert_allclose(mu_cycle, model.mu, atol=1e-9)
+
 
 def test_qr_cache_survives_fingerprint_collision():
     """Two different target vectors with identical (len, sum, abs-sum) —
