@@ -1089,10 +1089,16 @@ class ActiveCalculator:
                 if ndata and cdata >= ndata:
                     break
             elif cls == "local":
-                if self.engine.ensure_species(
-                    np.concatenate([[obj.number], obj.numbers])
-                ):
-                    _flush()  # restage invalidates staged descriptors
+                nums = np.concatenate([[obj.number], obj.numbers])
+                if set(int(z) for z in nums) - set(self.engine.species):
+                    # flush the pending batch at the OLD table BEFORE
+                    # growing it: staging pended LCEs post-growth while
+                    # model.X descriptors / data cfgs are still pre-growth
+                    # raised shape mismatches (or computed wrong kernel
+                    # columns) on tapes introducing a new species after
+                    # inducing/data were committed
+                    _flush()
+                    self.engine.ensure_species(nums)
                     self.model.restage()
                 pend.append(obj)
         _flush()

@@ -123,6 +123,8 @@ class SgprModel:
         # id(env) -> (env, data-fingerprint, blocks); entries are popped
         # on first use and dropped whenever the data list changes
         self._colcache = {}
+        # monotonic data-list mutation counter (the colcache fingerprint)
+        self._data_version = 0
         # incremental trial-solve gate: below this m the full O(m^3)
         # re-solve is fast anyway AND the frozen-sigma drift of the
         # incremental path is relatively large (the candidate self-kernel
@@ -213,6 +215,9 @@ class SgprModel:
         self._xdiag = None
         self._xstack = None
         self._fvqr = None
+        # staged candidate columns were computed against the OLD species
+        # table / descriptors; the data fingerprint cannot see a restage
+        self._colcache = {}
 
     def stage_env(self, env: InducingEnv):
         envs = self.engine.make_envs([(env.rvec, env.numbers)])
@@ -360,23 +365,44 @@ class SgprModel:
 
     def _fvqr_project_on(self, K_old, c):
         """Corrected-seminormal projection of column c against (R, K_old)
-        with an EXPLICIT residual vector: r = R^-T (K^T c) refined once
-        through q = c - K R^-1 r, so rho = ||q|| carries no
-        subtraction-cancellation loss and zeta = (q/rho)·y matches the
-        old CGS2 formulas to working precision (plain seminormal rho
-        drifted at kappa^2 and broke the trial-vs-full-solve equality on
-        ill-conditioned bases).  Returns (r, rho, zeta) or None on
-        degeneracy.  O(n m) — two triangular solves + three GEMVs."""
+        with an EXPLICIT residual vector, ITERATED TO CONVERGENCE:
+        r = R^-T (K^T c) refined through q = c - K R^-1 r until the
+        normal-equation correction ||dr|| is negligible, so rho = ||q||
+        carries no subtraction-cancellation loss and zeta = (q/rho)·y
+        matches the old CGS2 formulas to working precision.  A fixed
+        two-pass version of this drifted at kappa^2 on the near-duplicate
+        LCE bases the water-dimer OTF flow produces (round-4 regression:
+        served mu 77% off the cache-free solve by m=11) — refinement that
+        does NOT measurably converge now reports degeneracy instead of
+        laundering an inaccurate factor.  Returns (r, rho, zeta) or None.
+        O(n m) per pass — two triangular solves + two GEMVs."""
         qr = self._fvqr
         from scipy.linalg import solve_triangular
 
         R = qr["R"]
+        cn = max(float(np.linalg.norm(c)), 1e-300)
         try:
-            r = solve_triangular(R.T, K_old.T @ c, lower=True)
-            q = c - K_old @ solve_triangular(R, r, lower=False)
-            dr = solve_triangular(R.T, K_old.T @ q, lower=True)
-            r = r + dr
-            q = q - K_old @ solve_triangular(R, dr, lower=False)
+            r = np.zeros(R.shape[1])
+            q = np.asarray(c, dtype=np.float64).copy()
+            ok = False
+            for _ in range(4):
+                dr = solve_triangular(R.T, K_old.T @ q, lower=True)
+                if not np.all(np.isfinite(dr)):
+                    return None
+                r = r + dr
+                q = q - K_old @ solve_triangular(R, dr, lower=False)
+                # converged when the residual is orthogonal to range(K)
+                # at working precision RELATIVE TO the input column
+                if float(np.linalg.norm(dr)) <= 1e-13 * max(
+                    float(np.linalg.norm(r)), cn
+                ):
+                    ok = True
+                    break
+            if not ok:
+                # non-contracting refinement = R too ill-conditioned to
+                # project through; callers drop the cache (a fresh
+                # Householder QR is backward-stable where this is not)
+                return None
         except np.linalg.LinAlgError:
             # exactly-singular R (rank-deficient fv block, e.g. duplicate
             # inducing columns right after a species-table growth): the
@@ -386,7 +412,7 @@ class SgprModel:
         if not np.all(np.isfinite(r)):
             return None
         rho = float(np.linalg.norm(q))
-        if rho < 1e-10 * max(float(np.linalg.norm(c)), 1.0):
+        if rho < 1e-8 * cn:
             return None
         zeta = float((q / rho) @ qr["y"])
         return r, rho, zeta
@@ -456,14 +482,32 @@ class SgprModel:
         K = self._fvqr_K()
         if len(y) != K.shape[0] or K.shape[1] != qr["R"].shape[1]:
             return None
+        yn = max(float(np.linalg.norm(y)), 1e-300)
         try:
-            z = solve_triangular(qr["R"].T, K.T @ y, lower=True)
-            x = solve_triangular(qr["R"], z, lower=False)
-            resid = y - K @ x  # one CSNE refinement step
-            z = z + solve_triangular(qr["R"].T, K.T @ resid, lower=True)
+            z = np.zeros(qr["R"].shape[1])
+            resid = np.asarray(y, dtype=np.float64).copy()
+            ok = False
+            for _ in range(4):  # CSNE refinement to convergence
+                dz = solve_triangular(qr["R"].T, K.T @ resid, lower=True)
+                if not np.all(np.isfinite(dz)):
+                    return None
+                z = z + dz
+                resid = y - K @ solve_triangular(qr["R"], z, lower=False)
+                if float(np.linalg.norm(dz)) <= 1e-13 * max(
+                    float(np.linalg.norm(z)), yn
+                ):
+                    ok = True
+                    break
+            if not ok:
+                return None  # non-contracting: R too ill-conditioned
         except np.linalg.LinAlgError:
             return None  # singular R: fall back to the full rebuild
         if not np.all(np.isfinite(z)):
+            return None
+        # for a faithful factor z = Q^T y, so ||z|| <= ||y||; amplification
+        # beyond that means R does not factor the current K — a stale-z
+        # seed here poisons the served solve (round-4 expr-kernel MAE 1e8)
+        if float(np.linalg.norm(z)) > 1.01 * yn:
             return None
         qr["z"] = z
         qr["y"] = y
@@ -472,7 +516,10 @@ class SgprModel:
         return self._fvqr
 
     def _fvqr_pop_col(self):
-        """Exact inverse of append (last column only)."""
+        """Exact inverse of append (last column only).  Counts as a
+        factor mutation: the one-deep row-append undo snapshot must not
+        survive it (a later pop_1data restoring ``prev`` across a column
+        pop would resurrect a factor with the wrong column count)."""
         qr = self._fvqr
         if qr is None:
             return
@@ -481,6 +528,7 @@ class SgprModel:
             return
         qr["R"] = qr["R"][:-1, :-1]
         qr["z"] = qr["z"][:-1]
+        self._fvqr_chain_step(qr)
 
     def _fvqr_project(self, c):
         """Non-mutating projection of a would-be new fv column: returns
@@ -787,8 +835,11 @@ class SgprModel:
     def _data_fp(self):
         """Identity fingerprint of the data list — precomputed column
         blocks are valid only against the exact records they were
-        computed for."""
-        return tuple(id(r) for r in self.data)
+        computed for.  A monotonic mutation counter, NOT id()s: a popped
+        record's address can be reused by a later allocation, which made
+        an id-tuple fingerprint collide and serve stale kernel columns
+        into Kf/Kv (round-4 water-dimer OTF poisoning)."""
+        return (getattr(self, "_data_version", 0), len(self.data))
 
     def precompute_column_blocks(self, envs):
         """Stage + compute _column_blocks for SEVERAL candidate envs in
@@ -959,10 +1010,20 @@ class SgprModel:
         self.Kf = np.concatenate([self.Kf.reshape(nf, m), kf], axis=0)
         nv = self.Kv.shape[0] if self.Kv.size or self.Kv.shape[1] == m else 0
         self.Kv = np.concatenate([self.Kv.reshape(nv, m), kv], axis=0)
+        # freshness of the cache w.r.t. the PRE-append targets: appending
+        # rows onto a factor whose z corresponds to edited-in-place (not
+        # yet retargeted) targets would stamp a stale z as fresh below
+        fp_pre = (
+            self._fvqr is not None
+            and self._fvqr["fp"] == (self.target_version,
+                                     len(self._fvqr["y"]))
+        )
         self.data.append(rec)
         self._model_arrays = None
         self.target_version += 1
-        if m and self._fvqr is not None and self._fvqr["R"].shape[1] == m:
+        self._data_version = getattr(self, "_data_version", 0) + 1
+        if (m and fp_pre and self._fvqr is not None
+                and self._fvqr["R"].shape[1] == m):
             # exact row-append keeps the fv-QR factor alive across
             # structure additions (the flagship loop adds one per FP call;
             # invalidation forced an O(n m^2) rebuild each time)
@@ -982,6 +1043,7 @@ class SgprModel:
     def pop_1data(self, remake=True, first=False):
         if not self.data:
             return
+        self._data_version = getattr(self, "_data_version", 0) + 1
         if first:
             n0 = self.data[0].natoms
             self.Ke = self.Ke[1:]
@@ -998,7 +1060,16 @@ class SgprModel:
             self.target_version += 1
             qr = self._fvqr
             prev = qr.get("prev") if qr is not None else None
-            if prev is not None and len(prev[2]) == len(self._fv_targets()):
+            # the undo is valid ONLY if prev is byte-identical to the
+            # system we just sliced back to: same column count AND same
+            # target CONTENT (a length-only check laundered stale factors
+            # when targets were edited in place between the append and
+            # this pop — round-4 expr-kernel regression)
+            if (
+                prev is not None
+                and prev[0].shape[1] == self.m
+                and np.array_equal(prev[2], self._fv_targets())
+            ):
                 # exact undo of the matching row append (reject flow)
                 qr["R"], qr["z"], qr["y"], qr["chain"] = prev
                 qr["fp"] = self._fv_fingerprint(qr["y"])
@@ -1090,6 +1161,7 @@ class SgprModel:
                 M[j, j] = self.kern_env_env(x, x)
             self.M = 0.5 * (M + M.T)  # kern_X_env excludes the White diag
         self._model_arrays = None
+        self._colcache = {}  # kernel values changed under the cache
         if self.ndata and self.m:
             data = self.data
             self.data = []
