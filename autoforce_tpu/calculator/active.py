@@ -188,7 +188,15 @@ class ActiveCalculator:
         self.phase_wall = Counter()
         self.event_counts = Counter()
         self.nbeads = int(nbeads)
-        self.rng = np.random.default_rng(seed)
+        # DETERMINISTIC default: seed=None means a fixed seed, not OS
+        # entropy.  The rng drives sample_rand_lces' rattles (and the
+        # multitask weight sampling), so an entropy default makes the
+        # learned model — and every accuracy assertion downstream —
+        # nonreproducible across runs (the round-4 "order-dependent"
+        # test failures).  Pass seed='random' for entropy explicitly.
+        self.rng = np.random.default_rng(
+            None if seed == "random" else (0 if seed is None else seed)
+        )
         self.cfg = None
         self._cfg_key = None
         self.results = {}
@@ -611,7 +619,11 @@ class ActiveCalculator:
         col = None
         if beta is None:
             col = model.kern_X_env(env)
-            b = model.choli @ col if model.m else np.zeros(0)
+            # choli can lag X before the first data record exists (an
+            # LCE-first tape: add_inducing's make_munu is a no-op at
+            # ndata=0) — an unsolved model has zero explained variance
+            solved = model.m and model.choli.shape == (model.m, model.m)
+            b = model.choli @ col if solved else np.zeros(0)
             alpha = model.kern_env_env(env, env)
             c = float(b @ b) / max(alpha, 1e-12)
             vscale = model.vscale.get(env.number, inf)

@@ -103,20 +103,37 @@ def _stub_class(module, name):
 
 
 class _InterceptUnpickler(pickle.Unpickler):
-    """Unpickler that resolves unimportable classes to inert stubs.
+    """Unpickler that resolves globals through an ALLOWLIST and stubs
+    everything else.
 
-    ``theforce.*`` and ``ase.*`` are ALWAYS stubbed (even if installed:
-    the extraction below reads plain attributes, and importing real
-    classes would trigger their import side effects and version
-    coupling).  Everything else resolves normally — torch's tensor
-    rebuild machinery in particular must pass through.
+    Only the machinery a reference model folder legitimately needs can
+    load real classes: torch's tensor rebuild path, numpy's array
+    reconstructors, ``collections``, ``_codecs.encode``, and a safe
+    ``builtins`` subset.  Every other global — ``theforce.*``/``ase.*``
+    by design, but also ``os.system``/``subprocess``/arbitrary
+    callables a malicious 'model' file could smuggle in — becomes an
+    inert attribute-holding stub (ADVICE r4: a denylist of two roots
+    still allowed arbitrary code execution under
+    ``torch.load(weights_only=False)``).
+
+    Trust caveat: stubs neutralize class-level code, but a crafted
+    pickle can still exhaust memory; only load folders you would run
+    the reference itself on.
     """
 
-    _always_stub = ("theforce", "ase")
+    _allow_roots = ("torch", "numpy", "collections", "_codecs")
+    _allow_builtins = frozenset(
+        ("dict", "list", "set", "tuple", "frozenset", "str", "bytes",
+         "bytearray", "int", "float", "complex", "bool", "slice",
+         "range", "NoneType", "object")
+    )
 
     def find_class(self, module, name):
         root = module.split(".", 1)[0]
-        if root not in self._always_stub:
+        allowed = root in self._allow_roots or (
+            root == "builtins" and name in self._allow_builtins
+        )
+        if allowed:
             try:
                 return super().find_class(module, name)
             except (ImportError, AttributeError):

@@ -148,8 +148,16 @@ class ExactGP:
             -0.5 * y @ self.alpha - 0.5 * logdet - 0.5 * n * np.log(2 * np.pi)
         )
 
-    def predict(self, system):
-        """(energy, forces) for a new configuration."""
+    def predict(self, system, return_var=False):
+        """(energy, forces) for a new configuration; with
+        ``return_var=True`` also the PREDICTIVE VARIANCE of the energy
+        and the per-component force variances — the posterior
+        distribution the reference's exact forward exposes
+        (gppotential.py:274-305: mean + covariance of the joint
+        [E; F] Gaussian conditioned on the data):
+
+            var = diag(K_** - K_*X (K_XX + noise)^-1 K_X*)
+        """
         if self.alpha is None:
             self.fit()
         cfg = self.engine.make_config(system)
@@ -166,4 +174,18 @@ class ExactGP:
                 3 * n, 3 * nj
             )
         pred = k_row @ self.alpha
-        return float(pred[0]), pred[1:].reshape(n, 3)
+        energy, forces = float(pred[0]), pred[1:].reshape(n, 3)
+        if not return_var:
+            return energy, forces
+        # prior self-covariance diagonal of the probe's [E; F] block
+        ee_s, _ef_s, _fe_s, ff_s = self._blocks(cfg, cfg)
+        prior = np.concatenate(
+            [[ee_s],
+             np.einsum("iaia->ia", ff_s[:n, :, :n, :]).reshape(-1)]
+        )
+        # explained variance: rows through the SAME noisy Cholesky the
+        # mean used (so var >= 0 up to roundoff by construction)
+        w = np.linalg.solve(self._L, k_row.T)
+        explained = (w * w).sum(axis=0)
+        var = np.clip(prior - explained, 0.0, None)
+        return energy, forces, float(var[0]), var[1:].reshape(n, 3)

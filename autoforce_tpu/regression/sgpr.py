@@ -857,7 +857,21 @@ class SgprModel:
             return
         if getattr(self, "_colcache", None) is None:  # pre-round-4 pickles
             self._colcache = {}
-        if len(self._colcache) > 256:  # stale never-consumed candidates
+        # evict entries whose data fingerprint went stale (they can never
+        # be served) and bound the survivors by BYTES, not entries: each
+        # entry is O(3*natoms*ndata) float64 — at flagship scale
+        # (1008-atom records, ndata ~ 50) hundreds of never-consumed
+        # lookahead entries would hold GBs
+        fp_now = self._data_fp()
+        self._colcache = {
+            k: v for k, v in self._colcache.items() if v[1] == fp_now
+        }
+        cache_bytes = sum(
+            sum(np.asarray(col).nbytes for col in blocks[1] + blocks[2]
+                if col is not None) + 8 * len(blocks[0])
+            for (_e, _fp, blocks) in self._colcache.values()
+        )
+        if cache_bytes > 256 * 1024 * 1024 or len(self._colcache) > 256:
             self._colcache.clear()
         eng = self.engine
         if eng.pair_terms:

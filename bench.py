@@ -43,6 +43,10 @@ M_INDUCING = 256
 RC = 6.0
 LMAX = NMAX = 3
 SKIN = 1.2  # swept in round 1: 0.3/0.9/1.2/1.6/2.0 -> optimum ~1.2 at 300 K
+# OTF quality bar: the reference's working point is noise_f = 1 kcal/mol
+# = 0.043 eV/A (active.py:112); the learned-model force MAE vs its own
+# oracle must land within ~2x of that or the flagship block FAILS
+OTF_F_MAE_BOUND = 0.1  # eV/A
 
 # nominal bf16 MXU peak per chip (public numbers)
 PEAK_FLOPS = {
@@ -335,8 +339,26 @@ def accuracy_gate(eng, model, system, nve_steps=1000, reps=None):
     e_chip = float(e)
     f_chip = np.asarray(f)[:n]
 
-    # float64 reference in a CPU subprocess (this process owns the TPU)
+    # float64 reference in a CPU subprocess (this process owns the TPU).
+    # The reference depends only on (model, system), both deterministic —
+    # cache it keyed by a model fingerprint so repeat runs (and the 10k
+    # point, whose f64 CPU predict dominated round-4's overrun) skip the
+    # subprocess entirely.
+    import hashlib
+
+    mu_hash = hashlib.sha256(
+        np.ascontiguousarray(model.mu).tobytes()
+        + np.int64(model.m).tobytes()
+    ).hexdigest()[:16]
     out_npz = os.path.join(HERE, "baselines", f"_acc_ref_{n}.npz")
+    cached = None
+    if os.path.isfile(out_npz):
+        try:
+            prev = np.load(out_npz, allow_pickle=False)
+            if "mu_hash" in prev and str(prev["mu_hash"]) == mu_hash:
+                cached = prev
+        except Exception:
+            cached = None
     code = (
         f"import sys; sys.path.insert(0, {HERE!r})\n"
         "import numpy as np, jax\n"
@@ -350,14 +372,16 @@ def accuracy_gate(eng, model, system, nve_steps=1000, reps=None):
         "ma = model.full_model_arrays()\n"
         "vs = np.ones(cfg.npad)\n"
         "e, f, *_ = eng.predict(cfg, ma, vs)\n"
-        f"np.savez({out_npz!r}, e=float(e), f=np.asarray(f)[:len(system)])\n"
+        f"np.savez({out_npz!r}, e=float(e), f=np.asarray(f)[:len(system)],\n"
+        f"         mu_hash={mu_hash!r})\n"
     )
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
-    subprocess.run([sys.executable, "-c", code], env=env, check=True,
-                   timeout=1800)
-    ref = np.load(out_npz)
+    if cached is None:
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       timeout=900)
+    ref = cached if cached is not None else np.load(out_npz)
     e_err = abs(e_chip - float(ref["e"]))
     f_mae = float(np.abs(f_chip - ref["f"]).mean())
 
@@ -698,24 +722,112 @@ def mfu(flops, steps_per_sec):
 
 
 def main():
-    eng, model = build_workload()
+    """All blocks run under a global wall budget with incremental
+    partial output (VERDICT r4 weak #2: round-4's bench hit the
+    driver's external timeout and lost EVERY number, including the
+    accuracy gates).  Resilience layers:
+      * the accumulating result dict is dumped to bench_partial.json
+        after every block;
+      * SIGTERM/SIGINT (what `timeout` sends) print the single JSON
+        line with whatever completed, then exit 0;
+      * each block declares an estimated cost and is skipped (loudly,
+        in its slot) when the remaining budget cannot cover it —
+        ordered so the headline + accuracy + flagship-OTF numbers
+        land first."""
+    import signal
 
-    system = make_system(NATOMS_REPS)
-    fl = flops_per_step(eng, model, system)
-    # chunk = traced upper bound per device call; the skin-breach early
-    # exit keeps it adaptive (sweep r2: 100 -> 237, 400 -> 254, 800 -> 263
-    # steps/s at 1008 atoms; at 10k the breach interval caps it, keep 100)
-    runs = measure_device_md(eng, model, system, steps=600, chunk=800)
-    ours = float(np.mean(runs))
-    std = float(np.std(runs))
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_WALL_S", "3000"))
+    deadline = t_start + budget
+    out = {}
+    state = {"printed": False}
 
-    scale = None
+    def emit():
+        if not state["printed"]:
+            state["printed"] = True
+            out["bench_wall_s"] = round(time.time() - t_start, 1)
+            print(json.dumps(out))
+            sys.stdout.flush()
+
+    def flush_partial():
+        try:
+            with open(os.path.join(HERE, "bench_partial.json"), "w") as f:
+                json.dump(out, f)
+        except OSError:
+            pass
+
+    def on_term(sig, frame):
+        out["terminated"] = f"signal {sig} after {round(time.time() - t_start, 1)}s"
+        print(f"bench: terminated by signal {sig}; emitting partial JSON",
+              file=sys.stderr)
+        emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    def block(key, est_s, fn):
+        left = deadline - time.time()
+        if left < est_s:
+            out[key] = {"skipped": f"wall budget: {int(left)}s left < "
+                                   f"est {est_s}s"}
+        else:
+            try:
+                out[key] = fn()
+            except Exception as err:
+                out[key] = {"error": repr(err)}
+        flush_partial()
+
+    # ---- headline (required: everything else hangs off this model)
     try:
+        eng, model = build_workload()
+        system = make_system(NATOMS_REPS)
+        fl = flops_per_step(eng, model, system)
+        # chunk = traced upper bound per device call; the skin-breach
+        # early exit keeps it adaptive (sweep r2: 100 -> 237, 400 -> 254,
+        # 800 -> 263 steps/s at 1008 atoms)
+        runs = measure_device_md(eng, model, system, steps=600, chunk=800)
+        ours = float(np.mean(runs))
+        std = float(np.std(runs))
+    except Exception as err:
+        out.update({"metric": "bench workload failed", "value": None,
+                    "unit": "steps/sec", "vs_baseline": None,
+                    "error": repr(err)})
+        emit()
+        return
+    est = mfu(fl, ours)
+    out.update({
+        "metric": f"Langevin MD steps/sec, {len(system)} atoms, "
+                  f"m={model.m} (SGPR SOAP, device-resident MD)",
+        "value": round(ours, 3),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "ms_per_step": round(1000.0 / ours, 3),
+        "std_steps_per_sec": round(std, 3),
+        "est_mfu": round(est, 4) if est else None,
+        "flops_per_step": fl,
+        "natoms": len(system),
+        "device": jax.devices()[0].device_kind,
+    })
+    flush_partial()
+
+    # ---- on-chip accuracy gate FIRST (CLAUDE.md: numerics changes are
+    # validated on the TPU or not at all; round-4 lost this to a later
+    # block's overrun)
+    def _acc():
+        acc = accuracy_gate(eng, model, make_system(NATOMS_REPS))
+        if not acc["ok"]:
+            print(f"ACCURACY FAIL: {acc}", file=sys.stderr)
+        return acc
+
+    block("accuracy", 240, _acc)
+
+    def _scale10k():
         big = make_system(REPS_10K)
         fl10 = flops_per_step(eng, model, big)
         runs10 = measure_device_md(eng, model, big, steps=100, warmup=50)
         v10 = float(np.mean(runs10))
-        scale = {
+        return {
             "natoms": len(big),
             "steps_per_sec": round(v10, 3),
             "std_steps_per_sec": round(float(np.std(runs10)), 3),
@@ -723,47 +835,75 @@ def main():
             "est_mfu": round(mfu(fl10, v10), 4) if mfu(fl10, v10) else None,
             "flops_per_step": fl10,
         }
-    except Exception as err:
-        scale = {"error": repr(err)}
 
-    # 100k-atom point: 10x the reference's biggest (BCM+LAMMPS 10k) config,
-    # still on ONE chip.  Short window — this documents scale, not noise.
-    # kpad_min 176 = the natural bucket at this density; the r2 value 256
-    # cost 32% (ms/step scales ~linearly with the slot bucket — measured
-    # r3; spatial reordering measured a null effect, BASELINE.md)
-    scale100 = None
-    try:
+    block("scale_10k", 200, _scale10k)
+
+    # flagship on-the-fly learning at 1008 atoms / 4 species, with the
+    # quality bars ASSERTED (VERDICT r4 item #6): slow or wrong learning
+    # fails loudly, like an accuracy failure
+    inf_ = float("inf")
+
+    def _otf():
+        otf = measure_otf(grow_wall_cap=min(700.0, deadline - time.time()
+                                            - 500.0),
+                          prod_wall_cap=300.0)
+        otf["ok"] = bool(
+            otf.get("learning_overhead_x", inf_) <= 2.0
+            and otf.get("f_mae_vs_oracle", inf_) <= OTF_F_MAE_BOUND
+        )
+        otf["f_mae_bound"] = OTF_F_MAE_BOUND
+        return otf
+
+    block("otf_1k", 1300, _otf)
+    otf = out.get("otf_1k")
+    if not (isinstance(otf, dict) and otf.get("ok")):
+        print(f"OTF FAIL (missing, slow, or inaccurate): {otf}",
+              file=sys.stderr)
+
+    # large-m regime (models are cached in baselines/, so repeat runs
+    # skip the build+solve)
+    block("m_scale", 700, measure_m_scale)
+
+    # snapshot-only accuracy gate at the 10k point (per-atom bounds)
+    def _acc10k():
+        acc10k = accuracy_gate(eng, model, make_system(REPS_10K),
+                               nve_steps=0, reps=REPS_10K)
+        if not acc10k["ok"]:
+            print(f"ACCURACY FAIL (10k): {acc10k}", file=sys.stderr)
+        return acc10k
+
+    block("accuracy_10k", 400, _acc10k)
+
+    # 100k-atom point: 10x the reference's biggest (BCM+LAMMPS 10k)
+    # config, still on ONE chip.  kpad_min 176 = the natural bucket at
+    # this density (r2's 256 cost 32%; ms/step ~linear in the bucket)
+    def _scale100k():
         huge = make_system(REPS_100K)
         runs100 = measure_device_md(eng, model, huge, steps=30, chunk=30,
                                     repeats=3, warmup=15, kpad_min=176)
         v100 = float(np.median(runs100))
-        scale100 = {
+        return {
             "natoms": len(huge),
             "steps_per_sec": round(v100, 3),
             "repeats": [round(float(r), 2) for r in runs100],
             "ms_per_step": round(1000.0 / v100, 1),
         }
-    except Exception as err:
-        scale100 = {"error": repr(err)}
+
+    block("scale_100k", 350, _scale100k)
 
     # 4-species (LGPS-like species count) diffusive point: exercises the
-    # S^2 descriptor blocks and the on-device neighbor rebuild path
-    ms = None
-    try:
+    # S^2 descriptor blocks and the on-device neighbor rebuild path.
+    # kpad_min 256: one bucket above the stationary 224 so no recompile
+    # lands inside a measured repeat (costs ~10% vs the 224 bucket)
+    def _ms():
         eng_ms, model_ms = build_ms_workload()
         big_ms = make_ms_system(NATOMS_REPS)
-        # kpad_min: the melting mixture's neighbor count drifts up for
-        # thousands of steps; the observed stationary bucket is 224, so
-        # pin one bucket above (256) to absorb residual drift — no
-        # recompile/executable-load lands inside a measured repeat
-        # (costs ~10% vs the 224 bucket; repeats went from [23,66,60,22,60]
-        # to [41,55,61,51,63])
         runs_ms = measure_device_md(eng_ms, model_ms, big_ms, steps=400,
                                     chunk=400, warmup=2400, repeats=7,
                                     temperature_K=100, kpad_min=256)
         vms = float(np.median(runs_ms))
         q1, q3 = np.percentile(runs_ms, [25, 75])
-        ms = {
+        return {
             "natoms": len(big_ms),
             "nspecies": 4,
             "steps_per_sec": round(vms, 3),
@@ -771,32 +911,30 @@ def main():
             "repeats": [round(float(r), 2) for r in runs_ms],
             "ms_per_step": round(1000.0 / vms, 3),
         }
-    except Exception as err:
-        ms = {"error": repr(err)}
+
+    block("multispecies_1k", 450, _ms)
 
     # replica-batched walkers: aggregate throughput / MFU of R=16
     # independent 1008-atom Langevin walkers in ONE device program
-    reps = None
-    try:
+    def _reps():
         R = 16
         agg = measure_replicas(eng, model, make_system(NATOMS_REPS), R=R)
         per = agg / R
-        est = mfu(fl, agg)
-        reps = {
+        est_r = mfu(fl, agg)
+        return {
             "replicas": R,
             "aggregate_steps_per_sec": round(agg, 1),
             "per_walker_steps_per_sec": round(per, 1),
-            "est_mfu": round(est, 4) if est else None,
+            "est_mfu": round(est_r, 4) if est_r else None,
         }
-    except Exception as err:
-        reps = {"error": repr(err)}
+
+    block("replicas_1k", 300, _reps)
 
     # BCM committee chunk: per-expert work is one (N, m) MXU covariance
     # pair and the expert-invariant descriptor/gather work hoists out of
     # the vmap, so committees should cost ~nothing on-chip (BASELINE.md
     # round-3 measurement: E=2..5 all within noise of single-model)
-    committee = None
-    try:
+    def _committee():
         import jax
         import jax.numpy as jnp
 
@@ -852,20 +990,19 @@ def main():
             cfgc, ma_c, eng.radii_table(), eng.znum_table(),
             jnp.asarray(np.stack([vsc] * E), dtype=dtc),
             jnp.zeros(E, dtype=dtc), *carr, chem_z, mixL, **ckw))
-        committee = {
+        return {
             "experts": E,
             "steps_per_sec": round(v_com, 1),
             "single_model_steps_per_sec": round(v_one, 1),
             "cost_vs_single": round(v_one / v_com, 3),
         }
-    except Exception as err:
-        committee = {"error": repr(err)}
+
+    block("committee_1k", 250, _committee)
 
     # device-resident NPT (isotropic MTK barostat + virial from the
     # forces' backward pass) and FIRE relaxation: short steady-state
     # windows — these document the capability's throughput class
-    npt = None
-    try:
+    def _npt():
         from autoforce_tpu import units
         from autoforce_tpu.calculator.active import ActiveCalculator
         from autoforce_tpu.md.device_npt import DeviceNPT
@@ -885,13 +1022,12 @@ def main():
         t0 = time.time()
         dyn.run(300)
         v_npt = 300.0 / (time.time() - t0)
-        npt = {"steps_per_sec": round(v_npt, 1),
-               "ms_per_step": round(1000.0 / v_npt, 3)}
-    except Exception as err:
-        npt = {"error": repr(err)}
+        return {"steps_per_sec": round(v_npt, 1),
+                "ms_per_step": round(1000.0 / v_npt, 3)}
 
-    fire = None
-    try:
+    block("npt_1k", 200, _npt)
+
+    def _fire():
         from autoforce_tpu.calculator.active import ActiveCalculator
         from autoforce_tpu.opt.device_fire import DeviceFIRE
 
@@ -905,77 +1041,21 @@ def main():
         t0 = time.time()
         dopt.run(fmax=1e-12, steps=300)
         v_f = 300.0 / (time.time() - t0)
-        fire = {"iters_per_sec": round(v_f, 1)}
-    except Exception as err:
-        fire = {"error": repr(err)}
+        return {"iters_per_sec": round(v_f, 1)}
 
-    # flagship on-the-fly learning at 1008 atoms / 4 species
-    otf = None
-    try:
-        otf = measure_otf()
-    except Exception as err:
-        otf = {"error": repr(err)}
+    block("relax_fire_1k", 160, _fire)
 
-    # large-m regime
-    mscale = None
-    try:
-        mscale = measure_m_scale()
-    except Exception as err:
-        mscale = {"error": repr(err)}
+    # the measured torch/double per-step baseline (cached across runs)
+    def _vs_baseline():
+        base, _fresh = measure_baseline(eng, model, system)
+        return round(ours / base, 2)
 
-    # on-chip accuracy gate (fails loudly; see accuracy_gate docstring)
-    acc = None
-    try:
-        acc = accuracy_gate(eng, model, make_system(NATOMS_REPS))
-        if not acc["ok"]:
-            print(f"ACCURACY FAIL: {acc}", file=sys.stderr)
-    except Exception as err:
-        acc = {"error": repr(err), "ok": False}
+    block("vs_baseline", 120, _vs_baseline)
+    if isinstance(out.get("vs_baseline"), dict):  # error/skip marker
+        out["vs_baseline_note"] = out["vs_baseline"]
+        out["vs_baseline"] = None
 
-    # same gate at the 10k point, snapshot-only (VERDICT r3 item #7:
-    # per-atom bounds must also hold where the absolute bound would
-    # have false-tripped)
-    acc10k = None
-    try:
-        acc10k = accuracy_gate(eng, model, make_system(REPS_10K),
-                               nve_steps=0, reps=REPS_10K)
-        if not acc10k["ok"]:
-            print(f"ACCURACY FAIL (10k): {acc10k}", file=sys.stderr)
-    except Exception as err:
-        acc10k = {"error": repr(err), "ok": False}
-
-    try:
-        base, fresh = measure_baseline(eng, model, system)
-        vs = ours / base
-    except Exception:
-        base, vs = None, None
-
-    est = mfu(fl, ours)
-    out = {
-        "metric": f"Langevin MD steps/sec, {len(system)} atoms, m={model.m} "
-                  "(SGPR SOAP, device-resident MD)",
-        "value": round(ours, 3),
-        "unit": "steps/sec",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "ms_per_step": round(1000.0 / ours, 3),
-        "std_steps_per_sec": round(std, 3),
-        "est_mfu": round(est, 4) if est else None,
-        "flops_per_step": fl,
-        "natoms": len(system),
-        "device": jax.devices()[0].device_kind,
-        "scale_10k": scale,
-        "scale_100k": scale100,
-        "multispecies_1k": ms,
-        "replicas_1k": reps,
-        "committee_1k": committee,
-        "npt_1k": npt,
-        "relax_fire_1k": fire,
-        "otf_1k": otf,
-        "m_scale": mscale,
-        "accuracy": acc,
-        "accuracy_10k": acc10k,
-    }
-    print(json.dumps(out))
+    emit()
 
 
 if __name__ == "__main__":

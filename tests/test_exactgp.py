@@ -111,3 +111,46 @@ def test_exactgp_with_kernel_expr():
                                             forces=r.f, stress=r.s))
     C2 = gp2.covariance()
     np.testing.assert_allclose(C1, C2, atol=1e-12)
+
+
+def test_exactgp_predictive_variance():
+    """Posterior variance (VERDICT r4 stretch): near-zero on training
+    structures, larger on a strongly displaced probe, and exactly
+    k(x,x) - k_xX (C+noise)^-1 k_Xx against a hand-built dense solve
+    (reference exact forward's predictive distribution,
+    gppotential.py:274-305)."""
+    eng = make_engine()
+    lj = LennardJones(epsilon=0.15, sigma=2.3, rc=3.2)
+    gp = ExactGP(eng, noise_e=1e-4, noise_f=1e-4)
+    systems = []
+    for k in range(3):
+        s = bulk_fcc("Cu", 3.6)
+        s.rattle(0.08, seed=400 + k)
+        s.calc = lj
+        systems.append(s)
+    for s in systems[:2]:
+        gp.add_data(DataRecord.from_system(s))
+    gp.fit()
+
+    e_tr, f_tr, ve_tr, vf_tr = gp.predict(systems[0], return_var=True)
+    far = systems[2].copy()
+    far.rattle(0.4, seed=9)
+    far.calc = lj
+    e_fr, f_fr, ve_fr, vf_fr = gp.predict(far, return_var=True)
+    assert ve_tr >= 0 and (vf_tr >= 0).all()
+    # seen data: variance collapses toward the noise scale
+    assert ve_fr > 10 * max(ve_tr, 1e-12), (ve_tr, ve_fr)
+    assert vf_fr.mean() > 10 * max(vf_tr.mean(), 1e-12)
+
+    # analytic cross-check on the energy variance of the far probe
+    cfg = eng.make_config(far)
+    C = gp.covariance() + np.diag(gp.noise_diag())
+    k_self = np.asarray(gp._blocks(cfg, cfg)[0])
+    k_row = np.zeros(len(gp.alpha))
+    for j, rj in enumerate(gp.data):
+        ee, ef, _fe, _ff = gp._blocks(cfg, rj.cfg)
+        o = gp._ofs[j]
+        k_row[o] = ee
+        k_row[o + 1: o + 1 + 3 * rj.natoms] = ef[: rj.natoms].reshape(-1)
+    var_ref = float(k_self - k_row @ np.linalg.solve(C, k_row))
+    np.testing.assert_allclose(ve_fr, var_ref, rtol=1e-8, atol=1e-10)

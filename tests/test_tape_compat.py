@@ -128,3 +128,68 @@ def test_writer_emits_reference_format(tmp_path):
     back = SgprTape(path).read()
     assert [k for k, _ in back] == ["params", "local", "atoms"]
     np.testing.assert_allclose(back[1][1].rvec, rvec, atol=5e-8)
+
+
+def test_include_tape_species_growth_mid_stream(tmp_path, monkeypatch):
+    """ADVICE r4 (high): a tape that introduces a NEW species after
+    inducing/data were already committed must flush the pending LCE
+    batch at the OLD species table BEFORE growing it — staging pended
+    LCEs post-growth while model.X/data cfgs are pre-growth raised a
+    descriptor-dimension mismatch (or computed wrong kernel columns)."""
+    monkeypatch.chdir(tmp_path)
+    from autoforce_tpu.calculator.active import ActiveCalculator
+    from autoforce_tpu.calculator.oracles import MixtureLennardJones
+    from autoforce_tpu.io.tape import SgprTape
+    from autoforce_tpu.regression.sgpr import InducingEnv
+    from autoforce_tpu.system import SinglePointCalculator, bulk_fcc
+
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "grow.sgpr")
+    tape = SgprTape(path)
+    oracle = MixtureLennardJones(
+        {(29, 29): 0.15, (47, 47): 0.12, (79, 79): 0.13},
+        {(29, 29): 2.3, (47, 47): 2.6, (79, 79): 2.5}, rc=4.0,
+    )
+
+    def frame(numbers_patch):
+        s = bulk_fcc("Cu", 3.6).repeat((2, 1, 1))
+        for i, z in numbers_patch.items():
+            s.numbers[i] = z
+        s.rattle(0.06, seed=int(rng.integers(1000)))
+        s.calc = oracle
+        s.calc = SinglePointCalculator(
+            s, energy=s.get_potential_energy(), forces=s.get_forces()
+        )
+        return s
+
+    def env(z, nbr):
+        rv = rng.normal(0, 1.4, (6, 3))
+        return InducingEnv.from_arrays(z, rv, np.full(6, nbr))
+
+    # stage 1: pure Cu inducing + data committed
+    tape.write(env(29, 29))
+    tape.write(env(29, 29))
+    tape.write(frame({}))
+    # stage 2: Ag appears in LCE blocks (grows the table mid-stream,
+    # with a PENDING Cu LCE in the same batch)
+    tape.write(env(29, 29))
+    tape.write(env(47, 29))
+    tape.write(frame({0: 47}))
+    # stage 3: a third species (3+-species tapes were the ADVICE case)
+    tape.write(env(79, 47))
+    tape.write(frame({0: 47, 3: 79}))
+
+    calc = ActiveCalculator(
+        covariance=None, calculator=None, logfile=None, pckl=None,
+        tape=None, kernel_kw=dict(cutoff=4.0, lmax=2, nmax=2),
+        noise_f=0.01,
+    )
+    calc.include_tape(path)  # raised ValueError (shape mismatch) before
+    assert sorted(calc.engine.species) == [29, 47, 79]
+    ndata, m = calc.size
+    assert ndata >= 2 and m >= 3
+    # model serves finite physics on a 3-species probe
+    s = frame({0: 47, 3: 79}).copy()
+    s.calc = calc
+    assert np.isfinite(s.get_potential_energy())
+    assert np.isfinite(s.get_forces()).all()
