@@ -906,8 +906,18 @@ class SgprModel:
             for i, rec in enumerate(self.data):
                 key = (rec.cfg.positions.shape, rec.cfg.nbr_idx.shape)
                 groups.setdefault(key, []).append(i)
-            for idxs in groups.values():
-                for chunk, padded in _pow2_chunks(idxs, cap=32):
+            for key, idxs in groups.items():
+                # HBM-aware config-batch cap: the env x config vmapped
+                # jvp materializes O(B * cap * npad * nlm^2) padded temps
+                # (measured r5 on-chip at the flagship 1024-atom /
+                # 16-config / 8-env point: 18.9 GB vs 15.75 GB HBM, 16x
+                # tile-padding expansion).  Bound B*cap*npad ~ 32k atom
+                # rows; the round-trip count rises from 1 to ~4 per
+                # group at flagship scale -- still 8x fewer than the
+                # per-candidate dispatches this path replaced.
+                npad_g = int(key[0][0])
+                cap = min(32, max(1, 32768 // max(B * npad_g, 1)))
+                for chunk, padded in _pow2_chunks(idxs, cap=cap):
                     cfg_list = [self.data[i].cfg for i in padded]
                     keb, kfb, kvb = device_fetch(*eng.kernel_cols_multi(
                         cfg_list, descs, nums, lones, x_pds=pd, x_pms=pm
@@ -944,8 +954,12 @@ class SgprModel:
         for i, rec in enumerate(self.data):
             key = (rec.cfg.positions.shape, rec.cfg.nbr_idx.shape)
             groups.setdefault(key, []).append(i)
-        for idxs in groups.values():
-            for chunk, padded in _pow2_chunks(idxs, cap=32):
+        for key, idxs in groups.items():
+            # HBM-aware cap (see precompute_column_blocks): bound
+            # cap * npad so the vmapped jvp temps fit on-chip
+            npad_g = int(key[0][0])
+            cap = min(32, max(1, 32768 // max(npad_g, 1)))
+            for chunk, padded in _pow2_chunks(idxs, cap=cap):
                 cfg_list = [self.data[i].cfg for i in padded]
                 ke, kf, kv = device_fetch(*self.engine.kernel_col_batch(
                     cfg_list, env.desc, env.number, env.lone,
