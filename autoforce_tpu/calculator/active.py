@@ -25,7 +25,7 @@ import numpy as np
 from .. import units
 from ..descriptor.radial import DefaultRadii
 from ..descriptor.soap import SoapParams
-from ..engine import Engine, voigt6
+from ..engine import Engine, device_fetch, voigt6
 from ..io.tape import SgprTape
 from ..neighbors import VerletNeighborCache, neighbor_table, round_up
 from ..regression.sgpr import DataRecord, InducingEnv, SgprModel
@@ -449,10 +449,10 @@ class ActiveCalculator:
 
     def _get_desc(self):
         if self._desc is None:
-            p, lone = self.engine.descriptors(self.cfg)
             n = len(self.system)
-            self._desc = np.asarray(p)[:n]
-            self._lone = np.asarray(lone)[:n]
+            p, lone = device_fetch(*self.engine.descriptors(self.cfg))
+            self._desc = p[:n]
+            self._lone = lone[:n]
         return self._desc
 
     def _host_alpha(self):
@@ -834,11 +834,13 @@ class ActiveCalculator:
         self.model.make_munu()
 
     def _fast_ef(self):
-        """Energy/forces under the current mu (one device pass)."""
+        """Energy/forces under the current mu (one device pass, ONE
+        host pull — float(e) then np.asarray(f) would sync twice)."""
         ma = self.model.full_model_arrays()
         vs = self.model.vscale_for(np.asarray(self.cfg.numbers))
         e, f, *_ = self.engine.predict(self.cfg, ma, vs)
-        return float(e), np.asarray(f)[: len(self.system)]
+        e, f = device_fetch(e, f)
+        return float(e), f[: len(self.system)]
 
     def add_1atoms_fast(self, rec):
         """Accept/reject a structure by Δprediction (gppotential.py:888-940)."""

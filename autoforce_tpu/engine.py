@@ -887,18 +887,26 @@ class Engine:
                           x_pds=None, x_pms=None):
         """(ke, kf, kv) of a BATCH of inducing envs against a list of
         same-bucket configurations in ONE device dispatch; output axes
-        (env, config, ...) — see kernel_cols_multi_fn."""
+        (env, config, ...) — see kernel_cols_multi_fn.
+
+        x_descs / x_lones may be DEVICE arrays (e.g. fresh staging
+        outputs): they are consumed asynchronously, without a host sync,
+        so callers can chain staging -> columns -> one device_fetch."""
         if self.pair_terms and x_pds is None:
             B = len(x_nums)
             x_pds = np.zeros((B, len(self.pair_terms), self.pair_kx))
             x_pms = np.zeros(x_pds.shape, dtype=bool)
         chem_z, mixL = self.chem_args()
         cfgs = jax.tree.map(lambda *xs: jnp.stack(xs), *cfg_list)
+        if not isinstance(x_descs, jax.Array):
+            x_descs = np.asarray(x_descs)
+        if not isinstance(x_lones, jax.Array):
+            x_lones = np.asarray(x_lones, dtype=bool)
         return kernel_cols_multi_fn(
             cfgs,
-            jnp.asarray(np.asarray(x_descs), dtype=self.dtype),
+            jnp.asarray(x_descs, dtype=self.dtype),
             jnp.asarray(np.asarray(x_nums, dtype=np.int32)),
-            jnp.asarray(np.asarray(x_lones, dtype=bool)),
+            jnp.asarray(x_lones),
             self.radii_table(), self.params, self.exponent,
             znum=self.znum_table(), pair_terms=self.pair_terms,
             x_pds=jnp.asarray(x_pds, dtype=self.dtype) if x_pds is not None else None,

@@ -843,17 +843,51 @@ class SgprModel:
 
     def precompute_column_blocks(self, envs):
         """Stage + compute _column_blocks for SEVERAL candidate envs in
-        one batched device dispatch per config bucket and one host pull
-        per output array.  The greedy sampling loop stages a lookahead
-        batch of argmax-β candidates anyway (update_inducing); computing
-        their data columns in the same round trip removes the dominant
-        per-candidate tunnel cost of the flagship on-the-fly run
-        (round-4 profile: ~0.25 s × 560 candidates in dispatch+pull)."""
+        ONE host round trip total.  The greedy sampling loop stages a
+        lookahead batch of argmax-β candidates anyway (update_inducing);
+        the descriptor staging outputs feed the column dispatches as
+        DEVICE arrays (no intermediate pull), every dispatch is enqueued
+        asynchronously, and a single device_fetch at the end pulls the
+        staged descriptors plus all column chunks together.  On the
+        remote-TPU tunnel each synchronous pull costs ~164 ms regardless
+        of size (round-4 profile), so the flagship lookahead batch drops
+        from ~5 round trips (1 staging + ~4 HBM-capped column chunks) to
+        exactly 1 — the dominant cost of unsaturated on-the-fly
+        production (round-5 study: sampling = ~80% of production wall,
+        mostly dispatch+pull latency, not math)."""
+        import jax.numpy as jnp
+
         envs = [e for e in envs if e is not None]
         if not envs:
             return
-        self.stage_envs(envs)
+        eng = self.engine
+        # -- enqueue descriptor staging (async device arrays, no pull) --
+        todo = [e for e in envs if e.desc is None]
+        staged_dev = []  # (chunk, p_dev, lone_dev)
+        for chunk, batch in _pow2_chunks(todo, cap=256):
+            ev = eng.make_envs([(e.rvec, e.numbers) for e in batch])
+            p_dev, lone_dev = eng.env_descriptors(ev)
+            staged_dev.append((chunk, p_dev, lone_dev))
+        devrow = {}
+        for ci, (chunk, _p, _l) in enumerate(staged_dev):
+            for ri, e in enumerate(chunk):
+                devrow[id(e)] = (ci, ri)
+
+        def _finish_staging(bufs):
+            # bufs alternate (p, lone) per staged chunk, already host-side
+            for (chunk, _p, _l), p, lone in zip(
+                    staged_dev, bufs[0::2], bufs[1::2]):
+                p = p.astype(np.float64)
+                for i, e in enumerate(chunk):
+                    e.desc = p[i]
+                    e.lone = bool(lone[i])
+
         if self.ndata == 0:
+            if staged_dev:
+                flat = []
+                for _c, p, l in staged_dev:
+                    flat += [p, l]
+                _finish_staging(device_fetch(*flat))
             return
         if getattr(self, "_colcache", None) is None:  # pre-round-4 pickles
             self._colcache = {}
@@ -873,66 +907,90 @@ class SgprModel:
         )
         if cache_bytes > 256 * 1024 * 1024 or len(self._colcache) > 256:
             self._colcache.clear()
-        eng = self.engine
         if eng.pair_terms:
             from ..pairkernels import stage_env_pairs
 
             for e in envs:
                 eng.grow_pair_kx(e)
             kx = eng.pair_kx
-            staged = [stage_env_pairs(e, eng.pair_terms, kx) for e in envs]
-            x_pds = np.stack([s[0] for s in staged])
-            x_pms = np.stack([s[1] for s in staged])
+            # host-only inputs (rvec/numbers) — valid for unstaged envs
+            pstage = [stage_env_pairs(e, eng.pair_terms, kx) for e in envs]
+            x_pds = np.stack([s[0] for s in pstage])
+            x_pms = np.stack([s[1] for s in pstage])
         else:
             x_pds = x_pms = None
+
+        def _desc_row(e):
+            if e.desc is not None:
+                return jnp.asarray(np.asarray(e.desc), dtype=eng.dtype)
+            ci, ri = devrow[id(e)]
+            return staged_dev[ci][1][ri]
+
+        def _lone_row(e):
+            if e.desc is not None:
+                return jnp.asarray(bool(e.lone))
+            ci, ri = devrow[id(e)]
+            return staged_dev[ci][2][ri]
+
         n = self.ndata
         fp = self._data_fp()
+        groups: dict = {}
+        for i, rec in enumerate(self.data):
+            key = (rec.cfg.positions.shape, rec.cfg.nbr_idx.shape)
+            groups.setdefault(key, []).append(i)
         # FIXED env-batch shape (B=8, the greedy lookahead size): a pow2
         # ladder of env batches would pay one ~20-60 s remote compile per
         # size on the tunnel TPU; padding small batches wastes only MXU
         # flops
+        pending = []  # (echunk, data-chunk) per enqueued column dispatch
+        flat = []  # device arrays for the single fetch, staging first
+        for _c, p, l in staged_dev:
+            flat += [p, l]
         for echunk, epad in _fixed_chunks(list(range(len(envs))), 8):
             ev = [envs[i] for i in epad]
-            descs = np.stack([e.desc for e in ev])
+            descs = jnp.stack([_desc_row(e) for e in ev])
+            lones = jnp.stack([_lone_row(e) for e in ev])
             nums = [e.number for e in ev]
-            lones = [bool(e.lone) for e in ev]
             pd = x_pds[epad] if x_pds is not None else None
             pm = x_pms[epad] if x_pms is not None else None
             B = len(ev)
-            ke = np.zeros((B, n))
-            kf: list = [[None] * n for _ in range(B)]
-            kv: list = [[None] * n for _ in range(B)]
-            groups: dict = {}
-            for i, rec in enumerate(self.data):
-                key = (rec.cfg.positions.shape, rec.cfg.nbr_idx.shape)
-                groups.setdefault(key, []).append(i)
             for key, idxs in groups.items():
                 # HBM-aware config-batch cap: the env x config vmapped
                 # jvp materializes O(B * cap * npad * nlm^2) padded temps
                 # (measured r5 on-chip at the flagship 1024-atom /
                 # 16-config / 8-env point: 18.9 GB vs 15.75 GB HBM, 16x
                 # tile-padding expansion).  Bound B*cap*npad ~ 32k atom
-                # rows; the round-trip count rises from 1 to ~4 per
-                # group at flagship scale -- still 8x fewer than the
-                # per-candidate dispatches this path replaced.
+                # rows.  The chunks all ride the SINGLE fetch below, so
+                # the cap costs compile-bucket variety, not round trips.
                 npad_g = int(key[0][0])
                 cap = min(32, max(1, 32768 // max(B * npad_g, 1)))
                 for chunk, padded in _pow2_chunks(idxs, cap=cap):
                     cfg_list = [self.data[i].cfg for i in padded]
-                    keb, kfb, kvb = device_fetch(*eng.kernel_cols_multi(
+                    keb, kfb, kvb = eng.kernel_cols_multi(
                         cfg_list, descs, nums, lones, x_pds=pd, x_pms=pm
-                    ))
-                    for j, i in enumerate(chunk):
-                        rec = self.data[i]
-                        for bi in range(B):
-                            ke[bi, i] = keb[bi, j]
-                            kf[bi][i] = kfb[bi, j][: rec.natoms].reshape(-1)
-                            kv[bi][i] = voigt6(kvb[bi, j])
-            for bi, i in enumerate(echunk):
-                e = envs[i]
-                self._colcache[id(e)] = (
-                    e, fp, (list(ke[bi]), kf[bi], kv[bi])
-                )
+                    )
+                    pending.append((echunk, chunk))
+                    flat += [keb, kfb, kvb]
+        # -- the ONE host round trip: staging + every column chunk -----
+        bufs = device_fetch(*flat)
+        _finish_staging(bufs[: 2 * len(staged_dev)])
+        ke_all = {i: np.zeros(n) for i in range(len(envs))}
+        kf_all: dict = {i: [None] * n for i in range(len(envs))}
+        kv_all: dict = {i: [None] * n for i in range(len(envs))}
+        o = 2 * len(staged_dev)
+        for echunk, chunk in pending:
+            keb, kfb, kvb = bufs[o], bufs[o + 1], bufs[o + 2]
+            o += 3
+            for j, i in enumerate(chunk):
+                rec = self.data[i]
+                for bi, eidx in enumerate(echunk):
+                    ke_all[eidx][i] = keb[bi, j]
+                    kf_all[eidx][i] = kfb[bi, j][: rec.natoms].reshape(-1)
+                    kv_all[eidx][i] = voigt6(kvb[bi, j])
+        for eidx, e in enumerate(envs):
+            self._colcache[id(e)] = (
+                e, fp, (list(ke_all[eidx]), kf_all[eidx], kv_all[eidx])
+            )
 
     def _column_blocks(self, env: InducingEnv, x_pd, x_pm):
         """(Ke, Kf, Kv) column entries of one env against ALL data records.

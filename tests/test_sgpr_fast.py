@@ -290,3 +290,50 @@ def test_precomputed_column_blocks_match_direct(variant):
     x_pd, x_pm = model.engine.env_pair_data(env)
     blocks = model._column_blocks(env, x_pd, x_pm)
     assert len(blocks[0]) == model.ndata  # recomputed vs the grown data
+
+
+@pytest.mark.parametrize("variant", ["default", "pair"])
+def test_precompute_column_blocks_single_fetch(variant, monkeypatch):
+    """The fused precompute pipeline (staging -> device desc rows ->
+    column dispatches) costs exactly ONE device_fetch round trip — the
+    unit of cost on the remote-TPU tunnel (~164 ms/pull regardless of
+    payload) — even with a mix of staged and unstaged candidate envs,
+    and produces the same staged descriptors as the per-env path."""
+    from autoforce_tpu.regression import sgpr as sgpr_mod
+
+    model = _trained_model(variant)
+    envs = _candidates(5, start_seed=120)
+    # pre-stage two of them through the per-env path (the reference desc)
+    model.stage_env(envs[1])
+    model.stage_env(envs[3])
+    ref_desc = {i: envs[i].desc.copy() for i in (1, 3)}
+
+    calls = []
+    real_fetch = sgpr_mod.device_fetch
+
+    def counting_fetch(*arrays):
+        calls.append(len(arrays))
+        return real_fetch(*arrays)
+
+    monkeypatch.setattr(sgpr_mod, "device_fetch", counting_fetch)
+    model.precompute_column_blocks(envs)
+    assert len(calls) == 1, f"expected 1 host pull, got {len(calls)}"
+    monkeypatch.undo()
+
+    # staging outputs from the fused pull == the per-env staging path
+    for i, env in enumerate(envs):
+        assert env.desc is not None and env.lone is not None
+    fresh = _candidates(5, start_seed=120)
+    model.stage_envs(fresh)
+    for env, f in zip(envs, fresh):
+        np.testing.assert_allclose(env.desc, f.desc, rtol=1e-12, atol=0)
+        assert env.lone == f.lone
+    for i in (1, 3):
+        np.testing.assert_allclose(envs[i].desc, ref_desc[i], rtol=0, atol=0)
+    # and the cached blocks equal a direct recompute
+    x_pd, x_pm = model.engine.env_pair_data(envs[0])
+    got = model._column_blocks(envs[0], x_pd, x_pm)
+    ref = model._column_blocks(envs[0], x_pd, x_pm)
+    np.testing.assert_allclose(got[0], ref[0], rtol=1e-10, atol=1e-12)
+    for a, b in zip(got[1], ref[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
