@@ -93,7 +93,8 @@ def make_energy_lml(expr, P, Z, mask, y, noise_e=1e-3):
     return jax.jit(jax.value_and_grad(lambda q: neg_lml(tuple(q))))
 
 
-def make_ef_lml(expr, engine, records, means, noise_e=1e-3, noise_f=0.05):
+def make_ef_lml(expr, engine, records, means, noise_e=1e-3, noise_f=0.05,
+                Y=None):
     """Jitted (negative LML, grad) of the exact GP over [energy; FORCE]
     targets as a function of the flat kernel parameter vector — the
     reference's full marginal likelihood (gppotential.py:344-371 builds
@@ -107,7 +108,17 @@ def make_ef_lml(expr, engine, records, means, noise_e=1e-3, noise_f=0.05):
     exactgp.cross_kernel_blocks, re-derived here with the kernel
     parameters TRACED (cross_kernel_blocks bakes them static), so one
     ``jax.grad`` serves the scipy L-BFGS loop.  O((sum 1+3N)^3) — meant
-    for the offline HPO surface at modest data counts."""
+    for the offline HPO surface at modest data counts.
+
+    ``Y``: optional (total, R) matrix of R INDEPENDENT target
+    realizations sharing the covariance (rows in record order:
+    [e_i; f_i...] per record, mean already removed).  The objective is
+    then the mean per-realization negative LML, whose minimizer's
+    sampling variance shrinks ~1/R — the statistically stable way to
+    test/calibrate hyperparameter identifiability (a single draw's MLE
+    of a length scale scatters tens of percent at small row counts).
+    When omitted, the records' own (e, f) targets form the single
+    realization, matching the reference objective exactly."""
     import jax
     import jax.numpy as jnp
 
@@ -125,7 +136,17 @@ def make_ef_lml(expr, engine, records, means, noise_e=1e-3, noise_f=0.05):
         y[o + 1: o + 1 + 3 * natoms[i]] = np.asarray(rec.f).reshape(-1)
         noise[o] = noise_e ** 2 * natoms[i]
         noise[o + 1: o + 1 + 3 * natoms[i]] = noise_f ** 2
-    y_j = jnp.asarray(y)
+    if Y is None:
+        y_j = jnp.asarray(y)
+        nreal = 1
+    else:
+        Y = np.asarray(Y, dtype=np.float64)
+        if Y.shape[0] != total:
+            raise ValueError(
+                f"Y rows ({Y.shape[0]}) != target rows ({total})"
+            )
+        y_j = jnp.asarray(Y.reshape(total, -1))
+        nreal = y_j.shape[1]
     noise_j = jnp.asarray(noise)
     cov = ef_covariance_fn(expr, engine, records)
 
@@ -134,7 +155,7 @@ def make_ef_lml(expr, engine, records, means, noise_e=1e-3, noise_f=0.05):
         L = jnp.linalg.cholesky(C)
         alpha = jax.scipy.linalg.cho_solve((L, True), y_j)
         logdet = 2.0 * jnp.log(jnp.diag(L)).sum()
-        return 0.5 * (precise_sum(y_j * alpha) + logdet
+        return 0.5 * (precise_sum(y_j * alpha) / nreal + logdet
                       + total * jnp.log(2.0 * jnp.pi))
 
     return jax.jit(jax.value_and_grad(lambda q: neg_lml(tuple(q))))
@@ -212,15 +233,16 @@ def ef_covariance_fn(expr, engine, records):
 
 
 def optimize_expr_ef(expr, engine, records, means, noise_e=1e-3,
-                     noise_f=0.05, maxiter=60):
-    """L-BFGS on the force-aware LML (see make_ef_lml)."""
+                     noise_f=0.05, maxiter=60, Y=None):
+    """L-BFGS on the force-aware LML (see make_ef_lml; ``Y`` forwards
+    the optional multi-realization target matrix)."""
     from scipy.optimize import minimize
 
     x0 = np.asarray(expr.params(), dtype=np.float64)
     if x0.size == 0:
         return expr, None
     vg = make_ef_lml(expr, engine, records, means, noise_e=noise_e,
-                     noise_f=noise_f)
+                     noise_f=noise_f, Y=Y)
 
     def f(x):
         v, g = vg(tuple(float(t) for t in x))

@@ -227,13 +227,18 @@ def test_active_calculator_kernel_hpo_hook(tmp_path, monkeypatch):
 def test_force_aware_lml_identifies_lengthscale():
     """VERDICT r4 item #7: force targets identify a kernel length scale
     that the energy-only objective cannot.  Ground truth: sample
-    y ~ N(0, C_ef(g_true) + noise) from the FULL [E; F] covariance
-    (the reference full marginal likelihood, gppotential.py:344-371),
-    hand the slices to records, and recover g_true with the force-aware
-    LML to < 1% (measured: 1.1954 vs 1.2).  The energy channel's
-    identifying information is then DELETED (y_e := 0): an energy-only
-    objective has nothing left to identify g with and its optimum lands
-    far off, while the forces still pin it."""
+    Y ~ N(0, C_ef(g_true) + noise) from the FULL [E; F] covariance
+    (the reference full marginal likelihood, gppotential.py:344-371)
+    and recover g_true with the force-aware LML.  A SINGLE draw's MLE
+    of the length scale scatters tens of percent at 39 target rows
+    (measured across seeds: 0.81/1.46/1.19 for g_true=1.2), so the
+    recovery assertion uses R=32 independent realizations through
+    make_ef_lml's multi-realization Y — the minimizer's sampling
+    variance shrinks ~1/R and the 10% bound is then a property of the
+    objective, not of one lucky draw.  The energy channel's identifying
+    information is then DELETED (y_e := 0): an energy-only objective
+    has nothing left to identify g with and its optimum lands far off,
+    while the forces still pin it."""
     from autoforce_tpu.kernelalgebra import inv_softplus
     from autoforce_tpu.regression.hpo import (
         ef_covariance_fn, make_ef_lml, optimize_expr_ef,
@@ -262,7 +267,8 @@ def test_force_aware_lml_identifies_lengthscale():
         nz[ofs[i] + 1: ofs[i + 1]] = noise_f ** 2
     rng = np.random.default_rng(5)
     L = np.linalg.cholesky(C + np.diag(nz) + 1e-12 * np.eye(len(C)))
-    y = L @ rng.normal(size=len(C))
+    Y = L @ rng.normal(size=(len(C), 32))
+    y = Y[:, 0]
     for i, r in enumerate(records):
         r.e = float(y[ofs[i]])
         r.f = y[ofs[i] + 1: ofs[i + 1]].reshape(r.natoms, 3).copy()
@@ -270,7 +276,7 @@ def test_force_aware_lml_identifies_lengthscale():
     means = np.zeros(len(records))
     g0 = 0.25  # start well off the truth
     new_f, res_f = optimize_expr_ef(_gamma_expr(g0), eng, records, means,
-                                    noise_e=noise_e, noise_f=noise_f)
+                                    noise_e=noise_e, noise_f=noise_f, Y=Y)
     g_f = float(softplus(np.asarray(new_f.params())[0], np))
     assert abs(g_f - g_true) / g_true < 0.1, (g_f, g_true)
 
