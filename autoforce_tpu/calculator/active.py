@@ -843,22 +843,49 @@ class ActiveCalculator:
         return float(e), f[: len(self.system)]
 
     def add_1atoms_fast(self, rec):
-        """Accept/reject a structure by Δprediction (gppotential.py:888-940)."""
+        """Accept/reject a structure by Δprediction (gppotential.py:888-940).
+
+        The Δ is computed HOST-side from the record's own kernel rows:
+        rec is a snapshot of the current system, so Ke/Kf rows appended
+        by add_data ARE the energy/force kernels of the current
+        configuration — e = ke_row @ mu, f = kf_rows @ mu is the same
+        math as two device predict passes (round-5 profile: the two
+        _fast_ef dispatches + the re-solve on reject were ~1 s of every
+        ~1.9 s trial data-add at flagship scale, 29 trials per 30
+        production steps for 2 accepts).  A rejected trial restores the
+        pre-add solve from a snapshot instead of re-solving."""
         model = self.model
         if model.ndata == 0:
             model.add_data(rec)
             return 1, inf, inf
         fdiff = self.fdiff
         use_forces = fdiff < inf
-        e1, f1 = self._fast_ef()
+        mu1 = np.asarray(model.mu, dtype=np.float64)
+        host_ok = (
+            model.m > 0
+            and len(mu1) == model.m
+            and model.choli.shape == (model.m, model.m)
+        )
+        snap = model.solve_snapshot() if host_ok else None
+        if not host_ok:
+            e1, f1 = self._fast_ef()
         model.add_data(rec)
-        e2, f2 = self._fast_ef()
+        if host_ok:
+            nf = 3 * rec.natoms
+            ke_row = np.asarray(model.Ke[-1], dtype=np.float64)
+            kf_rows = np.asarray(model.Kf[-nf:], dtype=np.float64)
+            mu2 = np.asarray(model.mu, dtype=np.float64)
+            e1 = float(ke_row @ mu1)
+            e2 = float(ke_row @ mu2)
+            d = kf_rows @ (mu2 - mu1) if use_forces else None
+        else:
+            e2, f2 = self._fast_ef()
+            d = (f2 - f1).reshape(-1) if use_forces else None
         de = abs(e1 - e2)
         df = 0.0
         if not use_forces:
             reject = de < self.ediff_tot
         else:
-            d = (f2 - f1).reshape(-1)
             df = np.abs(d).mean()
             df_max = np.abs(d).max()
             # Normal-logprob test: mean log N(d;0,fdiff) > log N(fdiff;0,fdiff)
@@ -866,7 +893,11 @@ class ActiveCalculator:
             reject = (d * d).mean() < fdiff**2 and df_max < 3 * fdiff
         blind = abs(e1) < 1e-8 and abs(e2) < 1e-8
         if reject and not blind:
-            model.pop_1data()
+            if snap is not None:
+                model.pop_1data(remake=False)
+                model.restore_solve(snap)
+            else:
+                model.pop_1data()
             return 0, de, df
         return 1, de, df
 

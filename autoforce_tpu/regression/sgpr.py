@@ -351,8 +351,23 @@ class SgprModel:
         return self._fvqr
 
     def _fvqr_K(self):
-        """The stacked (n, m) fv covariance block, canonical row order."""
-        return np.concatenate([self.Kf, self.Kv], axis=0)
+        """The stacked (n, m) fv covariance block, canonical row order.
+
+        Cached by ARRAY IDENTITY of (Kf, Kv): every mutation replaces
+        those arrays wholesale (concatenate/slice — verified no in-place
+        writes anywhere), so `is`-identity of the held references is an
+        exact staleness test (unlike the id()-tuple trap of round 4, the
+        strong refs keep the ids from being reused).  Rebuilding this
+        stack per call was pure memory churn — round-5 flagship profile:
+        458 calls x ~26 ms = 12 s of a 155 s production segment, each a
+        ~140 MB concatenate."""
+        cache = getattr(self, "_kfv_cache", None)
+        if (cache is not None and cache[0] is self.Kf
+                and cache[1] is self.Kv):
+            return cache[2]
+        K = np.concatenate([self.Kf, self.Kv], axis=0)
+        self._kfv_cache = (self.Kf, self.Kv, K)
+        return K
 
     def _fvqr_chain_step(self, qr, keep_prev=False):
         if not keep_prev:
@@ -1126,6 +1141,54 @@ class SgprModel:
         if remake:
             self.make_munu()
 
+    def solve_snapshot(self):
+        """Copy of everything make_munu computes — for EXACT restore
+        after a rejected trial data-add (add_1atoms_fast): add_data +
+        pop_1data returns the data list to byte-identical content, so
+        restoring the previous solve is equivalent to (and ~0.2 s/trial
+        cheaper at flagship m than) the re-solve the reference performs
+        (gppotential.py:888-940)."""
+        return dict(
+            mu=np.array(self.mu, copy=True),
+            choli=np.array(self.choli, copy=True),
+            ridge=self.ridge,
+            noise_state=dict(self.noise_state),
+            scaled_noise=dict(self.scaled_noise),
+            mean_weights=dict(self.mean_weights),
+            stats=dict(self.stats) if self.stats else self.stats,
+            vscale=dict(self.vscale),
+            indu_counts=dict(getattr(self, "indu_counts", {})),
+            sqr=self._sqr,
+            m=self.m,
+        )
+
+    def restore_solve(self, snap):
+        """Restore a solve_snapshot taken at the same (X, data) content.
+        Caller contract: the model's kernel matrices and data/X lists
+        must be byte-identical to snapshot time (e.g. after an
+        add_data + pop_1data round trip)."""
+        if snap["m"] != self.m:
+            self.make_munu()
+            return
+        self.mu = snap["mu"]
+        self.choli = snap["choli"]
+        self.ridge = snap["ridge"]
+        self.noise_state = snap["noise_state"]
+        self.scaled_noise = snap["scaled_noise"]
+        self.mean_weights = snap["mean_weights"]
+        self.stats = snap["stats"]
+        self.vscale = snap["vscale"]
+        self.indu_counts = snap["indu_counts"]
+        sqr = snap["sqr"]
+        if sqr is not None and sqr.get("m") == self.m:
+            # content-identical model state: the factor is valid again;
+            # re-stamp the version counters it is checked against
+            sqr["sv"] = self.state_version
+            sqr["tv"] = self.target_version
+        self._sqr = sqr
+        self._model_arrays = None
+        self._bordered_sv = None  # never launder incremental covloss
+
     def pop_1data(self, remake=True, first=False):
         if not self.data:
             return
@@ -1314,9 +1377,7 @@ class SgprModel:
             qr = self._fvqr_retarget(y_fv)
         if not (qr is not None and qr["fp"] == fp
                 and qr["R"].shape[1] == self.m):
-            qr = self._fvqr_build(
-                np.concatenate([self.Kf, self.Kv], axis=0), y_fv
-            )
+            qr = self._fvqr_build(self._fvqr_K(), y_fv)
         seed = (qr["R"], qr["z"]) if qr is not None else None
         res = solver.solve_sgpr(
             self.M, self.Ke, self.Kf, self.Kv,
@@ -1358,16 +1419,18 @@ class SgprModel:
         zlist, C = self.species_count_matrix()
         wvec = np.array([self.mean_weights[z] for z in zlist]) if zlist else np.zeros(0)
         mean_e = C @ wvec if len(zlist) else np.zeros(len(energies))
-        y = np.concatenate([energies - mean_e, forces, virials])
-        K = np.concatenate([self.Ke, self.Kf, self.Kv], axis=0)
-        yy = K @ self.mu
+        # NO stacked-K concatenate here: this runs once per accepted
+        # inducing candidate (via the incremental commits), and the
+        # (n, m) copy was pure churn — predict each block directly,
+        # reusing the identity-cached [Kf; Kv] stack
+        yy_e = self.Ke @ self.mu
+        yy_fv = self._fvqr_K() @ self.mu
         n = self.ndata
         natoms = np.array([rec.natoms for rec in self.data], dtype=np.float64)
-        diff = yy - y
-        ediff = diff[:n] / natoms
-        fdiff = diff[n:]
-        yv = y[n:]
-        ss_res = ((yv - yy[n:]) ** 2).sum()
+        ediff = (yy_e - (energies - mean_e)) / natoms
+        yv = np.concatenate([forces, virials])
+        fdiff = yy_fv - yv
+        ss_res = (fdiff ** 2).sum()
         ss_tot = ((yv - yv.mean()) ** 2).sum()
         r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
         self.stats = dict(

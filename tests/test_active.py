@@ -295,3 +295,40 @@ def test_incremental_covloss_matches_full(otf_run):
     np.testing.assert_allclose(c_inc, c_full, rtol=1e-9, atol=1e-12)
     model.pop_1inducing()  # leave shared fixture state unchanged
     calc._cov = calc._cov[:, :m0]
+
+
+def test_host_delta_prediction_matches_device(otf_run):
+    """add_1atoms_fast computes its accept/reject Δ host-side from the
+    new record's own Ke/Kf rows; those must equal the device predict
+    (_fast_ef) on the same configuration, and a rejected trial add must
+    restore the solve exactly (snapshot path == re-solve path)."""
+    tmp, calc, lj, s = otf_run
+    model = calc.model
+    calc.system = s
+    calc._make_cfg(s)
+    e_dev, f_dev = calc._fast_ef()
+    rec = calc.snapshot(fake=True)
+    mu1 = np.asarray(model.mu, dtype=np.float64)
+    snap = model.solve_snapshot()
+    model.add_data(rec)
+    nf = 3 * rec.natoms
+    ke_row = np.asarray(model.Ke[-1], dtype=np.float64)
+    kf_rows = np.asarray(model.Kf[-nf:], dtype=np.float64)
+    # host row-based prediction == device predict (f64 CPU: exact-ish)
+    np.testing.assert_allclose(float(ke_row @ mu1), e_dev,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(kf_rows @ mu1,
+                               np.asarray(f_dev).reshape(-1),
+                               rtol=1e-7, atol=1e-8)
+    # snapshot restore after pop == the re-solve the old path did
+    model.pop_1data(remake=False)
+    model.restore_solve(snap)
+    mu_restored = np.array(model.mu, copy=True)
+    choli_restored = np.array(model.choli, copy=True)
+    stats_restored = dict(model.stats)
+    model.make_munu()
+    np.testing.assert_allclose(mu_restored, model.mu, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(choli_restored, model.choli,
+                               rtol=1e-9, atol=1e-11)
+    for k, v in stats_restored.items():
+        np.testing.assert_allclose(v, model.stats[k], rtol=1e-7, atol=1e-10)
